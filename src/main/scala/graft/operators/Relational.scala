@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational / OLAP operator suite (SURVEY §2 R1-R11).
+  *
+  * Every query is a declarative DataFrame plan: filters/projections push to
+  * the parquet scan, dimension joins are explicitly broadcast, fact joins
+  * shuffle on their keys and rely on AQE for skew. Float aggregates are
+  * rounded at the query edge only (oracle stability across engines), never
+  * inside the plan.
+  *
+  * Reference semantics source: the reference is a graph benchmark
+  * (databases.py); the relational substrate here is the engine these graph
+  * ops run on, exercised TPC-H-style on the driver's tables.
+  */
+object Relational {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact-sum path for double money columns: cast each term to
+    * decimal(38,6) (identical half-up rounding in Spark and DuckDB), sum
+    * exactly (associative — immune to partial-agg ordering), round, and
+    * surface as double. Summing raw doubles is order-dependent and flakes
+    * the cross-engine hash at the cent boundary. */
+  private def dsum(c: Column, scale: Int): Column =
+    round(sum(c.cast(DecimalType(38, 6))), scale).cast("double")
+
+  /** R1: scan + filter + project; both predicate and 3-column projection
+    * must reach the parquet scan. */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** R2: TPC-H Q1-style hash aggregation (map-side partial agg). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+        round(sum(col("l_quantity").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** R3: TPC-H Q5-style multi-join: broadcast the dimension chain
+    * (region→nation→customer-filter), shuffle only the two fact joins. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+  }
+
+  /** R4: TPC-H Q3-style join+filter+agg (no LIMIT: deterministic set). */
+  def shippingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+  }
+
+  /** R5: top-K on stored (non-aggregated) columns with an integer
+    * tie-breaker — deterministic across engines. TakeOrderedAndProject:
+    * no full sort, no full shuffle. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** R6: per-key top-N via row_number window (single shuffle on the
+    * partition key; WindowGroupLimit pushes the rank filter down). */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** R7: ROLLUP multi-dimensional aggregation (single pass, partial aggs). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+
+  /** R8: as-of join — for each purchase, the most recent strictly-prior
+    * click by the same user. Implemented as a single window pass over the
+    * union (no range-join explosion): sort within user, carry the last
+    * click id/ts forward. One shuffle on user_id. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_click_id"))
+  }
+
+  /** R9: gap-based sessionization (30-min gap), batch form. Timestamps
+    * compared in integer microseconds for cross-engine determinism. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+  }
+
+  /** R10: event-time tumbling-window aggregation (batch twin of the
+    * streaming S1 operator; windows are epoch-aligned 1h buckets). */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("window_start_s"),
+        col("n_events"), col("sum_value"))
+
+  /** R11: left-semi and left-anti joins in one surface: customers with at
+    * least one urgent order vs customers with no orders at all. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_urgent"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    semi.unionByName(anti)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter" -> scanFilter,
+    "q1_pricing_summary" -> pricingSummary,
+    "q5_local_supplier" -> localSupplierVolume,
+    "q3_shipping_revenue" -> shippingRevenue,
+    "q_topk_orders" -> topkOrders,
+    "q_window_topn" -> windowTopN,
+    "q_rollup" -> rollupAgg,
+    "q_asof_join" -> asofJoin,
+    "q_sessionize" -> sessionize,
+    "q_events_window" -> eventsWindow,
+    "q_semi_anti" -> semiAnti)
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 5""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q3_shipping_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, prior_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT event_type,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_urgent' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+}
