@@ -1,0 +1,154 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph analytics as iterative DataFrame programs.
+  *
+  * These cover the analytics a user of the reference would run once a graph
+  * is loaded (degree/traversal/shortest-path benches, benchmark.py:103-201),
+  * plus the standard batch-graph suite (CC / PageRank / triangles / LPA).
+  *
+  * Scale design (SURVEY §5): every iteration is a shuffle-on-key join +
+  * partial aggregation; state DataFrames are `localCheckpoint`ed per round
+  * (O(1) lineage); convergence checks are aggregate counts, never collects.
+  */
+object Algorithms {
+
+  /** In/out degree per node; nodes with no edges appear with degree 0. */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val outd = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val ind = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    nodes.select(col("id"))
+      .join(outd, Seq("id"), "left")
+      .join(ind, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+
+  /** Connected components over the undirected closure of `edges`:
+    * every node is labeled with the minimum node id of its component.
+    *
+    * Min-label propagation with pointer jumping — each round every node
+    * takes the min of (its label, its neighbors' labels), then labels are
+    * compressed by one indirection hop (label := label's label). Jumping
+    * makes rounds O(log diameter)-ish instead of O(diameter); each round is
+    * two shuffle joins + a groupBy-min, no driver-side state (the
+    * large-star/small-star family of map-reduce CC, cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = {
+      val e = edges.select(col("src"), col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    var labels = nodes.select(col("id").as("node"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // neighbor-min: for each node the smallest label among its neighbors
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("comp")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp1"))
+      // pointer jump: comp2 = label(comp1)
+      val jump = labels.select(col("node").as("jnode"), col("comp").as("jcomp"))
+      val next = stepped.join(jump, col("comp1") === col("jnode"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("newcomp"))
+        .localCheckpoint()
+      changed = next.filter(col("newcomp") =!= col("comp")).count()
+      labels = next.select(col("node"), col("newcomp").as("comp")).localCheckpoint()
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** PageRank, damping `d`, fixed `iters` iterations, uniform init 1/N.
+    *   r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)
+    * Dangling nodes contribute nothing (matches the unrolled SQL oracle).
+    * Contribution pass = one shuffle join + groupBy-sum per iteration;
+    * ranks checkpointed per round.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    val n = nodes.count().toDouble
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("id").as("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      ranks = nodes.select(col("id").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("csum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); outdeg.unpersist()
+    ranks
+  }
+
+  /** Per-node triangle participation count over the undirected closure.
+    * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
+    * standard distributed triangle plan: three shuffles total, no node
+    * materializes more than its neighborhood. */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val canon = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(canon.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val perNode = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    nodes.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Synchronous label propagation (community detection), fixed rounds.
+    * Deterministic tie-break: the smallest among the most-frequent neighbor
+    * labels. Test-verified (G12) — no SQL oracle. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val und = {
+      val e = edges.select(col("src"), col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    var labels = nodes.select(col("id").as("node"), col("id").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val freq = und
+        .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = freq
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("lbl").asc)))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("lbl").as("newlbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** GraphX/Pregel variants of the DataFrame algorithms — the dense-analytics
+  * path (vertex state in memory, no per-iteration shuffle of the full edge
+  * relation). Used to cross-validate the DataFrame implementations in tests
+  * and available to callers whose workload is traversal-heavy.
+  *
+  * This is the one RDD enclave in the engine (SURVEY §4): GraphX's
+  * vertex-cut partitioning and Pregel aggregation are genuinely
+  * per-partition imperative logic that the DataFrame API cannot express.
+  */
+object GraphXBridge {
+
+  def toGraphX(g: PropertyGraph): Graph[Long, Long] = {
+    val vertices: RDD[(VertexId, Long)] =
+      g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edges: RDD[Edge[Long]] =
+      g.edges.select(col("src"), col("dst")).rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    Graph(vertices, edges)
+  }
+
+  /** Connected components (undirected semantics, GraphX native). */
+  def connectedComponents(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).connectedComponents().vertices
+      .map { case (v, c) => (v, c) }.toDF("node", "comp")
+  }
+
+  /** Single-source shortest path lengths via Pregel. */
+  def distances(spark: SparkSession, g: PropertyGraph, source: Long): DataFrame = {
+    import spark.implicits._
+    val gx = toGraphX(g).mapVertices((id, _) =>
+      if (id == source) 0L else Long.MaxValue)
+    val res = gx.pregel(Long.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Long.MaxValue)
+      .map { case (v, d) => (v, d) }.toDF("node", "dist")
+  }
+
+  /** PageRank with the same semantics as Algorithms.pageRank (fixed
+    * iterations, uniform 1/N init, no dangling redistribution). */
+  def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val n = g.nodes.count().toDouble
+    val gx = toGraphX(g).outerJoinVertices(toGraphX(g).outDegrees) {
+      (_, _, deg) => deg.getOrElse(0)
+    }.mapVertices((_, deg) => (1.0 / n, deg))
+    var cur = gx
+    for (_ <- 1 to iters) {
+      val contribs = cur.aggregateMessages[Double](
+        t => t.sendToDst(t.srcAttr._1 / t.srcAttr._2),
+        _ + _)
+      cur = cur.outerJoinVertices(contribs) { (_, attr, c) =>
+        ((1 - d) / n + d * c.getOrElse(0.0), attr._2)
+      }
+    }
+    cur.vertices.map { case (v, (r, _)) => (v, r) }.toDF("node", "rank")
+  }
+}

@@ -1,0 +1,146 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Property graph as a pair of DataFrames — the Spark-native re-expression
+  * of the reference's node/edge model (reference databases.py:7-78:
+  * nodes `(id, labels, properties)`, directed edges `(src, dst)`).
+  *
+  * Nodes: `id: long, label: string, props: map<string,string>`.
+  * Edges: `src: long, dst: long, label: string`.
+  *
+  * Instead of row-at-a-time `add_node`/`add_edge` (an OLTP surface that a
+  * distributed engine should not emulate), construction is bulk and
+  * declarative: build the node/edge DataFrames from any source and every
+  * downstream operator is a Catalyst plan over them.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** Undirected view: each edge plus its reverse, deduplicated. */
+  def undirectedEdges: DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+}
+
+object PropertyGraph {
+  /** Offset keeping supplier node ids disjoint from customer node ids. */
+  val SupplierIdOffset = 1000000L
+
+  /** Bipartite order graph: customers ∪ suppliers, one edge per distinct
+    * (customer, supplier) purchase relation in `lineitem ⋈ orders`.
+    * The fact-fact join shuffles on orderkey; node tables are dimension-
+    * sized and never shuffled.
+    */
+  def bipartiteOrders(spark: SparkSession, dir: String): PropertyGraph = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("id"),
+      lit("customer").as("label"),
+      map(lit("name"), col("c_name"), lit("mktsegment"), col("c_mktsegment"),
+        lit("acctbal"), col("c_acctbal").cast("string")).as("props"))
+    val s = Tables.supplier(spark, dir).select(
+      (col("s_suppkey").cast("long") + SupplierIdOffset).as("id"),
+      lit("supplier").as("label"),
+      map(lit("name"), col("s_name")).as("props"))
+    val e = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + SupplierIdOffset).as("dst"))
+      .distinct()
+      .withColumn("label", lit("bought_from"))
+    PropertyGraph(c.unionByName(s), e)
+  }
+
+  /** N×N directed grid — the reference's `create_gird_graph`
+    * (benchmark.py:150-165): node i has an edge to i+1 (unless on the right
+    * border) and to i+N (unless on the bottom row). Generated distributed
+    * via `spark.range`, never materialized on the driver.
+    */
+  def grid(spark: SparkSession, n: Int): PropertyGraph = {
+    val ids = spark.range(n.toLong * n)
+    val nodes = ids.select(col("id"), lit("cell").as("label"),
+      map(lit("row"), (col("id") / n).cast("long").cast("string"),
+        lit("col"), (col("id") % n).cast("string")).as("props"))
+    val right = ids.filter((col("id") % n) =!= (n - 1))
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val down = ids.filter(col("id") < n.toLong * n - n)
+      .select(col("id").as("src"), (col("id") + n).as("dst"))
+    PropertyGraph(nodes, right.union(down).withColumn("label", lit("grid")))
+  }
+
+  /** Nation adjacency: nations sharing a region form a clique (dense small
+    * graph for triangle counting / PageRank, mirroring the reference's
+    * fully-traversable toy graphs). Directed both ways. */
+  def nationAdjacency(spark: SparkSession, dir: String): PropertyGraph = {
+    val n = Tables.nation(spark, dir)
+    val nodes = n.select(col("n_nationkey").cast("long").as("id"),
+      lit("nation").as("label"),
+      map(lit("name"), col("n_name")).as("props"))
+    val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+    val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+    val edges = a.join(b, col("r1") === col("r2") && col("k1") =!= col("k2"))
+      .select(col("k1").cast("long").as("src"), col("k2").cast("long").as("dst"))
+      .withColumn("label", lit("same_region"))
+    PropertyGraph(nodes, edges)
+  }
+
+  /** Sparse multi-component sample of the bipartite graph (every 20th
+    * order, first line only) — gives a disconnected undirected graph for
+    * connected-components. */
+  def componentSample(spark: SparkSession, dir: String): PropertyGraph = {
+    val e = Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + SupplierIdOffset).as("dst"))
+      .distinct()
+      .withColumn("label", lit("sampled"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), lit("node").as("label"),
+        expr("map()").cast("map<string,string>").as("props"))
+    PropertyGraph(nodes, e)
+  }
+
+  /** Edge-list text source — the reference's `load_database` input format
+    * (databases.py:129-137, Wiki-Vote TSV): '#'-prefixed comment lines,
+    * then one `src<TAB>dst` pair per line. Distributed text scan; the
+    * comment filter and split are codegen'd expressions. */
+  def fromEdgeList(spark: SparkSession, path: String): PropertyGraph = {
+    val lines = spark.read.text(path)
+    val e = lines
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\\t").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("src"),
+        element_at(col("f"), 2).cast("long").as("dst"))
+      .withColumn("label", lit("edge"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), lit("node").as("label"), expr("map()").cast("map<string,string>").as("props"))
+    PropertyGraph(nodes, e)
+  }
+
+  /** Write edges in the reference's TSV format (comment header + src\tdst
+    * rows) — distributed text write, one file per partition. */
+  def writeEdgeList(g: PropertyGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    val header = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("# graft edge list"),
+        org.apache.spark.sql.Row("# FromNodeId\tToNodeId")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+    val body = g.edges.select(
+      concat(col("src").cast("string"), lit("\t"), col("dst").cast("string")).as("value"))
+    header.union(body).coalesce(1).write.mode("overwrite").text(path)
+  }
+}

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.graph.{Algorithms, PropertyGraph, Traversals}
+
+/** Graph operator suite (SURVEY §2 G1-G11) exposed as driver-contract
+  * queries with DuckDB oracles.
+  *
+  * Oracle strategy: BFS/k-hop/SSSP verify against recursive CTEs; connected
+  * components and PageRank against *unrolled* iteration SQL generated here
+  * (DuckDB's recursive CTEs cannot aggregate per round); everything else is
+  * plain relational SQL over the same parquet.
+  */
+object GraphOps {
+
+  private val Off = PropertyGraph.SupplierIdOffset // 1000000
+
+  // --- shared SQL fragments -------------------------------------------------
+
+  /** Distinct bipartite (customer → supplier) edge set. */
+  private val bipartiteEdgesSql =
+    s"""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |  CAST($Off + l_suppkey AS BIGINT) AS dst
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** Directed grid edges over range(n*n) (reference create_gird_graph). */
+  private def gridEdgesSql(n: Int): String =
+    s"""SELECT i AS src, i + 1 AS dst FROM range(${n * n}) t(i) WHERE (i + 1) % $n <> 0
+       |UNION ALL
+       |SELECT i AS src, i + $n AS dst FROM range(${n * n}) t(i) WHERE i < ${n * n - n}""".stripMargin
+
+  private val nationEdgesSql =
+    """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey""".stripMargin
+
+  // --- G1: ingest -----------------------------------------------------------
+
+  def ingestNodes(spark: SparkSession, dir: String): DataFrame =
+    PropertyGraph.bipartiteOrders(spark, dir).nodes
+      .select(col("id"), col("label"), col("props")("name").as("name"))
+
+  def ingestEdges(spark: SparkSession, dir: String): DataFrame =
+    PropertyGraph.bipartiteOrders(spark, dir).edges.select(col("src"), col("dst"))
+
+  // --- G2: node lookup ------------------------------------------------------
+
+  def nodeLookup(spark: SparkSession, dir: String): DataFrame =
+    PropertyGraph.bipartiteOrders(spark, dir).nodes
+      .filter(col("label") === "customer" &&
+        col("props")("mktsegment") === "BUILDING" && col("id") <= 100)
+      .select(col("id"), col("props")("name").as("name"))
+
+  // --- G3: k-hop ------------------------------------------------------------
+
+  def khopGrid(spark: SparkSession, dir: String): DataFrame =
+    Traversals.kHop(PropertyGraph.grid(spark, 20).edges, source = 0L, maxHops = 5)
+
+  def khopBipartite(spark: SparkSession, dir: String): DataFrame =
+    Traversals.kHop(PropertyGraph.bipartiteOrders(spark, dir).undirectedEdges,
+      source = 1L, maxHops = 2)
+
+  // --- G4: SSSP -------------------------------------------------------------
+
+  def ssspGrid(spark: SparkSession, dir: String): DataFrame =
+    Traversals.distances(PropertyGraph.grid(spark, 16).edges, source = 0L)
+
+  // --- G5: grid degree histogram -------------------------------------------
+
+  def gridDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, 20)
+    Algorithms.degrees(g.nodes, g.edges)
+      .groupBy(col("outdeg"), col("indeg")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  // --- G6: edge-list roundtrip ---------------------------------------------
+
+  def edgelistRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_edgelist_${math.abs(dir.hashCode)}"
+    PropertyGraph.writeEdgeList(PropertyGraph.bipartiteOrders(spark, dir), path)
+    PropertyGraph.fromEdgeList(spark, path).edges.select(col("src"), col("dst"))
+  }
+
+  // --- G7: degree distribution ---------------------------------------------
+
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.bipartiteOrders(spark, dir)
+    Algorithms.degrees(g.nodes, g.edges)
+  }
+
+  // --- G8: connected components --------------------------------------------
+
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.componentSample(spark, dir)
+    Algorithms.connectedComponents(g.nodes, g.edges)
+  }
+
+  // --- G9: PageRank ---------------------------------------------------------
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.nationAdjacency(spark, dir)
+    Algorithms.pageRank(g.nodes, g.edges, iters = 10, d = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  // --- G10: triangles -------------------------------------------------------
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.nationAdjacency(spark, dir)
+    Algorithms.triangleCounts(g.nodes, g.edges)
+  }
+
+  // --- G11: filtered subgraph + neighborhood aggregation --------------------
+
+  def neighborhoodAgg(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.bipartiteOrders(spark, dir)
+    val building = g.nodes
+      .filter(col("label") === "customer" && col("props")("mktsegment") === "BUILDING")
+      .select(col("id"), col("props")("acctbal").cast("double").as("acctbal"))
+    g.edges.join(building, col("src") === col("id"))
+      .groupBy(col("dst").as("supplier_id"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("acctbal").cast(DecimalType(38, 6))), 2).cast("double").as("sum_acctbal"))
+  }
+
+  // --- oracle generators ----------------------------------------------------
+
+  private def bfsOracle(edgesSql: String, undirected: Boolean, source: Long,
+                        maxD: Int, minD: Int): String = {
+    val ue = if (undirected)
+      "ue AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base)"
+    else "ue AS (SELECT src, dst FROM base)"
+    s"""WITH RECURSIVE base AS ($edgesSql),
+       |$ue,
+       |bfs(node, d) AS (
+       |  SELECT CAST($source AS BIGINT), 0
+       |  UNION
+       |  SELECT ue.dst, bfs.d + 1 FROM bfs JOIN ue ON ue.src = bfs.node
+       |  WHERE bfs.d < $maxD)
+       |SELECT node, min(d) AS dist FROM bfs GROUP BY node HAVING min(d) >= $minD""".stripMargin
+  }
+
+  /** Unrolled min-label propagation (CC): `iters` rounds of
+    * comp := min(comp, min(neighbor comp)) — converges to the component's
+    * min node id once iters ≥ eccentricity of that node. */
+  private def ccOracle(edgesSql: String, iters: Int): String = {
+    // MATERIALIZED: without it DuckDB inlines the doubly-referenced l_i
+    // CTEs and re-opens the base parquet once per unrolled round.
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN ue ON ue.src = l.node
+         |  LEFT JOIN l${i - 1} r ON r.node = ue.dst
+         |  GROUP BY l.node, l.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED ($edgesSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+       |n0 AS (SELECT DISTINCT src AS node FROM ue),
+       |l0 AS MATERIALIZED (SELECT node, node AS comp FROM n0),
+       |$rounds
+       |SELECT node, comp FROM l$iters""".stripMargin
+  }
+
+  /** Unrolled PageRank: same float ops in the same order as
+    * Algorithms.pageRank, so doubles agree to well under the 1e-6 edge. */
+  private def prOracle(edgesSql: String, iters: Int, d: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT t.node,
+         |  (CAST(1 AS DOUBLE) - CAST($d AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST($d AS DOUBLE) * COALESCE(SUM(p.rank / deg.c), 0) AS rank
+         |  FROM r0 t LEFT JOIN e ON e.dst = t.node
+         |  LEFT JOIN r${i - 1} p ON p.node = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+       |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |  CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nation),
+       |$rounds
+       |SELECT node, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
+  // --- driver contract ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_ingest_nodes" -> ingestNodes,
+    "g_ingest_edges" -> ingestEdges,
+    "g_node_lookup" -> nodeLookup,
+    "g_khop_grid" -> khopGrid,
+    "g_khop_bipartite" -> khopBipartite,
+    "g_sssp_grid" -> ssspGrid,
+    "g_grid_degree" -> gridDegree,
+    "g_edgelist_roundtrip" -> edgelistRoundtrip,
+    "g_degree_dist" -> degreeDist,
+    "g_connected_components" -> connectedComponents,
+    "g_pagerank" -> pageRank,
+    "g_triangles" -> triangles,
+    "g_neighborhood_agg" -> neighborhoodAgg)
+
+  val oracles: Map[String, String] = Map(
+    "g_ingest_nodes" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS label, c_name AS name FROM customer
+         |UNION ALL
+         |SELECT CAST($Off + s_suppkey AS BIGINT), 'supplier', s_name FROM supplier""".stripMargin,
+    "g_ingest_edges" -> bipartiteEdgesSql,
+    "g_node_lookup" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 100""".stripMargin,
+    "g_khop_grid" -> bfsOracle(gridEdgesSql(20), undirected = false, 0L, 5, 1),
+    "g_khop_bipartite" -> bfsOracle(bipartiteEdgesSql, undirected = true, 1L, 2, 1),
+    "g_sssp_grid" -> bfsOracle(gridEdgesSql(16), undirected = false, 0L, 64, 0),
+    "g_grid_degree" ->
+      s"""WITH e AS (${gridEdgesSql(20)}),
+         |outs AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+         |ins AS (SELECT dst, count(*) AS c FROM e GROUP BY dst)
+         |SELECT COALESCE(outs.c, 0) AS outdeg, COALESCE(ins.c, 0) AS indeg,
+         |  count(*) AS n_nodes
+         |FROM range(400) t(i)
+         |LEFT JOIN outs ON outs.src = t.i
+         |LEFT JOIN ins ON ins.dst = t.i
+         |GROUP BY 1, 2""".stripMargin,
+    "g_edgelist_roundtrip" -> bipartiteEdgesSql,
+    "g_degree_dist" ->
+      s"""WITH e AS ($bipartiteEdgesSql),
+         |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+         |  UNION ALL SELECT CAST($Off + s_suppkey AS BIGINT) FROM supplier),
+         |outs AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+         |ins AS (SELECT dst, count(*) AS c FROM e GROUP BY dst)
+         |SELECT id, COALESCE(outs.c, 0) AS outdeg, COALESCE(ins.c, 0) AS indeg
+         |FROM nodes LEFT JOIN outs ON outs.src = id LEFT JOIN ins ON ins.dst = id""".stripMargin,
+    "g_connected_components" -> ccOracle(
+      s"""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |  CAST($Off + l_suppkey AS BIGINT) AS dst
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_linenumber = 1 AND o_orderkey % 20 = 0""".stripMargin, 50),
+    "g_pagerank" -> prOracle(nationEdgesSql, 10, 0.85),
+    "g_triangles" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |ce AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+         |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |cnt AS (SELECT id, count(*) AS n_tri FROM (
+         |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT CAST(n_nationkey AS BIGINT) AS id, COALESCE(n_tri, 0) AS n_tri
+         |FROM nation LEFT JOIN cnt ON cnt.id = n_nationkey""".stripMargin,
+    "g_neighborhood_agg" ->
+      s"""WITH e AS ($bipartiteEdgesSql)
+         |SELECT e.dst AS supplier_id, count(*) AS n_cust,
+         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_acctbal
+         |FROM e JOIN customer ON c_custkey = e.src
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY e.dst""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.graph.{Algorithms, GraphXBridge, PropertyGraph, Traversals}
+
+/** Unit semantics on tiny hand-built graphs with known answers, plus
+  * DataFrame-vs-GraphX agreement (two independent implementations must
+  * produce identical results). */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def graph(edges: Seq[(Long, Long)]): PropertyGraph = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val nodes = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .distinct().selectExpr("id", "'n' AS label",
+        "CAST(map() AS map<string,string>) AS props")
+    PropertyGraph(nodes, e)
+  }
+
+  // path 1→2→3→4, branch 1→5
+  private val pathG = graph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)))
+
+  test("kHop: distinct nodes within 1..2 directed hops") {
+    val got = Traversals.kHop(pathG.edges, 1L, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((2L, 1), (5L, 1), (3L, 2)))
+  }
+
+  test("shortestPathLength: path length and unreachable") {
+    assert(Traversals.shortestPathLength(pathG.edges, 1L, 4L) == 3L)
+    assert(Traversals.shortestPathLength(pathG.edges, 4L, 1L) == -1L)
+  }
+
+  test("distances agree with GraphX Pregel on the grid") {
+    val g = PropertyGraph.grid(spark, 8)
+    val df = Traversals.distances(g.edges, 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    val gx = GraphXBridge.distances(spark, g, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(df == gx)
+  }
+
+  test("connectedComponents: min-id labeling, two components; agrees with GraphX") {
+    val g = graph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val df = Algorithms.connectedComponents(g.nodes, g.edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(df == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val gx = GraphXBridge.connectedComponents(spark, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(df == gx)
+  }
+
+  test("pageRank: ranks sum to ~1 on a strongly-connected clique; agrees with GraphX") {
+    val g = graph(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L)))
+    val df = Algorithms.pageRank(g.nodes, g.edges, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(df.values.sum - 1.0) < 1e-9)
+    // symmetric clique → uniform ranks
+    assert(df.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+    val gx = GraphXBridge.pageRank(spark, g, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    df.foreach { case (k, v) => assert(math.abs(v - gx(k)) < 1e-12) }
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles") {
+    val k4 = graph(for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b))
+    val got = Algorithms.triangleCounts(k4.nodes, k4.edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("labelPropagation: two cliques bridge-free converge to per-clique labels") {
+    val twoCliques = graph(
+      (for { a <- 1L to 3L; b <- 1L to 3L if a != b } yield (a, b)) ++
+      (for { a <- 10L to 12L; b <- 10L to 12L if a != b } yield (a, b)))
+    val got = Algorithms.labelPropagation(twoCliques.nodes, twoCliques.edges, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.filterKeys(_ < 10L).values.toSet.size == 1)
+    assert(got.filterKeys(_ >= 10L).values.toSet.size == 1)
+  }
+
+  test("edge list roundtrip preserves the edge set") {
+    val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
+    val path = "/tmp/graft_test_edgelist"
+    PropertyGraph.writeEdgeList(g, path)
+    val back = PropertyGraph.fromEdgeList(spark, path).edges
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((1L, 2L), (2L, 3L), (7L, 9L)))
+  }
+}
