@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GraphOps, Relational}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, GraphOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory behind
   * `queries`; every key has a DuckDB oracle in `oracleSql` unless marked
@@ -15,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ GraphOps.queries
+    Relational.queries ++ GraphOps.queries ++ Dedup.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ GraphOps.oracles
+    Relational.oracles ++ GraphOps.oracles ++ Dedup.oracles ++ TextAnalysis.oracles
 }

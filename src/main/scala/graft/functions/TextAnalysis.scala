@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators (SURVEY §2 T1-T4) — pure `functions._` /
+  * higher-order-function compositions, fully codegen'd (no UDFs): at 100 TB
+  * each of these is a single scan with per-row expression work.
+  *
+  * Cross-engine determinism: tokenization is `[a-z]+` over lowercased text
+  * (identical regex semantics in Java and RE2 for this class), hashes are
+  * md5 (identical hex in Spark and DuckDB), ratios divide in the same
+  * order on both sides.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lexicons for the heuristic language IDer. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "on"),
+    "es" -> Seq("el", "los", "y", "es", "una", "en", "que", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "sur"))
+
+  val words: Column = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+
+  /** T1: language ID — count stopword hits per lexicon, pick the max
+    * (deterministic tie-break: lexicographically last language wins, via
+    * struct ordering on (hits, lang)). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val cands = lexicons.map { case (lang, stops) =>
+      val hits = size(filter(words, w => array_contains(
+        array(stops.map(lit): _*), w)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      greatest(cands: _*).getField("lang").as("lang_pred"),
+      greatest(cands: _*).getField("hits").as("n_hits"))
+  }
+
+  /** DuckDB's greatest() rejects structs, so the (hits, lang) max with
+    * tie→last-lang is unrolled into a CASE chain checking languages in
+    * reverse alphabetical order. */
+  def langIdOracle: String = {
+    val hitCols = lexicons.map { case (lang, stops) =>
+      val arr = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($arr, x))) AS h_$lang"
+    }
+    val langs = lexicons.map(_._1)
+    val cases = langs.reverse.init.map { lang =>
+      val geq = langs.filter(_ != lang).map(o => s"h_$lang >= h_$o").mkString(" AND ")
+      s"WHEN $geq THEN '$lang'"
+    }
+    s"""SELECT doc_id,
+       |  CASE ${cases.mkString("\n    ")} ELSE '${langs.head}' END AS lang_pred,
+       |  greatest(${langs.map("h_" + _).mkString(", ")}) AS n_hits
+       |FROM (SELECT doc_id, ${hitCols.mkString(",\n    ")}
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents))""".stripMargin
+  }
+
+  /** T2: quality scoring — length, punctuation ratio, stopword ratio,
+    * composite score. Same double-op order on both engines. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val en = lexicons.toMap.apply("en")
+    val nWords = size(words).cast("double")
+    val stopHits = size(filter(words, w => array_contains(array(en.map(lit): _*), w))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = (nChars - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      .cast("double")) / nChars
+    val stopRatio = stopHits / nWords
+    val score = least(lit(1.0), nWords / lit(100.0)) * 0.5 + stopRatio * 0.3 +
+      (lit(1.0) - punct) * 0.2
+    // Decimal round-trip: round(double, n) disagrees between engines when
+    // the value sits a hair below a half boundary (DuckDB's x*10^n scaling
+    // can land exactly on .5, BigDecimal's exact view doesn't). Snapping to
+    // 10 decimal digits first makes both rounds see the same number.
+    def rdet(c: Column, s: Int): Column =
+      round(c.cast(org.apache.spark.sql.types.DecimalType(18, 10)), s).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      rdet(stopRatio, 4).as("stop_ratio"),
+      rdet(punct, 4).as("punct_ratio"),
+      rdet(score, 4).as("score"))
+  }
+
+  def qualityOracle: String = {
+    val en = lexicons.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
+    """SELECT doc_id, len(w) AS n_words,
+      |  CAST(round(CAST(hits / nw AS DECIMAL(18,10)), 4) AS DOUBLE) AS stop_ratio,
+      |  CAST(round(CAST(pr AS DECIMAL(18,10)), 4) AS DOUBLE) AS punct_ratio,
+      |  CAST(round(CAST(least(1.0, nw / 100.0) * 0.5 + (hits / nw) * 0.3 + (1.0 - pr) * 0.2 AS DECIMAL(18,10)), 4) AS DOUBLE) AS score
+      |FROM (SELECT doc_id, w,
+      |    CAST(len(list_filter(w, x -> list_contains(LEX, x))) AS DOUBLE) AS hits,
+      |    CAST(len(w) AS DOUBLE) AS nw,
+      |    (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE) AS pr
+      |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents))""".stripMargin
+      .replace("LEX", en)
+  }
+
+  /** T3: token counting — whitespace tokens, regex word tokens, char
+    * totals. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
+      size(words).as("n_words"),
+      length(col("text")).as("n_chars"),
+      aggregate(words, lit(0), (acc, w) => acc + length(w)).as("sum_word_chars"))
+
+  def tokenCountOracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+      |  length(text) AS n_chars,
+      |  COALESCE(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'), w -> length(w))), 0) AS sum_word_chars
+      |FROM documents""".stripMargin
+
+  /** T4: document fingerprinting — a bag fingerprint (md5 of the sorted
+    * distinct word set: order-insensitive) and a positional fingerprint
+    * (md5 of the word sequence): the pair distinguishes reordered content
+    * from true duplicates. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(words)), "|")).as("fp_bag"),
+      md5(array_join(words, "|")).as("fp_seq"))
+
+  def fingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))), '|')) AS fp_bag,
+      |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|')) AS fp_seq
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_lang_id" -> langId,
+    "t_quality" -> quality,
+    "t_token_count" -> tokenCount,
+    "t_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "t_lang_id" -> langIdOracle,
+    "t_quality" -> qualityOracle,
+    "t_token_count" -> tokenCountOracle,
+    "t_fingerprint" -> fingerprintOracle)
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication stack (SURVEY §2 D1-D4): exact content-hash dedup,
+  * MinHash+LSH near-dup candidate generation, n-gram Jaccard verification,
+  * SimHash fingerprinting.
+  *
+  * Scale design (SURVEY §5): signatures are computed per-row with
+  * higher-order functions (one scan, no explode until the band join); the
+  * LSH band join shuffles on (band, value) — the classic near-dup path at
+  * corpus scale; Jaccard runs only on LSH candidate pairs, never all-pairs.
+  *
+  * Cross-engine determinism: md5 everywhere; minima taken on fixed-width
+  * hex *strings* (lexicographic == numeric), so no engine-specific
+  * hex→int conversion is involved.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val Bands = 4 // rows per band = NumHashes / Bands = 2
+  val ShingleLen = 3
+
+  // --- D1: exact dedup ------------------------------------------------------
+
+  /** Exact dedup on the whitespace-normalized content hash: one group per
+    * distinct content, with member count and canonical (min) doc id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  val exactDedupOracle: String =
+    """SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')) AS content_hash,
+      |  count(*) AS n_docs, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --- D2: MinHash + LSH banding -------------------------------------------
+
+  /** Word-shingle set per doc, as a SQL fragment shared (modulo list
+    * function names) between Spark and DuckDB. */
+  private val sparkShingles =
+    s"""array_distinct(transform(sequence(0, size(words) - $ShingleLen),
+       |  i -> concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))))""".stripMargin
+
+  private val duckShingles =
+    s"""list_distinct(list_transform(range(len(words) - ${ShingleLen - 1}),
+       |  i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))""".stripMargin
+
+  /** MinHash j = min over shingles of the first 8 hex chars of
+    * md5("<j>|<shingle>") — string min; fixed width makes it order-
+    * equivalent to the numeric min. */
+  private def sparkMinhash(j: Int) =
+    s"array_min(transform(shingles, s -> substring(md5(concat('$j|', s)), 1, 8)))"
+  private def duckMinhash(j: Int) =
+    s"list_min(list_transform(shingles, s -> substr(md5('$j|' || s), 1, 8)))"
+
+  /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1. */
+  private def bandedSpark(spark: SparkSession, dir: String): DataFrame = {
+    val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
+    val bands = (0 until Bands).map(b =>
+      s"named_struct('band_idx', $b, 'val', concat(h${2 * b}, h${2 * b + 1}))").mkString(", ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
+      .filter(expr(s"size(words) >= $ShingleLen"))
+      .selectExpr("doc_id", s"$sparkShingles AS shingles")
+      .selectExpr("doc_id" +: mh: _*)
+      .selectExpr("doc_id", s"explode(array($bands)) AS band")
+      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.val AS val")
+  }
+
+  private val bandedDuckSql: String = {
+    val mh = (0 until NumHashes).map(j => s"${duckMinhash(j)} AS h$j").mkString(",\n    ")
+    val bands = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS val FROM mh").mkString("\n  UNION ALL ")
+    s"""docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
+       |mh AS (SELECT doc_id, $mh FROM sh),
+       |banded AS (${bands})""".stripMargin
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band. The self-join
+    * shuffles on (band_idx, val) only. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSpark(spark, dir)
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  val minhashPairsOracle: String =
+    s"""WITH $bandedDuckSql
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM banded x JOIN banded y
+       |  ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id""".stripMargin
+
+  // --- D3: n-gram Jaccard verification -------------------------------------
+
+  /** True shingle-set Jaccard for every LSH candidate pair (blocked
+    * verification — never all-pairs). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
+      .filter(expr(s"size(words) >= $ShingleLen"))
+      .selectExpr("doc_id", s"$sparkShingles AS shingles")
+    minhashPairs(spark, dir)
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
+      .selectExpr("a", "b",
+        "size(array_intersect(sa, sb)) AS n_inter",
+        "size(sa) + size(sb) - size(array_intersect(sa, sb)) AS n_union")
+      .selectExpr("a", "b",
+        "CAST(round(CAST(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS jaccard")
+  }
+
+  val jaccardPairsOracle: String =
+    s"""WITH $bandedDuckSql,
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |  ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id)
+       |SELECT a, b,
+       |  CAST(round(CAST(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b""".stripMargin
+
+  // --- D4: SimHash ----------------------------------------------------------
+
+  /** 16-bit word value from the first 4 hex digits of md5(w) — pure
+    * arithmetic on digit positions, identical on both engines. */
+  private def hexVal(find: String, j: Int) =
+    s"($find('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1)"
+  private def word16(find: String) =
+    (0 until 4).map(j => s"${hexVal(find, j)} * ${1 << (4 * (3 - j))}").mkString(" + ")
+
+  /** 16-bit SimHash over the distinct word set: bit i is the majority vote
+    * of bit i across word hashes. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 16).map(i =>
+      s"aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + 2 * ((x div ${1 << i}) % 2) - 1) AS s$i")
+    val combine = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)) AS wd")
+      .selectExpr("doc_id", s"transform(wd, w -> ${word16("instr")}) AS vals")
+      .selectExpr("doc_id" +: bitSums: _*)
+      .selectExpr("doc_id", s"$combine AS simhash")
+  }
+
+  val simhashOracle: String = {
+    val bitSums = (0 until 16).map(i =>
+      s"COALESCE(list_sum(list_transform(vals, x -> 2 * ((x // ${1 << i}) % 2) - 1)), 0) AS s$i").mkString(", ")
+    val combine = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    s"""WITH wd AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS wd FROM documents),
+       |v AS (SELECT doc_id, list_transform(wd, w -> ${word16("strpos")}) AS vals FROM wd),
+       |b AS (SELECT doc_id, $bitSums FROM v)
+       |SELECT doc_id, $combine AS simhash FROM b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> exactDedup,
+    "d_minhash_pairs" -> minhashPairs,
+    "d_jaccard_pairs" -> jaccardPairs,
+    "d_simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" -> exactDedupOracle,
+    "d_minhash_pairs" -> minhashPairsOracle,
+    "d_jaccard_pairs" -> jaccardPairsOracle,
+    "d_simhash" -> simhashOracle)
+}
