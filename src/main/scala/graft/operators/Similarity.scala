@@ -1,0 +1,163 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (SURVEY §2 D5-D6).
+  *
+  * D5 (brute-force cosine top-k): the query set is broadcast against the
+  * corpus — the corpus is scanned once and never shuffled; per-query top-k
+  * is a row_number window on the (small) query_id key.
+  *
+  * D6 (LSH-bucketed ANN — the 100 TB path): corpus and queries are hashed
+  * once into 2^8 hyperplane-sign buckets; candidate generation is a join on
+  * the bucket key, so cost scales with bucket occupancy, not corpus size.
+  * Hyperplanes are deterministic constants derived from md5 (computed at
+  * plan-build time, embedded as integer literals in both engines' plans).
+  *
+  * Cross-engine determinism: every dot product is a left fold over the
+  * vector in index order with all terms cast to double — Spark `aggregate`
+  * (init 0.0) and DuckDB `list_reduce` produce bit-identical doubles, so
+  * rankings and bucket signs agree exactly.
+  */
+object Similarity {
+
+  val NumQueries = 8 // vec_id < 8 are the query vectors
+  val TopK = 5
+  val Planes = 8
+  val Dim = 64
+
+  /** Sequential double dot product as a Spark SQL expression. */
+  private def sparkDot(a: String, b: String) =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** Same fold in DuckDB (list_reduce folds left; 0+v1 == v1 exactly). */
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_transform(range($Dim),
+       |  i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  // --- D5: brute-force cosine top-k ----------------------------------------
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm")
+    val q = emb.selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn")
+      .filter(col("query_id") < NumQueries)
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+    pairs
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= TopK)
+      .selectExpr("query_id", "neighbor_id", "rank",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val cosineTopKOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM emb WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT query_id, emb.vec_id AS neighbor_id,
+       |    (${duckDot("qe", "e")}) / (sqrt(qn) * sqrt(nrm)) AS sim
+       |  FROM emb JOIN q ON emb.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM r WHERE rank <= $TopK""".stripMargin
+
+  // --- D6: LSH-bucketed ANN -------------------------------------------------
+
+  /** Deterministic hyperplane components: h[j][i] derived from
+    * md5("p<j>|<i>") — first 4 hex digits as an int in [0, 65535],
+    * embedded as integer literals (exact in both engines). */
+  lazy val planeInts: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { j =>
+      (0 until Dim).map { i =>
+        val hex = md.digest(s"p$j|$i".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        Integer.parseInt(hex, 16)
+      }
+    }
+  }
+
+  /** Bucket id expression: sign bit of each hyperplane dot, packed. */
+  private def bucketExpr(embCol: String, arrayLit: Seq[Int] => String,
+                         dot: (String, String) => String): String = {
+    val bits = planeInts.zipWithIndex.map { case (h, j) =>
+      val lit = arrayLit(h)
+      val planeVec = s"(CAST(x AS DOUBLE) / 32768.0 - 1.0)"
+      // dot(plane_j, e) built from the int literals inline
+      val d = dot(lit, embCol)
+      s"(CASE WHEN ($d) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  private def sparkPlaneDot(lit: String, e: String) =
+    s"""aggregate(zip_with($lit, $e, (x, y) -> (CAST(x AS DOUBLE) / 32768.0 - 1.0) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def duckPlaneDot(lit: String, e: String) =
+    s"""list_reduce(list_transform(range($Dim),
+       |  i -> (CAST($lit[i + 1] AS DOUBLE) / 32768.0 - 1.0) * CAST($e[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def sparkArray(xs: Seq[Int]) = xs.mkString("array(", ", ", ")")
+  private def duckArray(xs: Seq[Int]) = xs.mkString("[", ", ", "]")
+
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot)
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm", s"($bucket) AS bucket")
+    val q = emb.selectExpr("vec_id AS query_id", "embedding AS qe",
+        "nrm AS qn", "bucket AS qbucket")
+      .filter(col("query_id") < NumQueries)
+    emb.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= 3)
+      .selectExpr("query_id", "neighbor_id", "rank",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val lshAnnOracle: String = {
+    val bucket = bucketExpr("e", duckArray, duckPlaneDot)
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, e, nrm, ($bucket) AS bucket FROM emb),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket AS qbucket
+       |  FROM bk WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT query_id, bk.vec_id AS neighbor_id,
+       |    (${duckDot("qe", "e")}) / (sqrt(qn) * sqrt(nrm)) AS sim
+       |  FROM bk JOIN q ON bk.bucket = q.qbucket AND bk.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cosine_topk" -> cosineTopK,
+    "s_lsh_ann" -> lshAnn)
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" -> cosineTopKOracle,
+    "s_lsh_ann" -> lshAnnOracle)
+}

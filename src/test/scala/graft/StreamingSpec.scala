@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** S1-S4 driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // base offset: an event at exactly epoch 0 is dropped by the initial
+  // watermark (ts <= watermark=0), so tests start one day in
+  private val Base = 24L * 60
+  private def ts(minute: Int) = new Timestamp((Base + minute) * 60000L)
+
+  test("S1: tumbling window agg with watermark emits closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("s1").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    q.processAllAvailable()
+    // watermark = 70min - 60min = 10min: first hour window not yet closed
+    in.addData(Event(4, ts(200), 2, "view", 4.0)) // advance watermark past 1st+2nd windows
+    q.processAllAvailable()
+    val rows = spark.table("s1").collect()
+    q.stop()
+    val byWindow = rows.map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(byWindow.contains((0L, "click", 2L, 3.0)))
+    assert(byWindow.contains((60L, "view", 1L, 3.0)))
+  }
+
+  test("S2: streaming sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("s2").outputMode("append").start()
+    // user 1: two events 5min apart (one session), then 40min gap → new session
+    in.addData(Event(1, ts(0), 1, "c", 0), Event(2, ts(5), 1, "c", 0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(45), 1, "c", 0))
+    q.processAllAvailable()
+    // push watermark far ahead so the timeout fires and closes everything
+    in.addData(Event(9, ts(600), 2, "c", 0))
+    q.processAllAvailable()
+    in.addData(Event(10, ts(1200), 2, "c", 0))
+    q.processAllAvailable()
+    val got = spark.table("s2").as[Session].collect().filter(_.user_id == 1)
+      .map(s => (s.start_ms / 60000 - Base, s.end_ms / 60000 - Base, s.n_events)).toSet
+    q.stop()
+    assert(got.contains((0L, 5L, 2L)))   // first session: events at 0,5
+    assert(got.contains((45L, 45L, 1L))) // second session after the gap
+  }
+
+  test("S3: stream-static broadcast enrich") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id", "cust_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("s3").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "c", 0), Event(2, ts(1), 9, "c", 0))
+    q.processAllAvailable()
+    val got = spark.table("s3").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+    assert(got == Set((1L, Some("gold")), (2L, None)))
+  }
+
+  test("S4: streaming dedup drops the duplicate event_id within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedup(in.toDF())
+      .select("event_id")
+      .writeStream.format("memory").queryName("s4").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "c", 0), Event(1, ts(2), 1, "c", 0),
+      Event(2, ts(3), 1, "c", 0))
+    q.processAllAvailable()
+    val got = spark.table("s4").collect().map(_.getLong(0)).toList.sorted
+    q.stop()
+    assert(got == List(1L, 2L))
+  }
+
+  test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
+    val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val decoded = graft.operators.Multimodal.decodeStub(media)
+    val n = media.count()
+    assert(decoded.count() == n)
+    val r = decoded.filter(col("doc_id") === 0).collect().head
+    assert(r.getInt(2) >= 16 && r.getInt(3) >= 16)
+    assert(r.getLong(4) == r.getInt(2).toLong * r.getInt(3))
+  }
+}
