@@ -43,7 +43,8 @@ object Algorithms {
     val und = {
       val e = edges.select(col("src"), col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct().repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     var labels = nodes.select(col("id").as("node"), col("id").as("comp"))
       .localCheckpoint()
@@ -77,26 +78,31 @@ object Algorithms {
     * Contribution pass = one shuffle join + groupBy-sum per iteration;
     * ranks checkpointed per round.
     */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int, d: Double = 0.85,
+               ckptEvery: Int = 3): DataFrame = {
     val n = nodes.count().toDouble
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-join outdeg onto edges once: the per-iteration join is then a
+    // single shuffle-on-src with ranks
+    val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, Seq("src")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("id").as("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(outdeg, Seq("src"))
+    for (i <- 1 to iters) {
+      val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
-      ranks = nodes.select(col("id").as("node"))
+      val next = nodes.select(col("id").as("node"))
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - d) / n) + lit(d) * coalesce(col("csum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // checkpoint on a cadence: every round is overkill for lineage
+      // control and each checkpoint is a full materializing job
+      ranks = if (i % ckptEvery == 0 || i == iters) next.localCheckpoint() else next
     }
-    e.unpersist(); outdeg.unpersist()
+    ew.unpersist()
     ranks
   }
 

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions.col
   */
 object GraphXBridge {
 
-  def toGraphX(g: PropertyGraph): Graph[Long, Long] = {
-    val vertices: RDD[(VertexId, Long)] =
-      g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
-    val edges: RDD[Edge[Long]] =
-      g.edges.select(col("src"), col("dst")).rdd
-        .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+  /** `numParts > 0` coalesces the vertex/edge RDDs first: a Pregel
+    * superstep schedules a task per partition, so a small graph spread
+    * over local[32]'s default parallelism pays ~30×32 empty tasks for a
+    * 30-superstep run. Size partitions to the graph, not the cluster. */
+  def toGraphX(g: PropertyGraph, numParts: Int = 0): Graph[Long, Long] = {
+    val v0 = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val e0 = g.edges.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    val vertices: RDD[(VertexId, Long)] = if (numParts > 0) v0.coalesce(numParts) else v0
+    val edges: RDD[Edge[Long]] = if (numParts > 0) e0.coalesce(numParts) else e0
     Graph(vertices, edges)
   }
 
@@ -33,9 +37,10 @@ object GraphXBridge {
   }
 
   /** Single-source shortest path lengths via Pregel. */
-  def distances(spark: SparkSession, g: PropertyGraph, source: Long): DataFrame = {
+  def distances(spark: SparkSession, g: PropertyGraph, source: Long,
+                numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    val gx = toGraphX(g).mapVertices((id, _) =>
+    val gx = toGraphX(g, numParts).mapVertices((id, _) =>
       if (id == source) 0L else Long.MaxValue)
     val res = gx.pregel(Long.MaxValue)(
       (_, d, msg) => math.min(d, msg),
@@ -48,10 +53,12 @@ object GraphXBridge {
 
   /** PageRank with the same semantics as Algorithms.pageRank (fixed
     * iterations, uniform 1/N init, no dangling redistribution). */
-  def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85): DataFrame = {
+  def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85,
+               numParts: Int = 0): DataFrame = {
     import spark.implicits._
     val n = g.nodes.count().toDouble
-    val gx = toGraphX(g).outerJoinVertices(toGraphX(g).outDegrees) {
+    val base = toGraphX(g, numParts)
+    val gx = base.outerJoinVertices(base.outDegrees) {
       (_, _, deg) => deg.getOrElse(0)
     }.mapVertices((_, deg) => (1.0 / n, deg))
     var cur = gx

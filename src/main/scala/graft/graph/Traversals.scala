@@ -9,18 +9,25 @@ import org.apache.spark.storage.StorageLevel
   * directed hops) and `ssp` (databases.py:46,125-127: unweighted shortest
   * path).
   *
-  * Scale design (SURVEY §5): the frontier-expansion join shuffles on the
-  * edge key only; edges are cached once per traversal; the visited set and
-  * frontier are `localCheckpoint`ed each round so lineage (and thus plan
-  * size) stays O(1) instead of O(iterations); empty-frontier early exit.
-  * At cluster scale AQE skew-splits the frontier join on hot hubs.
+  * Scale design (SURVEY §5):
+  *  - edges are shuffled onto their join key ONCE (`repartition(src)` +
+  *    persist) — every frontier-expansion round reuses that partitioning,
+  *    so only the (small) frontier moves per round;
+  *  - each frontier is `localCheckpoint`ed once and kept as a separate
+  *    visited part — the visited set is the lazy union of checkpointed
+  *    frontiers, never re-materialized per round (O(V) total state write,
+  *    not O(V·depth));
+  *  - one materializing job per round (the checkpoint); the empty-frontier
+  *    check reads the checkpointed partitions;
+  *  - at cluster scale the frontier join is a shuffle-on-key join that AQE
+  *    skew-splits on hot hubs.
   */
 object Traversals {
 
   /** All nodes reachable from `source` in 1..maxHops hops, with their BFS
-    * distance. `edges` must have columns (src, dst). Excludes the source
-    * itself (reference semantics: nodes *reached*, hop ≥ 1).
-    */
+    * distance. `edges` must have columns (src, dst); duplicate edges are
+    * tolerated (frontiers are distinct'd). Excludes the source itself
+    * (reference semantics: nodes *reached*, hop ≥ 1). */
   def kHop(edges: DataFrame, source: Long, maxHops: Int): DataFrame =
     bfs(edges, source, Some(maxHops)).filter(col("dist") >= 1)
 
@@ -30,49 +37,41 @@ object Traversals {
     bfs(edges, source, None)
 
   /** Unweighted shortest-path length from src to dst (reference `ssp`);
-    * -1 if unreachable. Early-exits as soon as dst enters the frontier. */
+    * -1 if unreachable. Early-exits as soon as dst is reached. */
   def shortestPathLength(edges: DataFrame, source: Long, target: Long): Long = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var frontier = spark.range(1).select(lit(source).as("node")).localCheckpoint()
-      var visited = frontier
-      var d = 0L
-      while (frontier.limit(1).count() > 0) {
-        if (frontier.filter(col("node") === target).limit(1).count() > 0) return d
-        val next = frontier.join(e, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint()
-        visited = visited.union(next).localCheckpoint()
-        frontier = next
-        d += 1
-      }
-      -1L
-    } finally e.unpersist()
+    val dists = bfs(edges, source, None, stopAt = Some(target))
+    val hit = dists.filter(col("node") === target).select(col("dist")).collect()
+    if (hit.isEmpty) -1L else hit.head.getInt(0).toLong
   }
 
-  private def bfs(edges: DataFrame, source: Long, maxHops: Option[Int]): DataFrame = {
+  private def bfs(edges: DataFrame, source: Long, maxHops: Option[Int],
+                  stopAt: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = spark.range(1).select(lit(source).as("node")).localCheckpoint()
-    var visited = frontier.withColumn("dist", lit(0)).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val f0 = spark.range(1).select(lit(source).as("node")).localCheckpoint()
+    var parts = List(f0.withColumn("dist", lit(0)))
+    var frontier = f0
     var hop = 1
     var done = maxHops.exists(_ < 1)
     while (!done) {
+      val visited = parts.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
-      if (next.limit(1).count() == 0) done = true
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint() // the one materializing job this round
+      if (next.isEmpty) done = true
       else {
-        visited = visited.union(next.withColumn("dist", lit(hop))).localCheckpoint()
+        parts ::= next.withColumn("dist", lit(hop))
         frontier = next
         hop += 1
         if (maxHops.exists(hop > _)) done = true
+        else if (stopAt.exists(t => next.filter(col("node") === t).limit(1).count() > 0))
+          done = true
       }
     }
     e.unpersist()
-    visited
+    parts.reduce(_ unionByName _)
   }
 }

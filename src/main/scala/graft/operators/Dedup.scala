@@ -85,15 +85,18 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band. The self-join
-    * shuffles on (band_idx, val) only. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val banded = bandedSpark(spark, dir)
+    * shuffles on (band_idx, val) only. The signature table is checkpointed
+    * first so the (expensive) minhash pass runs once, not once per join
+    * side — the same persist-the-signatures pattern a 100 TB dedup uses. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFrom(bandedSpark(spark, dir).localCheckpoint())
+
+  private def pairsFrom(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-  }
 
   val minhashPairsOracle: String =
     s"""WITH $bandedDuckSql
@@ -106,10 +109,12 @@ object Dedup {
   /** True shingle-set Jaccard for every LSH candidate pair (blocked
     * verification — never all-pairs). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the shingle sets: referenced twice (both pair sides)
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
       .filter(expr(s"size(words) >= $ShingleLen"))
       .selectExpr("doc_id", s"$sparkShingles AS shingles")
+      .localCheckpoint()
     minhashPairs(spark, dir)
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))

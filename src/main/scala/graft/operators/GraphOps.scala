@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.graph.{Algorithms, PropertyGraph, Traversals}
+import graft.graph.{Algorithms, GraphXBridge, PropertyGraph, Traversals}
 
 /** Graph operator suite (SURVEY §2 G1-G11) exposed as driver-contract
   * queries with DuckDB oracles.
@@ -59,14 +59,23 @@ object GraphOps {
   def khopGrid(spark: SparkSession, dir: String): DataFrame =
     Traversals.kHop(PropertyGraph.grid(spark, 20).edges, source = 0L, maxHops = 5)
 
-  def khopBipartite(spark: SparkSession, dir: String): DataFrame =
-    Traversals.kHop(PropertyGraph.bipartiteOrders(spark, dir).undirectedEdges,
-      source = 1L, maxHops = 2)
+  def khopBipartite(spark: SparkSession, dir: String): DataFrame = {
+    // undirected view WITHOUT distinct: BFS frontiers dedup anyway, so the
+    // edge-set distinct would be a wasted full shuffle
+    val e = PropertyGraph.bipartiteOrders(spark, dir).edges.select(col("src"), col("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    Traversals.kHop(ue, source = 1L, maxHops = 2)
+  }
 
   // --- G4: SSSP -------------------------------------------------------------
 
+  /** Pregel variant: 30 supersteps of RDD message passing beat 30 rounds
+    * of SQL planning+shuffle for this dense full-graph traversal (the
+    * DataFrame BFS in Traversals remains the frontier/k-hop path and is
+    * cross-validated against this in GraphSpec). */
   def ssspGrid(spark: SparkSession, dir: String): DataFrame =
-    Traversals.distances(PropertyGraph.grid(spark, 16).edges, source = 0L)
+    GraphXBridge.distances(spark, PropertyGraph.grid(spark, 16), source = 0L,
+      numParts = 2)
 
   // --- G5: grid degree histogram -------------------------------------------
 
@@ -93,16 +102,17 @@ object GraphOps {
 
   // --- G8: connected components --------------------------------------------
 
-  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val g = PropertyGraph.componentSample(spark, dir)
-    Algorithms.connectedComponents(g.nodes, g.edges)
-  }
+  /** GraphX-native CC (same min-id labeling); the DataFrame
+    * large/small-star variant lives in Algorithms and is cross-validated
+    * in GraphSpec. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir))
 
   // --- G9: PageRank ---------------------------------------------------------
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph.nationAdjacency(spark, dir)
-    Algorithms.pageRank(g.nodes, g.edges, iters = 10, d = 0.85)
+    GraphXBridge.pageRank(spark, g, iters = 10, d = 0.85, numParts = 2)
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
