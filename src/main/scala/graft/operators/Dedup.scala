@@ -137,48 +137,105 @@ object Dedup {
 
   // --- D4: SimHash ----------------------------------------------------------
 
-  /** 16-bit word value from the first 4 hex digits of md5(w) — pure
-    * arithmetic on digit positions, identical on both engines. */
+  /** SimHash width: 32 bits (16 collides heavily when documents share a
+    * small vocabulary — every nibble-band bucket floods). */
+  val SimhashBits = 32
+  private val HexDigits = SimhashBits / 4
+
+  /** Word value from the first 8 hex digits of md5(w) — pure arithmetic on
+    * digit positions, identical on both engines. BIGINT throughout. */
   private def hexVal(find: String, j: Int) =
     s"($find('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1)"
-  private def word16(find: String) =
-    (0 until 4).map(j => s"${hexVal(find, j)} * ${1 << (4 * (3 - j))}").mkString(" + ")
+  private def wordVal(find: String) =
+    (0 until HexDigits).map(j =>
+      s"${hexVal(find, j)} * CAST(${1L << (4 * (HexDigits - 1 - j))} AS BIGINT)").mkString(" + ")
 
-  /** 16-bit SimHash over the distinct word set: bit i is the majority vote
-    * of bit i across word hashes. */
+  /** SimHash over the distinct word set: bit i is the majority vote of
+    * bit i across word hashes. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until 16).map(i =>
-      s"aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + 2 * ((x div ${1 << i}) % 2) - 1) AS s$i")
-    val combine = (0 until 16).map(i =>
-      s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    val bitSums = (0 until SimhashBits).map(i =>
+      s"aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + 2 * ((x div CAST(${1L << i} AS BIGINT)) % 2) - 1) AS s$i")
+    val combine = (0 until SimhashBits).map(i =>
+      s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
     Tables.documents(spark, dir)
       .selectExpr("doc_id",
         "array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)) AS wd")
-      .selectExpr("doc_id", s"transform(wd, w -> ${word16("instr")}) AS vals")
+      .selectExpr("doc_id", s"transform(wd, w -> ${wordVal("instr")}) AS vals")
       .selectExpr("doc_id" +: bitSums: _*)
       .selectExpr("doc_id", s"$combine AS simhash")
   }
 
   val simhashOracle: String = {
-    val bitSums = (0 until 16).map(i =>
-      s"COALESCE(list_sum(list_transform(vals, x -> 2 * ((x // ${1 << i}) % 2) - 1)), 0) AS s$i").mkString(", ")
-    val combine = (0 until 16).map(i =>
-      s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    val bitSums = (0 until SimhashBits).map(i =>
+      s"COALESCE(list_sum(list_transform(vals, x -> 2 * ((x // CAST(${1L << i} AS BIGINT)) % 2) - 1)), 0) AS s$i").mkString(", ")
+    val combine = (0 until SimhashBits).map(i =>
+      s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
     s"""WITH wd AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS wd FROM documents),
-       |v AS (SELECT doc_id, list_transform(wd, w -> ${word16("strpos")}) AS vals FROM wd),
+       |v AS (SELECT doc_id, list_transform(wd, w -> ${wordVal("strpos")}) AS vals FROM wd),
        |b AS (SELECT doc_id, $bitSums FROM v)
        |SELECT doc_id, $combine AS simhash FROM b""".stripMargin
   }
+
+  // --- D4b: SimHash near-dup pairs (banded hamming join) --------------------
+
+  val HammingMax = 3
+
+  /** Near-dup candidates by SimHash: pairs with hamming distance ≤ 3.
+    * Banding for scale: the 32-bit fingerprint splits into 4 bytes — a
+    * pair within hamming 3 must agree on ≥1 byte (pigeonhole), so the
+    * join key is (band, byte), never all-pairs; the exact bit_count
+    * filter runs only on band-collision candidates. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir).localCheckpoint()
+    val bands = (0 until 4).map(b =>
+      s"named_struct('band', $b, 'byte', (simhash div CAST(${1L << (8 * b)} AS BIGINT)) % 256)").mkString(", ")
+    val banded = sh.selectExpr("doc_id", "simhash", s"explode(array($bands)) AS bn")
+      .selectExpr("doc_id", "simhash", "bn.band AS band", "bn.byte AS byte")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS a", "y.doc_id AS b",
+        "bit_count(x.simhash ^ y.simhash) AS hamming")
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+  }
+
+  val simhashPairsOracle: String = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash // CAST(${1L << (8 * b)} AS BIGINT)) % 256 AS byte FROM s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS MATERIALIZED ($simhashOracle),
+       |banded AS MATERIALIZED ($bands)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
+  }
+
+  // --- fast path variants (xxhash64; not oracle-matchable cross-engine) -----
+
+  /** Exact dedup on xxhash64 — the production fast path (single 64-bit
+    * hash pass, no md5 cost); semantics identical to exactDedup, verified
+    * against it in tests rather than DuckDB (hash functions differ). */
+  def exactDedupFast(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        xxhash64(array_join(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_minhash_pairs" -> minhashPairs,
     "d_jaccard_pairs" -> jaccardPairs,
-    "d_simhash" -> simhash)
+    "d_simhash" -> simhash,
+    "d_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupOracle,
     "d_minhash_pairs" -> minhashPairsOracle,
     "d_jaccard_pairs" -> jaccardPairsOracle,
-    "d_simhash" -> simhashOracle)
+    "d_simhash" -> simhashOracle,
+    "d_simhash_pairs" -> simhashPairsOracle)
 }

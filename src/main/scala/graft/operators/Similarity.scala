@@ -153,11 +153,49 @@ object Similarity {
        |FROM r WHERE rank <= 3""".stripMargin
   }
 
+  // --- D5b: embedding-cosine near-dup pairs ---------------------------------
+
+  val NearDupCos = 0.3
+
+  /** Embedding near-duplicate pairs: vectors sharing an LSH bucket with
+    * cosine ≥ threshold. The all-pairs comparison is confined to bucket
+    * collisions — the dedup-by-embedding path for a 100 TB corpus. (This
+    * synthetic corpus is near-orthogonal, so matches are sparse — the
+    * operator's value is the plan shape, verified against the oracle.) */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot)
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm", s"($bucket) AS bucket")
+      .localCheckpoint()
+    emb.as("x").join(emb.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .selectExpr("x.vec_id AS a", "y.vec_id AS b",
+        s"(${sparkDot("x.embedding", "y.embedding")}) / (sqrt(x.nrm) * sqrt(y.nrm)) AS sim")
+      .filter(col("sim") >= NearDupCos)
+      .selectExpr("a", "b",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val embedNearDupOracle: String = {
+    val bucket = bucketExpr("e", duckArray, duckPlaneDot)
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, e, nrm, ($bucket) AS bucket FROM emb)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  CAST(round(CAST((${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE (${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) >= $NearDupCos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> cosineTopK,
-    "s_lsh_ann" -> lshAnn)
+    "s_lsh_ann" -> lshAnn,
+    "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKOracle,
-    "s_lsh_ann" -> lshAnnOracle)
+    "s_lsh_ann" -> lshAnnOracle,
+    "d_embed_neardup" -> embedNearDupOracle)
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup fast-path equivalence and simhash-pair sanity. */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-dedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("exactDedupFast groups identically to the md5 oracle path") {
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.select("canonical_id", "n_docs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups(Dedup.exactDedup(spark, dir)) == groups(Dedup.exactDedupFast(spark, dir)))
+  }
+
+  test("simhashPairs only emits pairs within the hamming bound, deduplicated") {
+    val rows = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall { case (a, b, h) => a < b && h <= Dedup.HammingMax })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
+}
