@@ -3,21 +3,22 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: JIT + codegen + parquet footer/page caches, so per-query
-    // timings measure the queries, not first-touch JVM costs.
-    graft.sources.Tables.names.foreach { t =>
-      try graft.sources.Tables(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+    // Warmup: one untimed pass per query, so the timed pass measures
+    // steady-state throughput (the scale-relevant number) rather than
+    // first-touch janino/JIT compilation of each query's generated code —
+    // which dominates at small SF and amortizes to zero on a real run.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -30,9 +30,10 @@ object GraphXBridge {
   }
 
   /** Connected components (undirected semantics, GraphX native). */
-  def connectedComponents(spark: SparkSession, g: PropertyGraph): DataFrame = {
+  def connectedComponents(spark: SparkSession, g: PropertyGraph,
+                          numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    toGraphX(g).connectedComponents().vertices
+    toGraphX(g, numParts).connectedComponents().vertices
       .map { case (v, c) => (v, c) }.toDF("node", "comp")
   }
 

@@ -35,6 +35,16 @@ object PropertyGraph {
     * The fact-fact join shuffles on orderkey; node tables are dimension-
     * sized and never shuffled.
     */
+  /** Bipartite (customer → supplier) edge multiset WITHOUT the distinct —
+    * for consumers whose downstream op dedups anyway (BFS frontiers,
+    * degree-by-distinct): skipping the distinct saves a full edge shuffle. */
+  def bipartiteEdgesRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + SupplierIdOffset).as("dst"))
+
   def bipartiteOrders(spark: SparkSession, dir: String): PropertyGraph = {
     val c = Tables.customer(spark, dir).select(
       col("c_custkey").cast("long").as("id"),
@@ -45,11 +55,7 @@ object PropertyGraph {
       (col("s_suppkey").cast("long") + SupplierIdOffset).as("id"),
       lit("supplier").as("label"),
       map(lit("name"), col("s_name")).as("props"))
-    val e = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("src"),
-        (col("l_suppkey").cast("long") + SupplierIdOffset).as("dst"))
+    val e = bipartiteEdgesRaw(spark, dir)
       .distinct()
       .withColumn("label", lit("bought_from"))
     PropertyGraph(c.unionByName(s), e)

@@ -28,8 +28,10 @@ object Traversals {
     * distance. `edges` must have columns (src, dst); duplicate edges are
     * tolerated (frontiers are distinct'd). Excludes the source itself
     * (reference semantics: nodes *reached*, hop ≥ 1). */
-  def kHop(edges: DataFrame, source: Long, maxHops: Int): DataFrame =
-    bfs(edges, source, Some(maxHops)).filter(col("dist") >= 1)
+  def kHop(edges: DataFrame, source: Long, maxHops: Int,
+           numParts: Int = 0): DataFrame =
+    bfs(edges, source, Some(maxHops), numParts = numParts)
+      .filter(col("dist") >= 1)
 
   /** BFS distances from `source` to every reachable node (dist 0 = source).
     * Unbounded — runs until the frontier empties. */
@@ -44,11 +46,15 @@ object Traversals {
     if (hit.isEmpty) -1L else hit.head.getInt(0).toLong
   }
 
+  /** `numParts > 0` sizes the persisted edge partitioning to the graph
+    * instead of `spark.sql.shuffle.partitions` — a 760-edge grid over 32
+    * partitions pays 32 near-empty tasks per BFS round (SURVEY §5). */
   private def bfs(edges: DataFrame, source: Long, maxHops: Option[Int],
-                  stopAt: Option[Long] = None): DataFrame = {
+                  stopAt: Option[Long] = None, numParts: Int = 0): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (numParts > 0) e0.repartition(numParts, col("src"))
+             else e0.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val f0 = spark.range(1).select(lit(source).as("node")).localCheckpoint()
     var parts = List(f0.withColumn("dist", lit(0)))

@@ -60,16 +60,21 @@ object Dedup {
   private def duckMinhash(j: Int) =
     s"list_min(list_transform(shingles, s -> substr(md5('$j|' || s), 1, 8)))"
 
-  /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1. */
-  private def bandedSpark(spark: SparkSession, dir: String): DataFrame = {
-    val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
-    val bands = (0 until Bands).map(b =>
-      s"named_struct('band_idx', $b, 'val', concat(h${2 * b}, h${2 * b + 1}))").mkString(", ")
+  /** Word-shingle sets per doc — the shared input of minhash banding and
+    * Jaccard verification (computed once, checkpointed by callers). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
       .filter(expr(s"size(words) >= $ShingleLen"))
       .selectExpr("doc_id", s"$sparkShingles AS shingles")
-      .selectExpr("doc_id" +: mh: _*)
+
+  /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1.
+    * Input must have (doc_id, shingles). */
+  private def bandedFromShingles(sh: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
+    val bands = (0 until Bands).map(b =>
+      s"named_struct('band_idx', $b, 'val', concat(h${2 * b}, h${2 * b + 1}))").mkString(", ")
+    sh.selectExpr("doc_id" +: mh: _*)
       .selectExpr("doc_id", s"explode(array($bands)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.val AS val")
   }
@@ -89,7 +94,7 @@ object Dedup {
     * first so the (expensive) minhash pass runs once, not once per join
     * side — the same persist-the-signatures pattern a 100 TB dedup uses. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsFrom(bandedSpark(spark, dir).localCheckpoint())
+    pairsFrom(bandedFromShingles(shingleSets(spark, dir)).localCheckpoint())
 
   private def pairsFrom(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
@@ -109,13 +114,10 @@ object Dedup {
   /** True shingle-set Jaccard for every LSH candidate pair (blocked
     * verification — never all-pairs). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the shingle sets: referenced twice (both pair sides)
-    val sh = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
-      .filter(expr(s"size(words) >= $ShingleLen"))
-      .selectExpr("doc_id", s"$sparkShingles AS shingles")
-      .localCheckpoint()
-    minhashPairs(spark, dir)
+    // checkpoint the shingle sets ONCE: referenced by the minhash banding
+    // AND both pair sides — one shingle pass total, not three.
+    val sh = shingleSets(spark, dir).localCheckpoint()
+    pairsFrom(bandedFromShingles(sh).localCheckpoint())
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
       .selectExpr("a", "b",

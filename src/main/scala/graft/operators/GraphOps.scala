@@ -57,12 +57,14 @@ object GraphOps {
   // --- G3: k-hop ------------------------------------------------------------
 
   def khopGrid(spark: SparkSession, dir: String): DataFrame =
-    Traversals.kHop(PropertyGraph.grid(spark, 20).edges, source = 0L, maxHops = 5)
+    Traversals.kHop(PropertyGraph.grid(spark, 20).edges, source = 0L, maxHops = 5,
+      numParts = 1)
 
   def khopBipartite(spark: SparkSession, dir: String): DataFrame = {
-    // undirected view WITHOUT distinct: BFS frontiers dedup anyway, so the
-    // edge-set distinct would be a wasted full shuffle
-    val e = PropertyGraph.bipartiteOrders(spark, dir).edges.select(col("src"), col("dst"))
+    // raw (non-distinct) edge multiset: BFS frontiers dedup per round, so
+    // a pre-distinct of the edge set would be a wasted full shuffle — the
+    // only full-edge shuffle is the one BFS repartition(src)
+    val e = PropertyGraph.bipartiteEdgesRaw(spark, dir)
     val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     Traversals.kHop(ue, source = 1L, maxHops = 2)
   }
@@ -106,7 +108,8 @@ object GraphOps {
     * large/small-star variant lives in Algorithms and is cross-validated
     * in GraphSpec. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
-    GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir))
+    GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir),
+      numParts = 4)
 
   // --- G9: PageRank ---------------------------------------------------------
 
