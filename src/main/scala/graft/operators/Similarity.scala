@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 /** Similarity search over the embeddings table (SURVEY §2 D5-D6).
@@ -20,9 +21,10 @@ import graft.sources.Tables
   * plan-build time, embedded as integer literals in both engines' plans).
   *
   * Cross-engine determinism: every dot product is a left fold over the
-  * vector in index order with all terms cast to double — Spark `aggregate`
-  * (init 0.0) and DuckDB `list_reduce` produce bit-identical doubles, so
-  * rankings and bucket signs agree exactly.
+  * vector in index order with all terms cast to double — graft's native
+  * `graft_dot` expression (functions.ArrayDotProduct, a codegen'd
+  * primitive loop) and DuckDB `list_reduce` produce bit-identical
+  * doubles, so rankings and bucket signs agree exactly.
   */
 object Similarity {
 
@@ -31,10 +33,10 @@ object Similarity {
   val Planes = 8
   val Dim = 64
 
-  /** Sequential double dot product as a Spark SQL expression. */
-  private def sparkDot(a: String, b: String) =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  /** Sequential double dot product — graft's native codegen expression
+    * (functions.ArrayDotProduct): a primitive loop inside whole-stage
+    * codegen, same left-fold order as the DuckDB oracle below. */
+  private def sparkDot(a: String, b: String) = s"graft_dot($a, $b)"
 
   /** Same fold in DuckDB (list_reduce folds left; 0+v1 == v1 exactly). */
   private def duckDot(a: String, b: String) =
@@ -44,6 +46,7 @@ object Similarity {
   // --- D5: brute-force cosine top-k ----------------------------------------
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
         s"${sparkDot("embedding", "embedding")} AS nrm")
@@ -95,27 +98,27 @@ object Similarity {
   private def bucketExpr(embCol: String, arrayLit: Seq[Int] => String,
                          dot: (String, String) => String): String = {
     val bits = planeInts.zipWithIndex.map { case (h, j) =>
-      val lit = arrayLit(h)
-      val planeVec = s"(CAST(x AS DOUBLE) / 32768.0 - 1.0)"
-      // dot(plane_j, e) built from the int literals inline
-      val d = dot(lit, embCol)
+      val d = dot(arrayLit(h), embCol)
       s"(CASE WHEN ($d) >= 0 THEN ${1 << j} ELSE 0 END)"
     }
     bits.mkString(" + ")
   }
 
-  private def sparkPlaneDot(lit: String, e: String) =
-    s"""aggregate(zip_with($lit, $e, (x, y) -> (CAST(x AS DOUBLE) / 32768.0 - 1.0) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  /** Spark side: the (x/32768 - 1) plane components are exact doubles
+    * (power-of-two divisor), so they are embedded as double literals and
+    * the dot runs through the same native graft_dot loop. */
+  private def sparkPlaneDot(lit: String, e: String) = s"graft_dot($lit, $e)"
 
   private def duckPlaneDot(lit: String, e: String) =
     s"""list_reduce(list_transform(range($Dim),
        |  i -> (CAST($lit[i + 1] AS DOUBLE) / 32768.0 - 1.0) * CAST($e[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  private def sparkArray(xs: Seq[Int]) = xs.mkString("array(", ", ", ")")
+  private def sparkArray(xs: Seq[Int]) =
+    xs.map(x => s"${x / 32768.0 - 1.0}D").mkString("array(", ", ", ")")
   private def duckArray(xs: Seq[Int]) = xs.mkString("[", ", ", "]")
 
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
@@ -163,6 +166,7 @@ object Similarity {
     * synthetic corpus is near-orthogonal, so matches are sparse — the
     * operator's value is the plan shape, verified against the oracle.) */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
