@@ -67,8 +67,9 @@ object TextAnalysis {
     val nWords = size(words).cast("double")
     val stopHits = size(filter(words, w => array_contains(array(en.map(lit): _*), w))).cast("double")
     val nChars = length(col("text")).cast("double")
-    val punct = (nChars - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-      .cast("double")) / nChars
+    // strip letters/digits/spaces → what remains IS the punctuation
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      .cast("double") / nChars
     val stopRatio = stopHits / nWords
     val score = least(lit(1.0), nWords / lit(100.0)) * 0.5 + stopRatio * 0.3 +
       (lit(1.0) - punct) * 0.2
@@ -95,7 +96,7 @@ object TextAnalysis {
       |FROM (SELECT doc_id, w,
       |    CAST(len(list_filter(w, x -> list_contains(LEX, x))) AS DOUBLE) AS hits,
       |    CAST(len(w) AS DOUBLE) AS nw,
-      |    (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE) AS pr
+      |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
       |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents))""".stripMargin
       .replace("LEX", en)
   }
@@ -134,15 +135,51 @@ object TextAnalysis {
       |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|')) AS fp_seq
       |FROM documents""".stripMargin
 
+  /** T5: corpus vocabulary — top-100 words by occurrence count with
+    * document frequency. The explode feeds a hash aggregation with
+    * map-side partial combine, then a global top-k: at 100 TB the shuffle
+    * carries one row per distinct word per partition, not per token. */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("word").asc)
+      .limit(100)
+
+  def vocabOracle: String =
+    """SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |      FROM documents)
+      |GROUP BY word ORDER BY n_occ DESC, word ASC LIMIT 100""".stripMargin
+
+  /** T6: quality-filter pipeline — the survivors of the T2 scoring pass
+    * under training-data thresholds (min length, min composite score, max
+    * punctuation). The thresholds compare the *rounded* metrics, which are
+    * bit-identical cross-engine, so the survivor set is deterministic. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    quality(spark, dir)
+      .filter(col("n_words") >= 20 && col("score") >= 0.5 &&
+        col("punct_ratio") <= 0.2)
+      .select(col("doc_id"), col("n_words"), col("score"))
+
+  def qualityFilterOracle: String =
+    s"""SELECT doc_id, n_words, score FROM ($qualityOracle)
+       |WHERE n_words >= 20 AND score >= 0.5 AND punct_ratio <= 0.2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> langId,
     "t_quality" -> quality,
     "t_token_count" -> tokenCount,
-    "t_fingerprint" -> fingerprint)
+    "t_fingerprint" -> fingerprint,
+    "t_vocab" -> vocab,
+    "t_quality_filter" -> qualityFilter)
 
   val oracles: Map[String, String] = Map(
     "t_lang_id" -> langIdOracle,
     "t_quality" -> qualityOracle,
     "t_token_count" -> tokenCountOracle,
-    "t_fingerprint" -> fingerprintOracle)
+    "t_fingerprint" -> fingerprintOracle,
+    "t_vocab" -> vocabOracle,
+    "t_quality_filter" -> qualityFilterOracle)
 }

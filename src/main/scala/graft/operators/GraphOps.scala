@@ -126,6 +126,38 @@ object GraphOps {
     Algorithms.triangleCounts(g.nodes, g.edges)
   }
 
+  // --- G12: label propagation ----------------------------------------------
+
+  val LpaRounds = 3
+
+  /** Synchronous LPA on the nation-adjacency cliques; deterministic
+    * tie-break (most-frequent neighbor label, then smallest label) makes
+    * the fixed rounds SQL-oracle-able via unrolled aggregation. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.nationAdjacency(spark, dir)
+    Algorithms.labelPropagation(g.nodes, g.edges, rounds = LpaRounds)
+  }
+
+  /** Unrolled synchronous LPA: freq → per-node best (count desc, label
+    * asc) → relabel, `iters` times. */
+  private def lpaOracle(edgesSql: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""f$i AS (SELECT ue.src AS node, l.lbl, count(*) AS cnt
+         |  FROM ue JOIN l${i - 1} l ON l.node = ue.dst GROUP BY 1, 2),
+         |b$i AS (SELECT node, lbl AS newlbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rk
+         |    FROM f$i) WHERE rk = 1),
+         |l$i AS MATERIALIZED (SELECT l.node, COALESCE(b.newlbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($edgesSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+       |l0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |  CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+       |$rounds
+       |SELECT node, lbl FROM l$iters""".stripMargin
+  }
+
   // --- G11: filtered subgraph + neighborhood aggregation --------------------
 
   def neighborhoodAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -213,6 +245,7 @@ object GraphOps {
     "g_connected_components" -> connectedComponents,
     "g_pagerank" -> pageRank,
     "g_triangles" -> triangles,
+    "g_label_prop" -> labelProp,
     "g_neighborhood_agg" -> neighborhoodAgg)
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +285,7 @@ object GraphOps {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber = 1 AND o_orderkey % 20 = 0""".stripMargin, 50),
     "g_pagerank" -> prOracle(nationEdgesSql, 10, 0.85),
+    "g_label_prop" -> lpaOracle(nationEdgesSql, LpaRounds),
     "g_triangles" ->
       s"""WITH e AS ($nationEdgesSql),
          |ce AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),

@@ -112,6 +112,14 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
 
+  /** R12: CUBE aggregation — all 2^k grouping-set combinations in a single
+    * pass (Expand + partial aggs), completing the multi-dimensional family
+    * next to R7's ROLLUP. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+
   /** R8: as-of join — for each purchase, the most recent strictly-prior
     * click by the same user. Implemented as a single window pass over the
     * union (no range-join explosion): sort within user, carry the last
@@ -177,6 +185,7 @@ object Relational {
     "q_topk_orders" -> topkOrders,
     "q_window_topn" -> windowTopN,
     "q_rollup" -> rollupAgg,
+    "q_cube" -> cubeAgg,
     "q_asof_join" -> asofJoin,
     "q_sessionize" -> sessionize,
     "q_events_window" -> eventsWindow,
@@ -233,6 +242,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,

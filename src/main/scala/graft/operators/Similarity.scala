@@ -193,13 +193,86 @@ object Similarity {
        |WHERE (${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) >= $NearDupCos""".stripMargin
   }
 
+  // --- D7: IVF-bucketed ANN -------------------------------------------------
+
+  val IvfCentroids = 16 // vec_id in [NumQueries, NumQueries + IvfCentroids)
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to LSH
+    * buckets: every vector is assigned to its nearest (max-cosine) centroid
+    * cell, queries probe their own cell (nprobe = 1).
+    *
+    * Scale shape: centroid assignment is one corpus scan against K
+    * broadcast centroids (argmax via min-rank window over a K-row
+    * expansion; no corpus shuffle); the probe is a join on the cell id.
+    * Centroids here are a deterministic sample of the corpus itself
+    * (vec_id in [8, 24)) — a stand-in for k-means training, which a real
+    * deployment would run offline.
+    *
+    * Determinism: cosine scores are bit-identical cross-engine (graft_dot
+    * fold order), argmax ties break on centroid id. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm")
+    val cent = emb
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCentroids)
+      .selectExpr("vec_id AS cid", "embedding AS ce", "nrm AS cn")
+    val assigned = emb.join(broadcast(cent))
+      .selectExpr("vec_id", "embedding", "nrm", "cid",
+        s"(${sparkDot("embedding", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)"))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .localCheckpoint() // one assignment pass, reused by both probe sides
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn", "cid")
+    assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= 3)
+      .selectExpr("query_id", "neighbor_id", "rank",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val ivfAnnOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM emb
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCentroids}),
+       |scored AS (SELECT emb.vec_id, emb.e, emb.nrm, cid,
+       |    (${duckDot("e", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs
+       |  FROM emb CROSS JOIN cent),
+       |assigned AS MATERIALIZED (SELECT vec_id, e, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+       |    FROM scored) WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid
+       |  FROM assigned WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    (${duckDot("qe", "a.e")}) / (sqrt(qn) * sqrt(a.nrm)) AS sim
+       |  FROM assigned a JOIN q USING (cid) WHERE a.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM r WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_ann" -> lshAnn,
+    "s_ivf_ann" -> ivfAnn,
     "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKOracle,
     "s_lsh_ann" -> lshAnnOracle,
+    "s_ivf_ann" -> ivfAnnOracle,
     "d_embed_neardup" -> embedNearDupOracle)
 }
