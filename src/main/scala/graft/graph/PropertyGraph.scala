@@ -135,7 +135,9 @@ object PropertyGraph {
   }
 
   /** Write edges in the reference's TSV format (comment header + src\tdst
-    * rows) — distributed text write, one file per partition. */
+    * rows) — distributed text write, one file per partition (the header
+    * lands in its own part file; readers treat '#' lines positionally
+    * anywhere, so no single-file coalesce bottleneck on the write path). */
   def writeEdgeList(g: PropertyGraph, path: String): Unit = {
     val spark = g.edges.sparkSession
     val header = spark.createDataFrame(
@@ -147,6 +149,6 @@ object PropertyGraph {
           org.apache.spark.sql.types.StringType))))
     val body = g.edges.select(
       concat(col("src").cast("string"), lit("\t"), col("dst").cast("string")).as("value"))
-    header.union(body).coalesce(1).write.mode("overwrite").text(path)
+    header.union(body).write.mode("overwrite").text(path)
   }
 }

@@ -69,14 +69,18 @@ object Dedup {
       .selectExpr("doc_id", s"$sparkShingles AS shingles")
 
   /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1.
-    * Input must have (doc_id, shingles). */
+    * Input must have (doc_id, shingles). Each exploded row carries the full
+    * band-value array (`vals`) so the pair join can dedupe multi-band
+    * collisions with a first-agreeing-band predicate instead of a global
+    * DISTINCT shuffle. */
   private def bandedFromShingles(sh: DataFrame): DataFrame = {
     val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
-    val bands = (0 until Bands).map(b =>
-      s"named_struct('band_idx', $b, 'val', concat(h${2 * b}, h${2 * b + 1}))").mkString(", ")
+    val bands = (0 until Bands).map(b => s"concat(h${2 * b}, h${2 * b + 1})").mkString(", ")
     sh.selectExpr("doc_id" +: mh: _*)
-      .selectExpr("doc_id", s"explode(array($bands)) AS band")
-      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.val AS val")
+      .selectExpr("doc_id", s"array($bands) AS vals")
+      .selectExpr("doc_id", "vals",
+        s"explode(sequence(0, ${Bands - 1})) AS band_idx")
+      .selectExpr("doc_id", "vals", "band_idx", "element_at(vals, band_idx + 1) AS val")
   }
 
   private val bandedDuckSql: String = {
@@ -96,12 +100,22 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsFrom(bandedFromShingles(shingleSets(spark, dir)).localCheckpoint())
 
+  /** Pairs sharing any band, emitted exactly once: only the FIRST agreeing
+    * band produces the pair (cheap per-row predicate on the carried `vals`
+    * arrays), so no global DISTINCT shuffle over the candidate set — the
+    * standard LSH dedup-by-min-band trick. */
   private def pairsFrom(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(expr {
+        def diff(b: Int) =
+          s"element_at(x.vals, ${b + 1}) <> element_at(y.vals, ${b + 1})"
+        val arms = (1 until Bands).map(k =>
+          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
+        s"CASE x.band_idx WHEN 0 THEN true $arms END"
+      })
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
 
   val minhashPairsOracle: String =
     s"""WITH $bandedDuckSql
@@ -189,17 +203,27 @@ object Dedup {
     * filter runs only on band-collision candidates. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir).localCheckpoint()
-    val bands = (0 until 4).map(b =>
-      s"named_struct('band', $b, 'byte', (simhash div CAST(${1L << (8 * b)} AS BIGINT)) % 256)").mkString(", ")
-    val banded = sh.selectExpr("doc_id", "simhash", s"explode(array($bands)) AS bn")
-      .selectExpr("doc_id", "simhash", "bn.band AS band", "bn.byte AS byte")
+    val banded = sh
+      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", "band",
+        "(shiftright(simhash, 8 * band) % 256) AS byte")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
           col("x.doc_id") < col("y.doc_id"))
+      // first-agreeing-band predicate: each colliding pair is emitted by
+      // exactly one band row, so no DISTINCT shuffle over the (large)
+      // candidate set. Unrolled to primitive bit ops (band count is a
+      // constant 4) — stays inside whole-stage codegen, no per-row arrays.
+      .filter(expr {
+        def diff(b: Int) =
+          s"(shiftright(x.simhash, ${8 * b}) % 256) <> (shiftright(y.simhash, ${8 * b}) % 256)"
+        val arms = (1 until 4).map(k =>
+          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
+        s"CASE x.band WHEN 0 THEN true $arms END"
+      })
       .selectExpr("x.doc_id AS a", "y.doc_id AS b",
         "bit_count(x.simhash ^ y.simhash) AS hamming")
       .filter(col("hamming") <= HammingMax)
-      .distinct()
   }
 
   val simhashPairsOracle: String = {
