@@ -52,6 +52,30 @@ object GraphXBridge {
       .map { case (v, d) => (v, d) }.toDF("node", "dist")
   }
 
+  /** Weighted single-source shortest paths via Pregel (non-negative
+    * integer weights; edges must carry a `w` column). Same vertex-resident
+    * relaxation loop as `distances`, with the edge weight as the message
+    * increment — distributed Bellman-Ford that converges in
+    * O(longest-shortest-path-hops) supersteps. */
+  def weightedDistances(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                        source: Long, numParts: Int = 0): DataFrame = {
+    import spark.implicits._
+    val v0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val e0 = edges.select(col("src"), col("dst"), col("w")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vertices: RDD[(VertexId, Long)] = if (numParts > 0) v0.coalesce(numParts) else v0
+    val es: RDD[Edge[Long]] = if (numParts > 0) e0.coalesce(numParts) else e0
+    val gx = Graph(vertices, es).mapVertices((id, _) =>
+      if (id == source) 0L else Long.MaxValue)
+    val res = gx.pregel(Long.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Long.MaxValue)
+      .map { case (v, d) => (v, d) }.toDF("node", "dist")
+  }
+
   /** PageRank with the same semantics as Algorithms.pageRank (fixed
     * iterations, uniform 1/N init, no dangling redistribution). */
   def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85,

@@ -166,20 +166,27 @@ object Dedup {
     (0 until HexDigits).map(j =>
       s"${hexVal(find, j)} * CAST(${1L << (4 * (HexDigits - 1 - j))} AS BIGINT)").mkString(" + ")
 
-  /** SimHash over the distinct word set: bit i is the majority vote of
-    * bit i across word hashes. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until SimhashBits).map(i =>
-      s"aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + 2 * ((x div CAST(${1L << i} AS BIGINT)) % 2) - 1) AS s$i")
+  /** Append a 32-bit `simhash` column computed from `text` — shared by
+    * the batch D4 query and the streaming near-dup operator (stateless
+    * per-row expression work, so it runs unchanged on an unbounded
+    * DataFrame). Bit i of the fingerprint is the majority vote of bit i
+    * across the distinct word hashes. */
+  def withSimhash(df: DataFrame): DataFrame = {
+    val keep = df.columns
+    val bitSums = (0 until SimhashBits).map(i => expr(
+      s"aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + 2 * ((x div CAST(${1L << i} AS BIGINT)) % 2) - 1)").as(s"s$i"))
     val combine = (0 until SimhashBits).map(i =>
       s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id",
-        "array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)) AS wd")
-      .selectExpr("doc_id", s"transform(wd, w -> ${wordVal("instr")}) AS vals")
-      .selectExpr("doc_id" +: bitSums: _*)
-      .selectExpr("doc_id", s"$combine AS simhash")
+    val withVals = df.withColumn("vals", expr(
+      s"transform(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), w -> ${wordVal("instr")})"))
+    withVals.select(withVals.columns.map(col) ++ bitSums: _*)
+      .select(keep.map(col) :+ expr(combine).as("simhash"): _*)
   }
+
+  /** SimHash fingerprints of the documents table (batch D4). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    withSimhash(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("simhash"))
 
   val simhashOracle: String = {
     val bitSums = (0 until SimhashBits).map(i =>

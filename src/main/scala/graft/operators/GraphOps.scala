@@ -79,6 +79,44 @@ object GraphOps {
     GraphXBridge.distances(spark, PropertyGraph.grid(spark, 16), source = 0L,
       numParts = 2)
 
+  // --- G13: weighted SSSP ---------------------------------------------------
+
+  /** Deterministic integer edge weights for the grid: w = (src+2·dst)%5+1
+    * — same closed form on both engines, no float involvement. */
+  private val WeightSql = "(src + 2 * dst) % 5 + 1"
+
+  /** Weighted SSSP on the 16×16 grid (Pregel Bellman-Ford relaxation);
+    * oracle is 30-round unrolled Bellman-Ford SQL. */
+  def wssspGrid(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, 16)
+    val we = g.edges.selectExpr("src", "dst", s"CAST($WeightSql AS BIGINT) AS w")
+    GraphXBridge.weightedDistances(spark, g.nodes, we, source = 0L, numParts = 2)
+  }
+
+  /** Unrolled Bellman-Ford: `rounds` relaxations of
+    * d := min(d, min over in-edges of (d(src) + w)). Unreached nodes stay
+    * at the big sentinel and are filtered at the end. The grid is a DAG
+    * with ≤ 2(n-1) hops on any shortest path, so rounds = 30 converges
+    * for n = 16. */
+  private def bellmanFordOracle(edgesSql: String, nNodes: Int, source: Long,
+                                rounds: Int): String = {
+    val big = "CAST(999999999999 AS BIGINT)"
+    val rs = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.d, COALESCE(MIN(p.d + e.w), l.d)) AS d
+         |  FROM l${i - 1} l LEFT JOIN e ON e.dst = l.node
+         |  LEFT JOIN l${i - 1} p ON p.node = e.src
+         |  GROUP BY l.node, l.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT src, dst, $WeightSql AS w FROM base),
+       |l0 AS MATERIALIZED (SELECT i AS node,
+       |  CASE WHEN i = $source THEN CAST(0 AS BIGINT) ELSE $big END AS d
+       |  FROM range($nNodes) t(i)),
+       |$rs
+       |SELECT node, d AS dist FROM l$rounds WHERE d < $big""".stripMargin
+  }
+
   // --- G5: grid degree histogram -------------------------------------------
 
   def gridDegree(spark: SparkSession, dir: String): DataFrame = {
@@ -239,6 +277,7 @@ object GraphOps {
     "g_khop_grid" -> khopGrid,
     "g_khop_bipartite" -> khopBipartite,
     "g_sssp_grid" -> ssspGrid,
+    "g_wsssp_grid" -> wssspGrid,
     "g_grid_degree" -> gridDegree,
     "g_edgelist_roundtrip" -> edgelistRoundtrip,
     "g_degree_dist" -> degreeDist,
@@ -260,6 +299,7 @@ object GraphOps {
     "g_khop_grid" -> bfsOracle(gridEdgesSql(20), undirected = false, 0L, 5, 1),
     "g_khop_bipartite" -> bfsOracle(bipartiteEdgesSql, undirected = true, 1L, 2, 1),
     "g_sssp_grid" -> bfsOracle(gridEdgesSql(16), undirected = false, 0L, 64, 0),
+    "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),
     "g_grid_degree" ->
       s"""WITH e AS (${gridEdgesSql(20)}),
          |outs AS (SELECT src, count(*) AS c FROM e GROUP BY src),

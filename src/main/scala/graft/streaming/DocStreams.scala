@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming document operators (SURVEY §2 S5) — the online half of the
+  * dedup stack: documents arriving on a stream are checked against the
+  * already-accepted corpus.
+  */
+object DocStreams {
+
+  /** S5: streaming near-duplicate detection. Incoming docs are SimHashed
+    * with the same 32-bit majority-vote fingerprint as batch D4
+    * (stateless per-row expressions — no stream-side shuffle) and probed
+    * against a broadcast byte-band index of the static corpus
+    * fingerprints: a match is any indexed fingerprint within hamming ≤
+    * `hammingMax` (pigeonhole: such a pair agrees on ≥1 of the 4 bytes,
+    * so the probe is a band join, never all-pairs).
+    *
+    * `docs` is unbounded with (doc_id, text, ...); `index` is a static
+    * (doc_id, simhash) DataFrame (e.g. from `Dedup.simhash`). Returns an
+    * append-mode stream of (doc_id, matched_id, hamming) — one row per
+    * (incoming doc, matched corpus doc), emitted by the first agreeing
+    * band only, so no dedup state is needed.
+    *
+    * At 100 TB-corpus scale the broadcast index is replaced by a
+    * pre-bucketed fingerprint table on the same band key — the plan shape
+    * (band join, stateless stream side) is unchanged. */
+  def nearDupFlag(docs: DataFrame, index: DataFrame,
+                  hammingMax: Int = Dedup.HammingMax): DataFrame = {
+    val idxBanded = index
+      .selectExpr("doc_id AS matched_id", "simhash AS isim",
+        "explode(sequence(0, 3)) AS band")
+      .selectExpr("matched_id", "isim", "band",
+        "(shiftright(isim, 8 * band) % 256) AS byte")
+    val hashed = Dedup.withSimhash(docs)
+      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", "band",
+        "(shiftright(simhash, 8 * band) % 256) AS byte")
+    hashed.join(broadcast(idxBanded), Seq("band", "byte"))
+      // first-agreeing-band: each (doc, match) pair emitted exactly once
+      .filter(expr {
+        def diff(b: Int) =
+          s"(shiftright(simhash, ${8 * b}) % 256) <> (shiftright(isim, ${8 * b}) % 256)"
+        val arms = (1 until 4).map(k =>
+          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
+        s"CASE band WHEN 0 THEN true $arms END"
+      })
+      .selectExpr("doc_id", "matched_id", "bit_count(simhash ^ isim) AS hamming")
+      .filter(col("hamming") <= hammingMax)
+  }
+}

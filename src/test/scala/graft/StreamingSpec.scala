@@ -102,6 +102,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List(1L, 2L))
   }
 
+  test("S5: streaming near-dup flags docs against the static fingerprint index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "an entirely different document about spark query planning and shuffles"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.withSimhash(corpus)
+      .select(col("doc_id"), col("simhash"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.nearDupFlag(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("s5").outputMode("append").start()
+    in.addData(
+      // reordered duplicate of doc 100 (same distinct word set → same
+      // fingerprint, hamming 0) → must flag
+      (1L, "again and again the lazy dog jumps today over the quick brown fox"),
+      // unrelated content → must not flag
+      (2L, "completely unrelated text with nothing matching whatsoever nearby"))
+    q.processAllAvailable()
+    val got = spark.table("s5").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 100L)))
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val decoded = graft.operators.Multimodal.decodeStub(media)
