@@ -120,6 +120,18 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
 
+  /** R13: fixed-width histogram — equi-width binning of order totals via
+    * integer bucket arithmetic (floor division; deterministic — no float
+    * boundary ambiguity cross-engine). A single scan + partial-agg
+    * groupBy on the bucket id: the classic distributed histogram. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 20000L
+    Tables.orders(spark, dir)
+      .select((floor(col("o_totalprice") / width) * width).cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** R8: as-of join — for each purchase, the most recent strictly-prior
     * click by the same user. Implemented as a single window pass over the
     * union (no range-join explosion): sort within user, carry the last
@@ -186,6 +198,7 @@ object Relational {
     "q_window_topn" -> windowTopN,
     "q_rollup" -> rollupAgg,
     "q_cube" -> cubeAgg,
+    "q_histogram" -> histogram,
     "q_asof_join" -> asofJoin,
     "q_sessionize" -> sessionize,
     "q_events_window" -> eventsWindow,
@@ -246,6 +259,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,

@@ -52,6 +52,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df == gx)
   }
 
+  test("weightedDistances: unit weights reduce to BFS; weights change the path") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val g = PropertyGraph.grid(spark, 8)
+    val unit = g.edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val wd = GraphXBridge.weightedDistances(spark, g.nodes, unit, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfs = GraphXBridge.distances(spark, g, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wd == bfs)
+    // diamond 1→2→4 (cost 1+1), 1→3→4 (cost 5+1): weighted picks the cheap arm
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = GraphXBridge.weightedDistances(spark, nodes, e, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 2L))
+  }
+
   test("connectedComponents: min-id labeling, two components; agrees with GraphX") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     val df = Algorithms.connectedComponents(g.nodes, g.edges)
