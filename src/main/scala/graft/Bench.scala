@@ -14,13 +14,19 @@ object Bench {
     // steady-state throughput (the scale-relevant number) rather than
     // first-touch janino/JIT compilation of each query's generated code —
     // which dominates at small SF and amortizes to zero on a real run.
+    // Materialize via the noop sink, NOT count(): count() lets Catalyst
+    // prune every unreferenced column, so per-row expression queries
+    // (fingerprints, simhash, quality) would be timed as bare row counts.
+    // noop forces full computation of all output columns.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Text-analysis operators (SURVEY §2 T1-T4) — pure `functions._` /
+/** Text-analysis operators (SURVEY §2 T1-T6) — pure `functions._` /
   * higher-order-function compositions, fully codegen'd (no UDFs): at 100 TB
   * each of these is a single scan with per-row expression work.
   *

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.graph.{Algorithms, GraphXBridge, PropertyGraph, Traversals}
 
-/** Graph operator suite (SURVEY §2 G1-G11) exposed as driver-contract
+/** Graph operator suite (SURVEY §2 G1-G13) exposed as driver-contract
   * queries with DuckDB oracles.
   *
   * Oracle strategy: BFS/k-hop/SSSP verify against recursive CTEs; connected

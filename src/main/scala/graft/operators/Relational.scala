@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Relational / OLAP operator suite (SURVEY §2 R1-R11).
+/** Relational / OLAP operator suite (SURVEY §2 R1-R13).
   *
   * Every query is a declarative DataFrame plan: filters/projections push to
   * the parquet scan, dimension joins are explicitly broadcast, fact joins

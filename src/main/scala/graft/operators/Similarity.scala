@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
-/** Similarity search over the embeddings table (SURVEY §2 D5-D6).
+/** Similarity search over the embeddings table (SURVEY §2 D5-D7).
   *
   * D5 (brute-force cosine top-k): the query set is broadcast against the
   * corpus — the corpus is scanned once and never shuffled; per-query top-k

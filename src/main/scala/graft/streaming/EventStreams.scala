@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming re-expression of the reference's "live database"
-  * side (SURVEY §2 S1-S4): the reference mutates a graph store online
+  * side (SURVEY §2 S1-S4; S5 in DocStreams): the reference mutates a graph store online
   * (add_node/add_edge streams, benchmark.py); the Spark-native equivalent
   * is an event stream with watermarked, stateful operators.
   *
