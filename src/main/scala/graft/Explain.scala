@@ -29,8 +29,11 @@ object Explain {
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()
       if (doExplain) { println(s"== $name =="); df.explain("formatted") }
-      val n = df.count()
+      // noop materialization, same as Bench (count() would let Catalyst
+      // prune every unreferenced column out of the timing)
+      df.write.mode("overwrite").format("noop").save()
       val tRun = System.nanoTime()
+      val n = df.count()
       println(f"$name%-24s build=${(tPlan - t0) / 1e9}%8.3fs run=${(tRun - tPlan) / 1e9}%8.3fs rows=$n")
     }
     spark.stop()

@@ -23,12 +23,15 @@ object Relational {
   import org.apache.spark.sql.types.DecimalType
 
   /** Exact-sum path for double money columns: cast each term to
-    * decimal(38,6) (identical half-up rounding in Spark and DuckDB), sum
-    * exactly (associative — immune to partial-agg ordering), round, and
-    * surface as double. Summing raw doubles is order-dependent and flakes
-    * the cross-engine hash at the cent boundary. */
+    * decimal(18,6) (identical half-up rounding in Spark and DuckDB; 18
+    * digits keeps the per-row value long-backed in UnsafeRow instead of a
+    * 16-byte binary), sum exactly (associative — immune to partial-agg
+    * ordering; the (28,6) sum buffer holds 22 integral digits, safe at any
+    * SF), round, and surface as double. Summing raw doubles is
+    * order-dependent and flakes the cross-engine hash at the cent
+    * boundary. */
   private def dsum(c: Column, scale: Int): Column =
-    round(sum(c.cast(DecimalType(38, 6))), scale).cast("double")
+    round(sum(c.cast(DecimalType(18, 6))), scale).cast("double")
 
   /** R1: scan + filter + project; both predicate and 3-column projection
     * must reach the parquet scan. */
@@ -47,9 +50,9 @@ object Relational {
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
-        round(sum(col("l_quantity").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 4).as("avg_qty"),
-        round(sum(col("l_extendedprice").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 4).as("avg_price"),
-        round(sum(col("l_discount").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** R3: TPC-H Q5-style multi-join: broadcast the dimension chain
