@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bucketing, Tables}
+
+/** Proof of the co-located join path: bucketed+sorted tables joined on
+  * the bucket key must plan a SortMergeJoin with ZERO exchanges — the
+  * one-time-ingest-cost / no-per-join-shuffle trade a 100 TB deployment
+  * relies on. */
+class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    // force a real join strategy decision (no broadcast shortcut)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-bucketing-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed fact-fact join plans with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+      "o_b", "o_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+    val exchanges = joined.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+    // and the join is actually correct
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
+}
