@@ -52,13 +52,24 @@ object Dedup {
     s"""list_distinct(list_transform(range(len(words) - ${ShingleLen - 1}),
        |  i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))""".stripMargin
 
-  /** MinHash j = min over shingles of the first 8 hex chars of
-    * md5("<j>|<shingle>") — string min; fixed width makes it order-
-    * equivalent to the numeric min. */
+  /** Textbook MinHash: ONE strong hash per shingle (first 8 hex chars of
+    * md5, as a BIGINT via digit arithmetic — identical on both engines),
+    * then `NumHashes` universal-hash permutations `(a_j·h + b_j) mod p`
+    * over that value. 8× fewer md5 evaluations than hashing per (j,
+    * shingle); the permutations are pure integer ops. */
+  private def shingleHash(find: String, substr: String): String =
+    (0 until 8).map(k =>
+      s"($find('0123456789abcdef', $substr(md5(s), ${k + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - k))} AS BIGINT)")
+      .mkString(" + ")
+
+  val MinhashMod = 1000000007L
+  private def permA(j: Int) = 2 * j + 1
+  private def permB(j: Int) = 7919L * j + 911L
+
   private def sparkMinhash(j: Int) =
-    s"array_min(transform(shingles, s -> substring(md5(concat('$j|', s)), 1, 8)))"
+    s"array_min(transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
   private def duckMinhash(j: Int) =
-    s"list_min(list_transform(shingles, s -> substr(md5('$j|' || s), 1, 8)))"
+    s"list_min(list_transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
 
   /** Word-shingle sets per doc — the shared input of minhash banding and
     * Jaccard verification (computed once, checkpointed by callers). */
@@ -75,8 +86,11 @@ object Dedup {
     * DISTINCT shuffle. */
   private def bandedFromShingles(sh: DataFrame): DataFrame = {
     val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
-    val bands = (0 until Bands).map(b => s"concat(h${2 * b}, h${2 * b + 1})").mkString(", ")
-    sh.selectExpr("doc_id" +: mh: _*)
+    val bands = (0 until Bands).map(b =>
+      s"concat(CAST(h${2 * b} AS STRING), '|', CAST(h${2 * b + 1} AS STRING))").mkString(", ")
+    sh.selectExpr("doc_id",
+        s"transform(shingles, s -> ${shingleHash("instr", "substring")}) AS hvs")
+      .selectExpr("doc_id" +: mh: _*)
       .selectExpr("doc_id", s"array($bands) AS vals")
       .selectExpr("doc_id", "vals",
         s"explode(sequence(0, ${Bands - 1})) AS band_idx")
@@ -86,10 +100,12 @@ object Dedup {
   private val bandedDuckSql: String = {
     val mh = (0 until NumHashes).map(j => s"${duckMinhash(j)} AS h$j").mkString(",\n    ")
     val bands = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS val FROM mh").mkString("\n  UNION ALL ")
+      s"SELECT doc_id, $b AS band_idx, CAST(h${2 * b} AS VARCHAR) || '|' || CAST(h${2 * b + 1} AS VARCHAR) AS val FROM mh")
+      .mkString("\n  UNION ALL ")
     s"""docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
        |sh AS (SELECT doc_id, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
-       |mh AS (SELECT doc_id, $mh FROM sh),
+       |hv AS (SELECT doc_id, list_transform(shingles, s -> ${shingleHash("strpos", "substr")}) AS hvs FROM sh),
+       |mh AS (SELECT doc_id, $mh FROM hv),
        |banded AS (${bands})""".stripMargin
   }
 
