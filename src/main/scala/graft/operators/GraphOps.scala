@@ -77,7 +77,7 @@ object GraphOps {
     * cross-validated against this in GraphSpec). */
   def ssspGrid(spark: SparkSession, dir: String): DataFrame =
     GraphXBridge.distances(spark, PropertyGraph.grid(spark, 16), source = 0L,
-      numParts = 2)
+      numParts = 1)
 
   // --- G13: weighted SSSP ---------------------------------------------------
 
@@ -90,7 +90,7 @@ object GraphOps {
   def wssspGrid(spark: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph.grid(spark, 16)
     val we = g.edges.selectExpr("src", "dst", s"CAST($WeightSql AS BIGINT) AS w")
-    GraphXBridge.weightedDistances(spark, g.nodes, we, source = 0L, numParts = 2)
+    GraphXBridge.weightedDistances(spark, g.nodes, we, source = 0L, numParts = 1)
   }
 
   /** Unrolled Bellman-Ford: `rounds` relaxations of
@@ -147,7 +147,7 @@ object GraphOps {
     * in GraphSpec. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
     GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir),
-      numParts = 4)
+      numParts = 2)
 
   // --- G9: PageRank ---------------------------------------------------------
 

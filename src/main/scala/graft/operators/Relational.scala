@@ -135,6 +135,20 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** R14: TPC-H Q14-style promo revenue by part type — the fact-fact
+    * shuffle join (lineitem ⋈ part on partkey): part scales with SF, so
+    * unlike the dimension chain it is NOT broadcast; AQE picks the
+    * strategy and splits skew at runtime. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** R8: as-of join — for each purchase, the most recent strictly-prior
     * click by the same user. Implemented as a single window pass over the
     * union (no range-join explosion): sort within user, carry the last
@@ -202,6 +216,7 @@ object Relational {
     "q_rollup" -> rollupAgg,
     "q_cube" -> cubeAgg,
     "q_histogram" -> histogram,
+    "q14_promo_revenue" -> promoRevenue,
     "q_asof_join" -> asofJoin,
     "q_sessionize" -> sessionize,
     "q_events_window" -> eventsWindow,
@@ -266,6 +281,13 @@ object Relational {
       """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bucket_lo,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT p_type,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY p_type""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,
