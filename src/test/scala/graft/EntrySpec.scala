@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry() must return rows on sf0.001, and every
+  * declared oracle key must have a matching query (and vice versa where
+  * required). */
+class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-entry-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry() returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query and every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries without oracles (driver downgrades to rows-only): ${q -- o}")
+  }
+
+  test("all queries run and produce non-null schemas on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+    }
+  }
+}
