@@ -134,6 +134,20 @@ object PropertyGraph {
     PropertyGraph(nodes, e)
   }
 
+  /** Two-file bulk load — the reference's `load_database` exactly
+    * (databases.py:129-137): a node-id-per-line file (isolated nodes
+    * included, unlike `fromEdgeList` which derives nodes from edges) plus
+    * the Wiki-Vote TSV edge file. Both are distributed text scans. */
+  def fromNodeEdgeLists(spark: SparkSession, nodesPath: String,
+                        edgesPath: String): PropertyGraph = {
+    val nodes = spark.read.text(nodesPath)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(trim(col("value")).cast("long").as("id"),
+        lit("node").as("label"),
+        expr("map()").cast("map<string,string>").as("props"))
+    PropertyGraph(nodes, fromEdgeList(spark, edgesPath).edges)
+  }
+
   /** Write edges in the reference's TSV format (comment header + src\tdst
     * rows) — distributed text write, one file per partition (the header
     * lands in its own part file; readers treat '#' lines positionally
