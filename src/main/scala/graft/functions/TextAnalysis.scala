@@ -167,13 +167,42 @@ object TextAnalysis {
     s"""SELECT doc_id, n_words, score FROM ($qualityOracle)
        |WHERE n_words >= 20 AND score >= 0.5 AND punct_ratio <= 0.2""".stripMargin
 
+  /** T7: deterministic train/val/test split — every doc is assigned a
+    * split by the hash of its id (first 4 md5 hex digits mod 1000:
+    * <900 train, <950 val, else test). Pure per-row expression work: the
+    * assignment is reproducible on any engine, any cluster size, any run
+    * — the property a training-data pipeline needs so re-runs never leak
+    * val/test docs into train. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val hv = (0 until 4).map(k =>
+      s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      .mkString(" + ")
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id", "lang",
+      s"""CASE WHEN ($hv) % 1000 < 900 THEN 'train'
+         |     WHEN ($hv) % 1000 < 950 THEN 'val'
+         |     ELSE 'test' END AS split""".stripMargin)
+  }
+
+  def hashSplitOracle: String = {
+    val hv = (0 until 4).map(k =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ($hv) % 1000 < 900 THEN 'train'
+       |       WHEN ($hv) % 1000 < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> langId,
     "t_quality" -> quality,
     "t_token_count" -> tokenCount,
     "t_fingerprint" -> fingerprint,
     "t_vocab" -> vocab,
-    "t_quality_filter" -> qualityFilter)
+    "t_quality_filter" -> qualityFilter,
+    "t_hash_split" -> hashSplit)
 
   val oracles: Map[String, String] = Map(
     "t_lang_id" -> langIdOracle,
@@ -181,5 +210,6 @@ object TextAnalysis {
     "t_token_count" -> tokenCountOracle,
     "t_fingerprint" -> fingerprintOracle,
     "t_vocab" -> vocabOracle,
-    "t_quality_filter" -> qualityFilterOracle)
+    "t_quality_filter" -> qualityFilterOracle,
+    "t_hash_split" -> hashSplitOracle)
 }
