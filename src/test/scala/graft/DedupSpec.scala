@@ -27,6 +27,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups(Dedup.exactDedup(spark, dir)) == groups(Dedup.exactDedupFast(spark, dir)))
   }
 
+  test("minhashPairs emits each candidate pair exactly once, ordered a<b") {
+    val rows = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.distinct.length == rows.length,
+      "first-agreeing-band emission must make pairs unique without DISTINCT")
+  }
+
+  test("jaccardPairs scores exactly the minhash candidate set, within [0,1]") {
+    val cand = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scored = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(scored.map(_._1).toSet == cand)
+    assert(scored.forall { case (_, j) => j >= 0.0 && j <= 1.0 })
+  }
+
   test("simhashPairs only emits pairs within the hamming bound, deduplicated") {
     val rows = Dedup.simhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
