@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+import graft.operators.Similarity
+
+/** ANN sanity across the three search paths, and the extensions-based
+  * registration of graft_dot. */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // built WITH extensions: exercises the spark.sql.extensions path that
+  // production sessions use (operators also self-register defensively)
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .appName("graft-similarity-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("graft_dot resolves via SparkSessionExtensions injection") {
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("bucketed ANN (LSH, IVF) never beats brute force on top-1 similarity") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter("rank = 1").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val exact = top1(Similarity.cosineTopK(spark, dir))
+    val lsh = top1(Similarity.lshAnn(spark, dir))
+    val ivf = top1(Similarity.ivfAnn(spark, dir))
+    // bucketing restricts candidates, so its best hit is at most the
+    // exact best (ties allowed when the true NN shares the bucket/cell)
+    lsh.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"lsh query $q") }
+    ivf.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"ivf query $q") }
+  }
+
+  test("ANN results never contain the query itself and ranks are contiguous") {
+    Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
+        Similarity.ivfAnn(spark, dir)).foreach { df =>
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.forall { case (q, n, _) => q != n })
+      rows.groupBy(_._1).foreach { case (_, g) =>
+        assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+      }
+    }
+  }
+}
