@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling helpers (SURVEY §5). AQE's skew-join split is the
+  * default answer (on in every graft session); `saltedJoin` is the
+  * explicit fallback for the cases AQE cannot fix — e.g. a single hot
+  * key whose rows exceed one executor's memory even after splitting,
+  * or a deliberately pre-partitioned pipeline where AQE is disabled.
+  */
+object Skew {
+
+  /** Inner equi-join with the left (large, skewed) side salted.
+    *
+    * Left rows get a deterministic salt in [0, saltFactor) hashed from
+    * their whole row; right rows are replicated saltFactor times (an
+    * explode of a literal range — cheap when the right side is the
+    * smaller one). The join key becomes (key, salt), so a hot key's
+    * rows spread over `saltFactor` reducers instead of one.
+    *
+    * Semantics identical to `left.join(right, leftKey === rightKey)`
+    * (verified in SkewSpec); row multiplicity is preserved because every
+    * left row matches exactly one replica of each right match.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 saltFactor: Int = 16): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}
