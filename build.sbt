@@ -27,8 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = single JVM: the driver heap IS the executor
-  // memory. 32g default leaves headroom for larger scale factors
-  // (shuffle/broadcast buffers) on the 128 GiB box; override with
-  // SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // memory. 8g covers the driver's scale factors; raise via
+  // SPARK_DRIVER_MEM for bigger runs, but stay UNDER 32g — at >=32g the
+  // JVM disables compressed oops (8-byte object references) and
+  // pointer-heavy stages slow measurably.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

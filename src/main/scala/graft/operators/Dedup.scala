@@ -14,9 +14,11 @@ import graft.sources.Tables
   * LSH band join shuffles on (band, value) — the classic near-dup path at
   * corpus scale; Jaccard runs only on LSH candidate pairs, never all-pairs.
   *
-  * Cross-engine determinism: md5 everywhere; minima taken on fixed-width
-  * hex *strings* (lexicographic == numeric), so no engine-specific
-  * hex→int conversion is involved.
+  * Cross-engine determinism: md5 is the only string hash; hex digits are
+  * converted to integers by explicit digit arithmetic (instr/strpos over
+  * '0123456789abcdef'), so no engine-specific hex→int builtin is
+  * involved; everything downstream is integer ops identical on both
+  * engines.
   */
 object Dedup {
 
