@@ -195,6 +195,26 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** T8: bottom-k (KMV) distinct-token sketch per source — graft's custom
+    * TypedImperativeAggregate (functions.BottomK): bounded k-value state
+    * per partition, mergeable partials, so the shuffle carries k hashes
+    * per (group, partition) where collect_set would carry every distinct
+    * token. The sorted sketch is deterministic → DuckDB-oracle-able. */
+  def bottomkSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("w"))
+      .selectExpr("source", "md5(w) AS h")
+      .groupBy(col("source"))
+      .agg(expr("graft_bottomk(h, 16)").as("sketch"))
+  }
+
+  def bottomkSketchOracle: String =
+    """SELECT source, (list_sort(list(DISTINCT md5(w))))[1:16] AS sketch
+      |FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |      FROM documents)
+      |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> langId,
     "t_quality" -> quality,
@@ -202,7 +222,8 @@ object TextAnalysis {
     "t_fingerprint" -> fingerprint,
     "t_vocab" -> vocab,
     "t_quality_filter" -> qualityFilter,
-    "t_hash_split" -> hashSplit)
+    "t_hash_split" -> hashSplit,
+    "t_bottomk_sketch" -> bottomkSketch)
 
   val oracles: Map[String, String] = Map(
     "t_lang_id" -> langIdOracle,
@@ -211,5 +232,6 @@ object TextAnalysis {
     "t_fingerprint" -> fingerprintOracle,
     "t_vocab" -> vocabOracle,
     "t_quality_filter" -> qualityFilterOracle,
-    "t_hash_split" -> hashSplitOracle)
+    "t_hash_split" -> hashSplitOracle,
+    "t_bottomk_sketch" -> bottomkSketchOracle)
 }

@@ -103,16 +103,30 @@ object GraftFunctions {
       ArrayDotProduct(exprs.head, exprs(1))
     })
 
+  val bottomkDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bottomk"),
+    new ExpressionInfo(classOf[BottomK].getName, "graft_bottomk"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"graft_bottomk takes (expr, k), got ${exprs.length} args")
+      require(exprs(1).foldable, "graft_bottomk's k must be a constant")
+      BottomK(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
+    })
+
   /** Idempotent in-session registration (used by the operator builders so
     * `selectExpr("graft_dot(a, b)")` resolves without extensions config). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bottomkDescriptor._1, bottomkDescriptor._2, bottomkDescriptor._3)
+  }
 }
 
 /** `spark.sql.extensions` entry point: injects graft's native functions
   * into every session built with the extension configured. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.bottomkDescriptor)
+  }
 }
