@@ -101,19 +101,26 @@ object TextAnalysis {
       .replace("LEX", en)
   }
 
+  /** Whitespace-token class, spelled out because `\S` differs between
+    * engines: Java's `\s` is `[ \t\n\x0B\f\r]` but RE2 (DuckDB) excludes
+    * vertical tab. The explicit negated class (vertical tab counted as
+    * whitespace, Java's convention) is identical under both regex
+    * dialects. */
+  val NonWhitespaceToken = "[^ \\t\\n\\x0B\\f\\r]+"
+
   /** T3: token counting — whitespace tokens, regex word tokens, char
     * totals. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(NonWhitespaceToken), lit(0))).as("n_tokens"),
       size(words).as("n_words"),
       length(col("text")).as("n_chars"),
       aggregate(words, lit(0), (acc, w) => acc + length(w)).as("sum_word_chars"))
 
   def tokenCountOracle: String =
     """SELECT doc_id,
-      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens,
       |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
       |  length(text) AS n_chars,
       |  COALESCE(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'), w -> length(w))), 0) AS sum_word_chars
@@ -202,15 +209,19 @@ object TextAnalysis {
     * token. The sorted sketch is deterministic → DuckDB-oracle-able. */
   def bottomkSketch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // surfaced as a '|'-joined string, not array<string>: the driver's
+    // pandas compare cannot sort a list column (md5 hex never contains
+    // '|', so the join is lossless)
     Tables.documents(spark, dir)
       .select(col("source"), explode(words).as("w"))
       .selectExpr("source", "md5(w) AS h")
       .groupBy(col("source"))
-      .agg(expr("graft_bottomk(h, 16)").as("sketch"))
+      .agg(expr("array_join(graft_bottomk(h, 16), '|')").as("sketch"))
   }
 
   def bottomkSketchOracle: String =
-    """SELECT source, (list_sort(list(DISTINCT md5(w))))[1:16] AS sketch
+    """SELECT source,
+      |  array_to_string((list_sort(list(DISTINCT md5(w))))[1:16], '|') AS sketch
       |FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
       |      FROM documents)
       |GROUP BY source""".stripMargin

@@ -288,18 +288,23 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY p_type""".stripMargin,
+    // Both event-ordering oracles sort by epoch_us(ts), not raw ts:
+    // events.parquet is TIMESTAMP(NANOS) and Spark reads it truncated to
+    // micros, so ordering the oracle at nano precision makes same-micro
+    // ties resolve differently cross-engine (different prev row → different
+    // as-of match / session boundary).
     "q_asof_join" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id
         |  FROM events WHERE event_type IN ('purchase', 'click'))
         |WHERE event_type = 'purchase'""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
         |  FROM events),
         |s AS (
         |  SELECT user_id, us,
