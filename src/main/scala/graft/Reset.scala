@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+/** Session reset — the Spark re-expression of the reference's `clear()`
+  * (databases.py:149: Neo4j `MATCH (n) DETACH DELETE n` and the Arango/
+  * Orient equivalents, called by the bench loop between runs).
+  *
+  * A Spark session's mutable state is not row data (DataFrames are
+  * immutable views over sources) but cached blocks, temp views, and
+  * scratch output paths — so that is what clear() drops.
+  */
+object Reset {
+
+  /** Prefix of every scratch path graft writes under /tmp. */
+  val ScratchPrefix = "graft_"
+
+  /** Drop session state: all cached blocks and all temporary views.
+    * With `scratch = true`, also delete graft scratch directories under
+    * /tmp (edge-list dumps etc.) and reset the write-once markers so the
+    * next query regenerates them. */
+  def clear(spark: SparkSession, scratch: Boolean = false): Unit = {
+    spark.catalog.clearCache()
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    if (scratch) clearScratch()
+  }
+
+  /** Delete every /tmp/graft_* scratch dir and reset write-once markers. */
+  def clearScratch(): Unit = {
+    graft.operators.GraphOps.resetScratch()
+    val tmp = Paths.get("/tmp")
+    if (Files.isDirectory(tmp)) {
+      val it = Files.list(tmp).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(ScratchPrefix)) deleteRecursively(p)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+}

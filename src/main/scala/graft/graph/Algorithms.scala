@@ -16,10 +16,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Algorithms {
 
-  /** In/out degree per node; nodes with no edges appear with degree 0. */
-  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val outd = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val ind = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+  /** In/out degree per node; nodes with no edges appear with degree 0.
+    *
+    * `numParts > 0` pre-partitions the edges on the aggregation key with
+    * that partition count; the groupBy reuses the existing hash
+    * partitioning (ClusteredDistribution is satisfied), so a tiny generated
+    * graph aggregates in `numParts` tasks instead of fanning
+    * `spark.sql.shuffle.partitions` near-empty ones. Leave 0 for real
+    * (SF-scaled) graphs — the default shuffle + AQE coalescing is the
+    * 100 TB path. */
+  def degrees(nodes: DataFrame, edges: DataFrame, numParts: Int = 0): DataFrame = {
+    val es = if (numParts > 0) edges.repartition(numParts, col("src")) else edges
+    val ed = if (numParts > 0) edges.repartition(numParts, col("dst")) else edges
+    val outd = es.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val ind = ed.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
     nodes.select(col("id"))
       .join(outd, Seq("id"), "left")
       .join(ind, Seq("id"), "left")

@@ -86,14 +86,24 @@ object GraphXBridge {
     val gx = base.outerJoinVertices(base.outDegrees) {
       (_, _, deg) => deg.getOrElse(0)
     }.mapVertices((_, deg) => (1.0 / n, deg))
-    var cur = gx
+    // Cache + materialize each iteration's graph, then unpersist the
+    // previous one (GraphX's own PageRank pattern): without this every
+    // outerJoinVertices extends one long uncached lineage and the final
+    // action replays all iterations' joins — a recompute/stack blowup at
+    // high iteration counts.
+    var cur = gx.cache()
     for (_ <- 1 to iters) {
       val contribs = cur.aggregateMessages[Double](
         t => t.sendToDst(t.srcAttr._1 / t.srcAttr._2),
         _ + _)
-      cur = cur.outerJoinVertices(contribs) { (_, attr, c) =>
+      val next = cur.outerJoinVertices(contribs) { (_, attr, c) =>
         ((1 - d) / n + d * c.getOrElse(0.0), attr._2)
-      }
+      }.cache()
+      next.edges.foreachPartition(_ => ()) // materialize before dropping prev
+      next.vertices.foreachPartition(_ => ())
+      cur.unpersistVertices(blocking = false)
+      cur.edges.unpersist(blocking = false)
+      cur = next
     }
     cur.vertices.map { case (v, (r, _)) => (v, r) }.toDF("node", "rank")
   }

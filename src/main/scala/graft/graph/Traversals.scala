@@ -57,11 +57,19 @@ object Traversals {
              else e0.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val f0 = spark.range(1).select(lit(source).as("node")).localCheckpoint()
+    // Visited set = lazy union of per-round frontier parts. Compacted into
+    // a single checkpointed DataFrame every CompactEvery rounds: otherwise
+    // the anti-join plan is an O(depth)-way union, so planning cost grows
+    // O(depth²) over a deep traversal (a 300-hop path graph would spend
+    // more time in Catalyst than in tasks).
+    val CompactEvery = 8
     var parts = List(f0.withColumn("dist", lit(0)))
     var frontier = f0
     var hop = 1
     var done = maxHops.exists(_ < 1)
     while (!done) {
+      if (parts.length >= CompactEvery)
+        parts = List(parts.reduce(_ unionByName _).localCheckpoint())
       val visited = parts.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()

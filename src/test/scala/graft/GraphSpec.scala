@@ -124,6 +124,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filterKeys(_ >= 10L).values.toSet.size == 1)
   }
 
+  test("pageRank at 50 iterations completes in bounded time (per-iteration cache)") {
+    // Without the cache/materialize/unpersist cadence in GraphXBridge the
+    // 50-iteration lineage replays every prior join at the final action.
+    val g = graph(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L)))
+    val t0 = System.nanoTime()
+    val ranks = GraphXBridge.pageRank(spark, g, iters = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(secs < 120.0, s"50 iterations took ${secs}s — lineage blowup?")
+  }
+
+  test("BFS on a 300-hop path graph: visited-set compaction keeps deep traversals viable") {
+    val n = 300
+    val longPath = graph((0L until n).map(i => (i, i + 1)))
+    val d = Traversals.distances(longPath.edges, 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(d.size == n + 1)
+    assert((0 to n).forall(i => d(i.toLong) == i))
+  }
+
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
     val path = "/tmp/graft_test_edgelist"
