@@ -29,6 +29,10 @@ class QueryMetricsListener extends SparkListener {
   }
 }
 
+/** One query's measurement at one scale factor. */
+final case class QueryBench(name: String, secs: Double, cpuS: Double,
+                            peakMb: Double, err: Option[String])
+
 object Bench {
 
   def jsonNum(d: Double): String = f"$d%.4f"
@@ -48,13 +52,12 @@ object Bench {
     spark.stop()
   }
 
-  /** Run every SparkEntry query at one SF; returns the driver-contract JSON
-    * line. Failed queries are reported under "errors" and excluded from the
-    * total instead of being silently timed as ~0 s successes. */
-  def benchLine(spark: SparkSession, listener: QueryMetricsListener,
-                sfDir: String,
-                queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-                  SparkEntry.queries): String = {
+  /** Run every query at one SF (warmup pass + min of two timed passes per
+    * query, session reset between queries) and return the measurements. */
+  def runSuite(spark: SparkSession, listener: QueryMetricsListener,
+               sfDir: String,
+               queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+                 SparkEntry.queries): Seq[QueryBench] = {
     // Warmup: one untimed pass per query, so the timed pass measures
     // steady-state throughput (the scale-relevant number) rather than
     // first-touch janino/JIT compilation of each query's generated code —
@@ -90,19 +93,66 @@ object Bench {
       Thread.sleep(50)
       val (cpuS, peakMb) = listener.snapshot()
       Reset.clear(spark)
-      (name, secs.min, cpuS, peakMb, err)
+      QueryBench(name, secs.min, cpuS, peakMb, err)
     }
-    val ok = results.filter(_._5.isEmpty)
-    val qs = ok.map { case (k, v, _, _, _) => s"\"$k\":${jsonNum(v)}" }
+    results
+  }
+
+  /** Driver-contract JSON line for one SF. Failed queries are reported
+    * under "errors" and excluded from the total instead of being silently
+    * timed as ~0 s successes. */
+  def benchLine(spark: SparkSession, listener: QueryMetricsListener,
+                sfDir: String,
+                queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+                  SparkEntry.queries): String = {
+    val results = runSuite(spark, listener, sfDir, queries)
+    val ok = results.filter(_.err.isEmpty)
+    val qs = ok.map(r => s"\"${r.name}\":${jsonNum(r.secs)}").mkString("{", ",", "}")
+    val cpu = ok.map(r => s"\"${r.name}\":${jsonNum(r.cpuS)}").mkString("{", ",", "}")
+    val mem = ok.map(r => s"\"${r.name}\":${jsonNum(r.peakMb)}").mkString("{", ",", "}")
+    val errs = results.collect { case QueryBench(k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val cpu = ok.map { case (k, _, c, _, _) => s"\"$k\":${jsonNum(c)}" }
-      .mkString("{", ",", "}")
-    val mem = ok.map { case (k, _, _, m, _) => s"\"$k\":${jsonNum(m)}" }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_.secs).sum
     s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cpu,"peak_task_mem_mb":$mem,"errors":$errs,"sf":"$sfDir"}"""
+  }
+}
+
+/** Size-sweep bench — the reference's increasing-size loop + CSV output
+  * (benchmark.py:214-260 perform_bench/save, plotted by visualizer.py):
+  * runs the full suite at each SF dir and writes one CSV row per
+  * (query, sf).
+  *
+  * Usage: runMain graft.BenchSweep [sfDir...]
+  * Defaults to /root/testdata/sf{0.001,0.01,0.1}; output CSV path from
+  * SPARK_GRAFT_SWEEP_OUT (default BENCH_SWEEP.csv).
+  */
+object BenchSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "BENCH_SWEEP.csv")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val rows = sfDirs.flatMap { dir =>
+      val sf = dir.split('/').last
+      Reset.clear(spark, scratch = true) // each SF regenerates its scratch
+      Bench.runSuite(spark, listener, dir).map { r =>
+        s"${r.name},$sf,${Bench.jsonNum(r.secs)},${Bench.jsonNum(r.cpuS)}," +
+          s"${Bench.jsonNum(r.peakMb)},${r.err.getOrElse("")}"
+      }
+    }
+    val csv = ("query,sf,seconds,cpu_seconds,peak_task_mem_mb,error" +: rows)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), csv)
+    println(s"wrote ${rows.size} rows to $out")
+    spark.stop()
   }
 }

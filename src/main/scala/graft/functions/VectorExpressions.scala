@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   * index order — IEEE addition in the same order produces the same double
   * on both engines, so rankings and LSH bucket signs agree exactly.
   *
-  * Null handling: null array → null result; null *elements* are not
-  * expected (embeddings are dense) and read as 0.0 via ArrayData's
-  * primitive getters.
+  * Null handling: null array → null result; mismatched lengths → null
+  * (dense embeddings are expected equal-length; silently truncating to
+  * min(length) would produce a number where the SQL oracle's fixed-range
+  * indexing yields NULL — ragged data should surface, not disappear);
+  * null *elements* are not expected (embeddings are dense) and read as
+  * 0.0 via ArrayData's primitive getters.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,6 +48,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on mismatched lengths
   override def prettyName: String = "graft_dot"
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -55,17 +59,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
-    val n = math.min(la.numElements(), ra.numElements())
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (lf) la.getFloat(i).toDouble else la.getDouble(i)
-      val y = if (rf) ra.getFloat(i).toDouble else ra.getDouble(i)
-      acc += x * y
-      i += 1
+    val n = la.numElements()
+    if (n != ra.numElements()) null
+    else {
+      val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (lf) la.getFloat(i).toDouble else la.getDouble(i)
+        val y = if (rf) ra.getFloat(i).toDouble else ra.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -76,12 +83,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $l.$lGet($i)) * ((double) $r.$rGet($i));
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $l.$lGet($i)) * ((double) $r.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -201,31 +201,42 @@ object Similarity {
     * buckets: every vector is assigned to its nearest (max-cosine) centroid
     * cell, queries probe their own cell (nprobe = 1).
     *
-    * Scale shape: centroid assignment is one corpus scan against K
-    * broadcast centroids (argmax via min-rank window over a K-row
-    * expansion; no corpus shuffle); the probe is a join on the cell id.
-    * Centroids here are a deterministic sample of the corpus itself
-    * (vec_id in [8, 24)) — a stand-in for k-means training, which a real
-    * deployment would run offline.
+    * Scale shape: centroid assignment is one corpus scan with zero
+    * exchange — the K centroids are pivoted into a single broadcast row
+    * (sorted array) and the per-row argmax is `greatest()` over K
+    * (score, -cid) structs, each score a native codegen'd graft_dot; no
+    * K-row expansion, no window shuffle, nothing moves but the scan.
+    * The probe is then a broadcast join on the cell id. Centroids here
+    * are a deterministic sample of the corpus itself (vec_id in [8, 24))
+    * — a stand-in for k-means training, which a real deployment would
+    * run offline.
     *
     * Determinism: cosine scores are bit-identical cross-engine (graft_dot
-    * fold order), argmax ties break on centroid id. */
+    * fold order), argmax ties break on centroid id (struct comparison:
+    * score desc, then -cid max = cid min). */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
         s"${sparkDot("embedding", "embedding")} AS nrm")
-    val cent = emb
+    // all K centroids as ONE broadcast row: array_sort makes the
+    // collect_list order deterministic (sorted by cid, the struct's
+    // first field)
+    val centRow = emb
       .filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + IvfCentroids)
-      .selectExpr("vec_id AS cid", "embedding AS ce", "nrm AS cn")
-    val assigned = emb.join(broadcast(cent))
-      .selectExpr("vec_id", "embedding", "nrm", "cid",
-        s"(${sparkDot("embedding", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs")
-      .withColumn("rk", expr(
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)"))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))))
+        .as("cents"))
+    val scored = (0 until IvfCentroids).map { i =>
+      struct(
+        expr(s"(${sparkDot("embedding", s"cents[$i].ce")}) / (sqrt(nrm) * sqrt(cents[$i].cn))").as("cs"),
+        (-col("cents")(i)("cid")).as("ncid"))
+    }
+    val assigned = emb.join(broadcast(centRow))
+      .withColumn("best", greatest(scored: _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best")("ncid")).as("cid"))
       .localCheckpoint() // one assignment pass, reused by both probe sides
     val q = assigned.filter(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn", "cid")

@@ -50,12 +50,17 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("graft_dot is null-safe on null arrays and mismatched lengths") {
+    // mismatched lengths → null (not a silent min-length truncation):
+    // ragged embedding data must surface the same way the oracle's
+    // fixed-range indexing does (NULL), never as a plausible number
     val r = spark.sql(
       """SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n,
-        |  graft_dot(array(1.0D, 2.0D, 3.0D), array(10.0D)) AS short""".stripMargin)
+        |  graft_dot(array(1.0D, 2.0D, 3.0D), array(10.0D)) AS ragged,
+        |  graft_dot(array(2.0D, 3.0D), array(10.0D, 100.0D)) AS ok""".stripMargin)
       .collect().head
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) === 10.0)
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) === 320.0)
   }
 
   test("interpreted path (codegen off) agrees with codegen path") {
