@@ -226,6 +226,137 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source""".stripMargin
 
+  // --- T9: eval-set decontamination ----------------------------------------
+
+  /** Shingle width for contamination checks. Real deployments use 8-13
+    * word n-grams; 4 here because the synthetic corpus draws from a tiny
+    * vocabulary (at width 8 almost nothing but verbatim dups collide). */
+  val DecontamShingle = 4
+
+  /** T9: decontamination — flag training documents that share any
+    * `DecontamShingle`-gram with the held-out eval set (stand-in eval
+    * set: doc_id % 50 = 0, the role a benchmark suite plays in a real
+    * pipeline).
+    *
+    * Scale shape: the eval shingle set is tiny and broadcast; the corpus
+    * side explodes shingles and joins against the broadcast — one corpus
+    * scan, no corpus shuffle (the groupBy shuffles only matched rows,
+    * a vanishing fraction). This is the n-gram-overlap decontamination
+    * pass every serious training-data pipeline runs before training. */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
+      .filter(expr(s"size(words) >= $DecontamShingle"))
+      .selectExpr("doc_id",
+        s"""array_distinct(transform(sequence(0, size(words) - $DecontamShingle),
+           |  i -> concat_ws(' ', slice(words, i + 1, $DecontamShingle)))) AS sh""".stripMargin)
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .selectExpr("explode(sh) AS s").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .selectExpr("doc_id", "explode(sh) AS s")
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def decontamOracle: String =
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(words) - ${DecontamShingle - 1}),
+       |    i -> array_to_string(words[i + 1:i + $DecontamShingle], ' '))) AS sh
+       |  FROM w WHERE len(words) >= $DecontamShingle),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (s) GROUP BY doc_id""".stripMargin
+
+  // --- T10: stratified sampling --------------------------------------------
+
+  /** Per-mille keep rates per language — the rebalancing knob of a
+    * stratified corpus sample (downsample the dominant language, keep the
+    * rest). */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "es" -> 800, "de" -> 900, "fr" -> 950, "zh" -> 1000)
+
+  /** T10: deterministic stratified sampling — each doc draws a uniform
+    * per-mille value from md5('sample:' || doc_id) (salted so the draw is
+    * independent of the T7 split hash) and survives if it falls under its
+    * language's keep rate. Pure per-row expression work: reproducible on
+    * any engine, any cluster size, any run — and the same doc always gets
+    * the same verdict, so incremental re-runs never flip membership. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hv = (0 until 4).map(k =>
+      s"(instr('0123456789abcdef', substring(md5(concat('sample:', CAST(doc_id AS STRING))), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      .mkString(" + ")
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 1000 END")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", s"($hv) % 1000 AS u")
+      .filter(expr(s"u < $rateCase"))
+      .select(col("doc_id"), col("lang"), col("u"))
+  }
+
+  def stratifiedSampleOracle: String = {
+    val hv = (0 until 4).map(k =>
+      s"(strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      .mkString(" + ")
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 1000 END")
+    s"""SELECT doc_id, lang, u FROM (
+       |  SELECT doc_id, lang, ($hv) % 1000 AS u FROM documents)
+       |WHERE u < $rateCase""".stripMargin
+  }
+
+  // --- T11: intra-document repetition --------------------------------------
+
+  /** T11: repetition scoring — the fraction of word bigrams that are
+    * duplicates of an earlier bigram in the same document (the
+    * duplicate-n-gram family of quality signals, cf. the Gopher/
+    * MassiveText filtering rules): high values mean boilerplate or
+    * degenerate repetition. Single scan, pure per-row array expressions,
+    * no shuffle at all. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
+      .filter(expr("size(words) >= 2"))
+      .selectExpr("doc_id",
+        """transform(sequence(0, size(words) - 2),
+          |  i -> concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2))) AS bg""".stripMargin)
+      .selectExpr("doc_id", "size(bg) AS n_bigrams",
+        """CAST(round(CAST(CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE)
+          |  / CAST(size(bg) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS dup_bigram_frac""".stripMargin)
+
+  def repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+      |b AS (SELECT doc_id, list_transform(range(len(words) - 1),
+      |    i -> words[i + 1] || ' ' || words[i + 2]) AS bg
+      |  FROM w WHERE len(words) >= 2)
+      |SELECT doc_id, len(bg) AS n_bigrams,
+      |  CAST(round(CAST(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+      |    / CAST(len(bg) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS dup_bigram_frac
+      |FROM b""".stripMargin
+
+  // --- T12: quality buckets (head/middle/tail) ------------------------------
+
+  /** T12: CCNet-style quality bucketing — within each language, rank docs
+    * by the T2 composite score and split into head/middle/tail terciles
+    * (ntile(3), deterministic tie-break on doc_id). The rounded score is
+    * bit-identical cross-engine, so the ordering — and therefore the
+    * bucket boundaries — agree exactly. One shuffle on the language key. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    quality(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("tercile", expr(
+        "ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC)"))
+      .selectExpr("doc_id", "lang", "score",
+        "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket")
+
+  def qualityBucketsOracle: String =
+    s"""SELECT doc_id, lang, score,
+       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM (
+       |  SELECT q.doc_id, d.lang, q.score,
+       |    ntile(3) OVER (PARTITION BY d.lang ORDER BY q.score DESC, q.doc_id ASC) AS tercile
+       |  FROM ($qualityOracle) q JOIN documents d ON d.doc_id = q.doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> langId,
     "t_quality" -> quality,
@@ -234,7 +365,11 @@ object TextAnalysis {
     "t_vocab" -> vocab,
     "t_quality_filter" -> qualityFilter,
     "t_hash_split" -> hashSplit,
-    "t_bottomk_sketch" -> bottomkSketch)
+    "t_bottomk_sketch" -> bottomkSketch,
+    "t_decontam" -> decontam,
+    "t_stratified_sample" -> stratifiedSample,
+    "t_repetition" -> repetition,
+    "t_quality_buckets" -> qualityBuckets)
 
   val oracles: Map[String, String] = Map(
     "t_lang_id" -> langIdOracle,
@@ -244,5 +379,9 @@ object TextAnalysis {
     "t_vocab" -> vocabOracle,
     "t_quality_filter" -> qualityFilterOracle,
     "t_hash_split" -> hashSplitOracle,
-    "t_bottomk_sketch" -> bottomkSketchOracle)
+    "t_bottomk_sketch" -> bottomkSketchOracle,
+    "t_decontam" -> decontamOracle,
+    "t_stratified_sample" -> stratifiedSampleOracle,
+    "t_repetition" -> repetitionOracle,
+    "t_quality_buckets" -> qualityBucketsOracle)
 }

@@ -264,6 +264,61 @@ object Dedup {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
   }
 
+  // --- D8: dedup clusters (canonicalization) --------------------------------
+
+  /** Verification threshold above which a candidate pair is a real
+    * near-dup (the observed sf distribution is bimodal: true dups sit at
+    * ~0.95, LSH false positives at ~0.01). */
+  val ClusterJaccard = 0.5
+
+  /** Near-dup cluster canonicalization — what a production pipeline does
+    * AFTER pair verification: treat verified pairs as edges, find
+    * connected components, and elect the min doc_id per cluster as the
+    * canonical document (every other member is a drop candidate).
+    *
+    * Scale shape: this composes the dedup stack (D2 candidates → D3
+    * verification) with the CC algorithm (G8), and the iterative CC runs
+    * only on pair *survivors* — a graph many orders of magnitude smaller
+    * than the corpus — so the per-round joins never touch the 100 TB
+    * table. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    graft.graph.Algorithms.connectedComponents(nodes, edges)
+      .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
+  /** Unrolled min-label CC over the verified pair graph (30 rounds —
+    * comfortably past the eccentricity of any near-dup cluster; the Spark
+    * side runs to the exact fixpoint, so both reach min-id labels). The
+    * jaccard filter applies the same DECIMAL-rounded value the D3 query
+    * emits, so the surviving edge set is identical cross-engine. */
+  val dedupClustersOracle: String = {
+    val rounds = (1 to 30).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN ue ON ue.src = l.node
+         |  LEFT JOIN l${i - 1} r ON r.node = ue.dst
+         |  GROUP BY l.node, l.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bandedDuckSql,
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |  ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id),
+       |jp AS (SELECT a, b FROM cand
+       |  JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+       |  WHERE CAST(round(CAST(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) >= $ClusterJaccard),
+       |ue AS MATERIALIZED (SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM ue),
+       |$rounds
+       |SELECT node AS doc_id, comp AS canonical_id FROM l30""".stripMargin
+  }
+
   // --- fast path variants (xxhash64; not oracle-matchable cross-engine) -----
 
   /** Exact dedup on xxhash64 — the production fast path (single 64-bit
@@ -281,12 +336,14 @@ object Dedup {
     "d_minhash_pairs" -> minhashPairs,
     "d_jaccard_pairs" -> jaccardPairs,
     "d_simhash" -> simhash,
-    "d_simhash_pairs" -> simhashPairs)
+    "d_simhash_pairs" -> simhashPairs,
+    "d_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupOracle,
     "d_minhash_pairs" -> minhashPairsOracle,
     "d_jaccard_pairs" -> jaccardPairsOracle,
     "d_simhash" -> simhashOracle,
-    "d_simhash_pairs" -> simhashPairsOracle)
+    "d_simhash_pairs" -> simhashPairsOracle,
+    "d_dedup_clusters" -> dedupClustersOracle)
 }
