@@ -244,12 +244,15 @@ object TextAnalysis {
     * a vanishing fraction). This is the n-gram-overlap decontamination
     * pass every serious training-data pipeline runs before training. */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the shingle sets once: both the eval and the train branch
+    // read them, and the regex + shingle-build pass is the expensive part
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
       .filter(expr(s"size(words) >= $DecontamShingle"))
       .selectExpr("doc_id",
         s"""array_distinct(transform(sequence(0, size(words) - $DecontamShingle),
            |  i -> concat_ws(' ', slice(words, i + 1, $DecontamShingle)))) AS sh""".stripMargin)
+      .localCheckpoint()
     val evalSh = sh.filter(col("doc_id") % 50 === 0)
       .selectExpr("explode(sh) AS s").distinct()
     sh.filter(col("doc_id") % 50 =!= 0)

@@ -44,6 +44,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored.forall { case (_, j) => j >= 0.0 && j <= 1.0 })
   }
 
+  test("dedupClusters: every member maps to the min doc_id of its pair-connected cluster") {
+    val edges = Dedup.jaccardPairs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= Dedup.ClusterJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toMap
+    assert(clusters == expected)
+  }
+
   test("simhashPairs only emits pairs within the hamming bound, deduplicated") {
     val rows = Dedup.simhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

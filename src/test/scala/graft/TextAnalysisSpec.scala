@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+/** Invariants of the T9-T12 pipeline operators (their value-level
+  * correctness is DuckDB-oracle-gated; these pin the semantic contracts). */
+class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-text-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("decontam never flags eval-set documents and counts are positive") {
+    val rows = TextAnalysis.decontam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (id, _) => id % 50 != 0 })
+    assert(rows.forall { case (_, n) => n > 0 })
+  }
+
+  test("stratifiedSample is deterministic and respects per-language rates") {
+    val s1 = TextAnalysis.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = TextAnalysis.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2, "same doc must get the same verdict on every run")
+    // zh keeps everything (rate 1000): sampled zh count == corpus zh count
+    val zhAll = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "zh").count()
+    assert(s1.count(_._2 == "zh").toLong == zhAll)
+    // en downsamples at 500/1000: strictly fewer than the corpus count
+    val enAll = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").count()
+    assert(s1.count(_._2 == "en").toLong < enAll)
+  }
+
+  test("repetition: dup fraction in [0,1) and bigram count = words - 1") {
+    val joined = TextAnalysis.repetition(spark, dir).as("r")
+      .join(TextAnalysis.tokenCount(spark, dir).as("t"), Seq("doc_id"))
+      .select(col("n_bigrams"), col("n_words"), col("dup_bigram_frac"))
+      .collect()
+    assert(joined.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    assert(joined.forall(r => r.getInt(0) == r.getInt(1) - 1))
+  }
+
+  test("qualityBuckets: tercile sizes differ by at most 1 within each language") {
+    val sizes = TextAnalysis.qualityBuckets(spark, dir)
+      .groupBy(col("lang"), col("bucket")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    sizes.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val counts = Seq("head", "middle", "tail").map(b => sizes.getOrElse((lang, b), 0L))
+      assert(counts.max - counts.min <= 1, s"$lang terciles $counts not balanced")
+    }
+  }
+}
