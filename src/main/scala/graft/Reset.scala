@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Reset {
 
-  /** Prefix of every scratch path graft writes under /tmp. */
-  val ScratchPrefix = "graft_"
+  /** Prefix of every scratch path graft writes under /tmp — namespaced by
+    * JVM pid so clear() only removes THIS session's scratch: a concurrent
+    * graft JVM (test suite next to a bench run) must never have its
+    * scratch yanked mid-query by another session's reset, the same way
+    * the reference's clear() only empties its own database. */
+  val ScratchPrefix = s"graft_${ProcessHandle.current().pid()}_"
 
   /** Drop session state: all cached blocks and all temporary views.
     * With `scratch = true`, also delete graft scratch directories under

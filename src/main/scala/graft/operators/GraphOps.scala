@@ -137,7 +137,7 @@ object GraphOps {
   private[graft] def resetScratch(): Unit = scratchWritten.clear()
 
   def edgelistRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_edgelist_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/${graft.Reset.ScratchPrefix}edgelist_${math.abs(dir.hashCode)}"
     if (scratchWritten.add(path))
       PropertyGraph.writeEdgeList(PropertyGraph.bipartiteOrders(spark, dir), path)
     PropertyGraph.fromEdgeList(spark, path).edges.select(col("src"), col("dst"))

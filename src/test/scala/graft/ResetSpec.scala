@@ -29,8 +29,8 @@ class ResetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
-  test("clear(scratch = true) removes /tmp/graft_* dirs and resets write-once markers") {
-    val p = Paths.get("/tmp/graft_reset_spec_scratch")
+  test("clear(scratch = true) removes this JVM's scratch dirs and resets write-once markers") {
+    val p = Paths.get(s"/tmp/${Reset.ScratchPrefix}reset_spec_scratch")
     Files.createDirectories(p)
     Files.writeString(p.resolve("part-0"), "1\t2\n")
     Reset.clear(spark, scratch = true)
