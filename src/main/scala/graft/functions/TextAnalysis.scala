@@ -60,32 +60,46 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents))""".stripMargin
   }
 
-  /** T2: quality scoring — length, punctuation ratio, stopword ratio,
-    * composite score. Same double-op order on both engines. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  // Decimal round-trip: round(double, n) disagrees between engines when
+  // the value sits a hair below a half boundary (DuckDB's x*10^n scaling
+  // can land exactly on .5, BigDecimal's exact view doesn't). Snapping to
+  // 10 decimal digits first makes both rounds see the same number.
+  private def rdet(c: Column, s: Int): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(18, 10)), s).cast("double")
+
+  /** Append the T2 quality metrics (n_words, stop_ratio, punct_ratio,
+    * score) to any frame with a `text` column — stateless per-row
+    * expressions, so the same operator serves the batch query and the
+    * streaming ingest gate (DocStreams) unchanged. Same double-op order
+    * on both engines. */
+  def withQuality(df: DataFrame): DataFrame = {
     val en = lexicons.toMap.apply("en")
-    val nWords = size(words).cast("double")
+    // Zero-denominator guards: a wordless or empty doc gets null ratios
+    // (and therefore a null score, which fails every threshold gate)
+    // instead of killing the job with an ANSI divide-by-zero — at corpus
+    // scale one degenerate row must never fail the pipeline. The driver
+    // corpus has no such rows, so oracle results are unaffected.
+    val nWords = when(size(words) === 0, lit(null)).otherwise(size(words).cast("double"))
     val stopHits = size(filter(words, w => array_contains(array(en.map(lit): _*), w))).cast("double")
-    val nChars = length(col("text")).cast("double")
+    val nChars = when(length(col("text")) === 0, lit(null)).otherwise(length(col("text")).cast("double"))
     // strip letters/digits/spaces → what remains IS the punctuation
     val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
       .cast("double") / nChars
     val stopRatio = stopHits / nWords
     val score = least(lit(1.0), nWords / lit(100.0)) * 0.5 + stopRatio * 0.3 +
       (lit(1.0) - punct) * 0.2
-    // Decimal round-trip: round(double, n) disagrees between engines when
-    // the value sits a hair below a half boundary (DuckDB's x*10^n scaling
-    // can land exactly on .5, BigDecimal's exact view doesn't). Snapping to
-    // 10 decimal digits first makes both rounds see the same number.
-    def rdet(c: Column, s: Int): Column =
-      round(c.cast(org.apache.spark.sql.types.DecimalType(18, 10)), s).cast("double")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(words).as("n_words"),
-      rdet(stopRatio, 4).as("stop_ratio"),
-      rdet(punct, 4).as("punct_ratio"),
-      rdet(score, 4).as("score"))
+    df.withColumn("n_words", size(words))
+      .withColumn("stop_ratio", rdet(stopRatio, 4))
+      .withColumn("punct_ratio", rdet(punct, 4))
+      .withColumn("score", rdet(score, 4))
   }
+
+  /** T2: quality scoring — length, punctuation ratio, stopword ratio,
+    * composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("stop_ratio"),
+        col("punct_ratio"), col("score"))
 
   def qualityOracle: String = {
     val en = lexicons.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
@@ -180,16 +194,25 @@ object TextAnalysis {
     * assignment is reproducible on any engine, any cluster size, any run
     * — the property a training-data pipeline needs so re-runs never leak
     * val/test docs into train. */
-  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-mille uniform draw from the md5 of `arg` — first 4 hex digits as
+    * an integer mod 1000, via explicit digit arithmetic identical on both
+    * engines. The shared basis of T7 splitting and T10 sampling. */
+  def sparkPermille(arg: String): String = {
     val hv = (0 until 4).map(k =>
-      s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      s"(instr('0123456789abcdef', substring(md5($arg), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
       .mkString(" + ")
-    Tables.documents(spark, dir).selectExpr(
-      "doc_id", "lang",
-      s"""CASE WHEN ($hv) % 1000 < 900 THEN 'train'
-         |     WHEN ($hv) % 1000 < 950 THEN 'val'
-         |     ELSE 'test' END AS split""".stripMargin)
+    s"($hv) % 1000"
   }
+
+  /** T7's split verdict as a reusable SQL expression over `doc_id`. */
+  def splitCaseExpr: String =
+    s"""CASE WHEN ${sparkPermille("CAST(doc_id AS STRING)")} < 900 THEN 'train'
+       |     WHEN ${sparkPermille("CAST(doc_id AS STRING)")} < 950 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id", "lang", s"$splitCaseExpr AS split")
 
   def hashSplitOracle: String = {
     val hv = (0 until 4).map(k =>
@@ -285,17 +308,18 @@ object TextAnalysis {
     * language's keep rate. Pure per-row expression work: reproducible on
     * any engine, any cluster size, any run — and the same doc always gets
     * the same verdict, so incremental re-runs never flip membership. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val hv = (0 until 4).map(k =>
-      s"(instr('0123456789abcdef', substring(md5(concat('sample:', CAST(doc_id AS STRING))), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
-      .mkString(" + ")
-    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+  /** T10's salted draw and per-language keep-rate case, reusable. */
+  def sampleUExpr: String =
+    sparkPermille("concat('sample:', CAST(doc_id AS STRING))")
+  def sampleRateCaseExpr: String =
+    SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString("CASE lang ", " ", " ELSE 1000 END")
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "lang", s"($hv) % 1000 AS u")
-      .filter(expr(s"u < $rateCase"))
+      .selectExpr("doc_id", "lang", s"$sampleUExpr AS u")
+      .filter(expr(s"u < $sampleRateCaseExpr"))
       .select(col("doc_id"), col("lang"), col("u"))
-  }
 
   def stratifiedSampleOracle: String = {
     val hv = (0 until 4).map(k =>

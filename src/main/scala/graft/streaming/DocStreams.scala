@@ -3,11 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis
 import graft.operators.Dedup
 
-/** Streaming document operators (SURVEY §2 S5) — the online half of the
-  * dedup stack: documents arriving on a stream are checked against the
-  * already-accepted corpus.
+/** Streaming document operators (SURVEY §2 S5-S6) — the online half of
+  * the curation stack: documents arriving on a stream are near-dup-checked
+  * against the accepted corpus (S5) and pushed through the same
+  * quality/split/sample gate the batch pipeline applies (S6).
   */
 object DocStreams {
 
@@ -51,4 +53,25 @@ object DocStreams {
       .selectExpr("doc_id", "matched_id", "bit_count(simhash ^ isim) AS hamming")
       .filter(col("hamming") <= hammingMax)
   }
+
+  /** S6: streaming ingest gate — the live-arrival form of the batch
+    * curation path: T2 quality scoring → T6 thresholds → T7 split
+    * assignment → T10 per-language stratified sampling, on unbounded
+    * (doc_id, text, lang) input.
+    *
+    * Every step is stateless per-row expression work (the exact same
+    * expressions as the batch operators, via TextAnalysis helpers), so
+    * the operator needs no watermark, no state store, and no stream-side
+    * shuffle — and a doc admitted by the stream is bit-identically the
+    * doc the batch pipeline would admit, which is what makes a
+    * lambda-architecture corpus (bulk history + live tail) consistent. */
+  def ingestGate(docs: DataFrame): DataFrame =
+    TextAnalysis.withQuality(docs)
+      .filter(col("n_words") >= 20 && col("score") >= 0.5 &&
+        col("punct_ratio") <= 0.2)
+      .selectExpr("doc_id", "lang", "score",
+        s"${TextAnalysis.splitCaseExpr} AS split",
+        s"${TextAnalysis.sampleUExpr} AS u")
+      .filter(expr(s"u < ${TextAnalysis.sampleRateCaseExpr}"))
+      .drop("u")
 }

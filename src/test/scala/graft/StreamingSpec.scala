@@ -129,6 +129,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("S6: streaming ingest gate admits exactly what the batch gate admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stops = "the a and of to in is that for on" // pure en stopwords
+    val docs = Seq(
+      (1L, (stops + " ") * 3 + stops, "zh"),   // 40 stopwords → passes gate; zh keeps all
+      (2L, (stops + " ") * 2 + stops, "en"),   // 30 stopwords → passes gate; en sampled at 500/1000
+      (3L, "!!! ??? ###", "zh"),               // punctuation junk → fails gate
+      (4L, "short text", "zh"))                // too few words → fails gate
+    val staticDf = docs.toDF("doc_id", "text", "lang")
+    val expected = graft.streaming.DocStreams.ingestGate(staticDf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(expected.exists(_._1 == 1L), "doc 1 must survive the batch gate")
+    assert(!expected.exists(e => e._1 == 3L || e._1 == 4L))
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStreams.ingestGate(
+        in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("s6").outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("s6").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    q.stop()
+    assert(got == expected, "stream and batch admission must be bit-identical")
+  }
+
   test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val decoded = graft.operators.Multimodal.decodeStub(media)
