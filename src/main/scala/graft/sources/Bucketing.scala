@@ -33,4 +33,32 @@ object Bucketing {
     val r = spark.table(right)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Point lookup against a bucketed table: an equality predicate on the
+    * bucket key prunes the scan to the single matching bucket (the plan
+    * shows `SelectedBucketsCount: 1 out of N`), so the lookup reads 1/N
+    * of the files — the layout answer to the reference's indexed
+    * `get_single_node`, where a plain parquet scan must read everything.
+    * Per-bucket sort (`sortBy`) additionally lets parquet row-group
+    * min/max stats skip pages inside the bucket.
+    *
+    * Requires `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * for lookup-only plans: the DisableUnnecessaryBucketedScan rule only
+    * credits joins/aggregations with a bucketing benefit and would
+    * otherwise fall back to a full scan, discarding the pruning. This
+    * helper pins the conf for the lookup and restores it after planning. */
+  def pointLookup(spark: SparkSession, table: String, key: String,
+                  value: Long): DataFrame = {
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    try {
+      val df = spark.table(table).filter(spark.table(table)(key) === value)
+      df.queryExecution.executedPlan // force planning under the pinned conf
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
 }

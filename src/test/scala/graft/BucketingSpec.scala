@@ -47,4 +47,17 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
     assert(joined.count() == expected)
   }
+
+  test("point lookup on a bucketed table prunes to a single bucket") {
+    val dir = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(
+      Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment"),
+      "cust_b", "c_custkey", 8)
+    val lookup = Bucketing.pointLookup(spark, "cust_b", "c_custkey", 42L)
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected single-bucket scan, got:\n$plan")
+    val rows = lookup.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 42L)
+  }
 }
