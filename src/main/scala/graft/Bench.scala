@@ -35,7 +35,11 @@ final case class QueryBench(name: String, secs: Double, cpuS: Double,
 
 object Bench {
 
-  def jsonNum(d: Double): String = f"$d%.4f"
+  /** Locale-independent fixed-point formatting: the f-interpolator uses the
+    * JVM default locale, which on e.g. de_DE renders a comma decimal
+    * separator — invalid JSON and a broken CSV. */
+  def jsonNum(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,24 +80,32 @@ object Bench {
     // Two timed passes, min per query: single-shot timings on shared
     // hosts absorb multi-second I/O stalls (dropped page cache, virtual
     // disk latency) that say nothing about the plan being measured.
+    org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
     listener.snapshot() // drop warmup-attributed metrics
     val results = ordered.map { case (name, fn) =>
       var err: Option[String] = None
-      val secs = (1 to 2).map { _ =>
+      // per-PASS measurement: metrics are snapshotted after each timed
+      // pass (behind a listener-bus flush, so straggler task-end events
+      // land in the right snapshot) and the reported CPU/memory belong to
+      // the same pass as the reported min wall time — not a sum over all
+      // passes next to a single pass's seconds.
+      val passes = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try run(fn) catch {
           case t: Throwable =>
+            // sanitize for both the JSON errors object and the sweep CSV:
+            // drop quotes/backslashes/commas and ALL control chars
             err = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+              .replaceAll("[\\x00-\\x1f\"\\\\,]", " ").take(200))
         }
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+        val (cpuS, peakMb) = listener.snapshot()
+        (secs, cpuS, peakMb)
       }
-      // listener events are posted asynchronously; give the bus a moment
-      // before attributing the snapshot to this query
-      Thread.sleep(50)
-      val (cpuS, peakMb) = listener.snapshot()
       Reset.clear(spark)
-      QueryBench(name, secs.min, cpuS, peakMb, err)
+      val best = passes.minBy(_._1)
+      QueryBench(name, best._1, best._2, best._3, err)
     }
     results
   }

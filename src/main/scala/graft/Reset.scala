@@ -28,6 +28,11 @@ object Reset {
     * next query regenerates them. */
   def clear(spark: SparkSession, scratch: Boolean = false): Unit = {
     spark.catalog.clearCache()
+    // catalog.clearCache only drops the SQL CacheManager; raw RDD persists
+    // (GraphX graphs, localCheckpoints whose consumers are done) live in
+    // the BlockManager and must be released explicitly
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
     spark.catalog.listTables().collect()
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))

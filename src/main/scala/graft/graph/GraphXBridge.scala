@@ -29,12 +29,26 @@ object GraphXBridge {
     Graph(vertices, edges)
   }
 
+  /** Materialize a (VertexId, Long) vertex view as a DataFrame and drop
+    * the backing graph's cached RDDs: GraphX's iterative operators leave
+    * their final graph cached, and those raw RDD persists are invisible
+    * to SQL-side cache clearing — without this, every bench pass leaks a
+    * graph's worth of storage memory. localCheckpoint is eager, so
+    * unpersisting afterwards cannot trigger recompute. */
+  private def drain(spark: SparkSession, gx: Graph[_, _],
+                    vs: RDD[(VertexId, Long)], names: (String, String)): DataFrame = {
+    import spark.implicits._
+    val out = vs.map { case (v, d) => (v, d) }.toDF(names._1, names._2).localCheckpoint()
+    gx.unpersistVertices(blocking = false)
+    gx.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components (undirected semantics, GraphX native). */
   def connectedComponents(spark: SparkSession, g: PropertyGraph,
                           numParts: Int = 0): DataFrame = {
-    import spark.implicits._
-    toGraphX(g, numParts).connectedComponents().vertices
-      .map { case (v, c) => (v, c) }.toDF("node", "comp")
+    val cc = toGraphX(g, numParts).connectedComponents()
+    drain(spark, cc, cc.vertices, ("node", "comp"))
   }
 
   /** Single-source shortest path lengths via Pregel. */
@@ -48,8 +62,7 @@ object GraphXBridge {
       t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1 < t.dstAttr)
         Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
       (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Long.MaxValue)
-      .map { case (v, d) => (v, d) }.toDF("node", "dist")
+    drain(spark, res, res.vertices.filter(_._2 != Long.MaxValue), ("node", "dist"))
   }
 
   /** Weighted single-source shortest paths via Pregel (non-negative
@@ -72,8 +85,7 @@ object GraphXBridge {
       t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
         Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
       (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Long.MaxValue)
-      .map { case (v, d) => (v, d) }.toDF("node", "dist")
+    drain(spark, res, res.vertices.filter(_._2 != Long.MaxValue), ("node", "dist"))
   }
 
   /** PageRank with the same semantics as Algorithms.pageRank (fixed
@@ -105,6 +117,12 @@ object GraphXBridge {
       cur.edges.unpersist(blocking = false)
       cur = next
     }
-    cur.vertices.map { case (v, (r, _)) => (v, r) }.toDF("node", "rank")
+    // materialize the result, then release the final iteration's cache
+    // (same reason as drain(): raw RDD persists outlive the query)
+    val out = cur.vertices.map { case (v, (r, _)) => (v, r) }
+      .toDF("node", "rank").localCheckpoint()
+    cur.unpersistVertices(blocking = false)
+    cur.edges.unpersist(blocking = false)
+    out
   }
 }

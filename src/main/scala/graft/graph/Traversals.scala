@@ -14,9 +14,11 @@ import org.apache.spark.storage.StorageLevel
   *    persist) — every frontier-expansion round reuses that partitioning,
   *    so only the (small) frontier moves per round;
   *  - each frontier is `localCheckpoint`ed once and kept as a separate
-  *    visited part — the visited set is the lazy union of checkpointed
-  *    frontiers, never re-materialized per round (O(V) total state write,
-  *    not O(V·depth));
+  *    visited part; every K=8 rounds the parts compact into one
+  *    checkpointed DataFrame so the anti-join plan stays O(1) wide —
+  *    total state write is O(V·depth/K), the price of bounded plan size
+  *    on deep traversals (plain lazy unions are O(V) written but O(depth)
+  *    plan width, which makes Catalyst the bottleneck past ~50 hops);
   *  - one materializing job per round (the checkpoint); the empty-frontier
   *    check reads the checkpointed partitions;
   *  - at cluster scale the frontier join is a shuffle-on-key join that AQE

@@ -292,11 +292,16 @@ object Dedup {
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
   }
 
-  /** Unrolled min-label CC over the verified pair graph (30 rounds —
-    * comfortably past the eccentricity of any near-dup cluster; the Spark
-    * side runs to the exact fixpoint, so both reach min-id labels). The
-    * jaccard filter applies the same DECIMAL-rounded value the D3 query
-    * emits, so the surviving edge set is identical cross-engine. */
+  /** Unrolled min-label CC over the verified pair graph. The Spark side
+    * runs pointer-jumping to the exact fixpoint; the oracle propagates
+    * min one hop per round, so its 30 rounds bound the cluster radius it
+    * can label correctly — far past the observed radius (≤3: near-dup
+    * clusters are template cliques, and a >31-doc similarity *chain*
+    * would mean the corpus generator emits graded near-dups, which it
+    * does not). If the gate ever red-flags this query at a new SF, raise
+    * the round count before suspecting the Spark side. The jaccard
+    * filter applies the same DECIMAL-rounded value the D3 query emits,
+    * so the surviving edge set is identical cross-engine. */
   val dedupClustersOracle: String = {
     val rounds = (1 to 30).map { i =>
       s"""l$i AS MATERIALIZED (

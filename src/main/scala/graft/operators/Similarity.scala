@@ -214,7 +214,11 @@ object Similarity {
     * Determinism: cosine scores are bit-identical cross-engine (graft_dot
     * fold order), argmax ties break on centroid id (struct comparison:
     * score desc, then -cid max = cid min). */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF centroid-assignment stage, pre-checkpoint — factored out so
+    * PlanShapeSpec asserts the exchange-free property on the SAME plan
+    * ivfAnn executes (a test over a private copy would keep passing if
+    * the production path regressed). */
+  def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
@@ -233,10 +237,14 @@ object Similarity {
         expr(s"(${sparkDot("embedding", s"cents[$i].ce")}) / (sqrt(nrm) * sqrt(cents[$i].cn))").as("cs"),
         (-col("cents")(i)("cid")).as("ncid"))
     }
-    val assigned = emb.join(broadcast(centRow))
+    emb.join(broadcast(centRow))
       .withColumn("best", greatest(scored: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (-col("best")("ncid")).as("cid"))
+  }
+
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignment(spark, dir)
       .localCheckpoint() // one assignment pass, reused by both probe sides
     val q = assigned.filter(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn", "cid")

@@ -53,7 +53,8 @@ object Bucketing {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "false")
     try {
-      val df = spark.table(table).filter(spark.table(table)(key) === value)
+      val t = spark.table(table)
+      val df = t.filter(t(key) === value)
       df.queryExecution.executedPlan // force planning under the pinned conf
       df
     } finally prev match {

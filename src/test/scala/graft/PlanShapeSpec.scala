@@ -59,29 +59,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("IVF centroid assignment is exchange-free (scan + broadcast only)") {
-    // rebuild the assignment stage exactly as ivfAnn does, minus the
-    // checkpoint, and assert no Exchange appears anywhere in its plan
-    import org.apache.spark.sql.functions._
-    graft.functions.GraftFunctions.register(spark)
-    val emb = graft.sources.Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "embedding", "graft_dot(embedding, embedding) AS nrm")
-    val centRow = emb
-      .filter(col("vec_id") >= Similarity.NumQueries &&
-        col("vec_id") < Similarity.NumQueries + Similarity.IvfCentroids)
-      .agg(array_sort(collect_list(struct(
-        col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))))
-        .as("cents"))
-    val scored = (0 until Similarity.IvfCentroids).map { i =>
-      struct(
-        expr(s"graft_dot(embedding, cents[$i].ce) / (sqrt(nrm) * sqrt(cents[$i].cn))").as("cs"),
-        (-col("cents")(i)("cid")).as("ncid"))
-    }
-    val assigned = emb.join(broadcast(centRow))
-      .withColumn("best", greatest(scored: _*))
-      .select(col("vec_id"), (-col("best")("ncid")).as("cid"))
-    val p = plan(assigned)
-    // the centroid row itself aggregates through a broadcast; the corpus
+    // the PRODUCTION assignment stage (ivfAnn checkpoints exactly this
+    // plan): the centroid row aggregates through a broadcast; the corpus
     // side must see no shuffle Exchange at all
+    val p = plan(Similarity.ivfAssignment(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
       "corpus-side shuffle in IVF assignment\n" + p)
   }
