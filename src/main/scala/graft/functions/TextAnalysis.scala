@@ -384,6 +384,38 @@ object TextAnalysis {
        |    ntile(3) OVER (PARTITION BY d.lang ORDER BY q.score DESC, q.doc_id ASC) AS tercile
        |  FROM ($qualityOracle) q JOIN documents d ON d.doc_id = q.doc_id)""".stripMargin
 
+  // --- T13: length-distribution telemetry -----------------------------------
+
+  /** T13: per-source document-length percentiles — the distribution
+    * telemetry that drives corpus filter thresholds (where to cut
+    * "too short" / "too long" per source). Exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both at
+    * rank p·(n−1) with linear interpolation), snapped through the
+    * DECIMAL round used everywhere cross-engine doubles meet.
+    *
+    * Scale note: exact percentile buffers each group's value multiset —
+    * fine for per-source telemetry (groups are bounded and values are
+    * small ints); at 100 TB with huge value domains the one-word change
+    * is `approx_percentile` (bounded sketch state, mergeable partials),
+    * which is not oracle-matchable and so not the gated form here. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rdet(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        rdet(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        rdet(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+        rdet(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+
+  def lengthPercentilesOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(round(CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p25,
+      |  CAST(round(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50,
+      |  CAST(round(CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p75,
+      |  CAST(round(CAST(quantile_cont(n_chars, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95
+      |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> langId,
     "t_quality" -> quality,
@@ -396,7 +428,8 @@ object TextAnalysis {
     "t_decontam" -> decontam,
     "t_stratified_sample" -> stratifiedSample,
     "t_repetition" -> repetition,
-    "t_quality_buckets" -> qualityBuckets)
+    "t_quality_buckets" -> qualityBuckets,
+    "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
     "t_lang_id" -> langIdOracle,
@@ -410,5 +443,6 @@ object TextAnalysis {
     "t_decontam" -> decontamOracle,
     "t_stratified_sample" -> stratifiedSampleOracle,
     "t_repetition" -> repetitionOracle,
-    "t_quality_buckets" -> qualityBucketsOracle)
+    "t_quality_buckets" -> qualityBucketsOracle,
+    "t_length_percentiles" -> lengthPercentilesOracle)
 }
