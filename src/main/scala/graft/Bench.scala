@@ -125,8 +125,22 @@ object Bench {
     val errs = results.collect { case QueryBench(k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_.secs).sum
+    val idle = idleUsage(spark)
     s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,""" +
-      s""""cpu_s":$cpu,"peak_task_mem_mb":$mem,"errors":$errs,"sf":"$sfDir"}"""
+      s""""cpu_s":$cpu,"peak_task_mem_mb":$mem,"errors":$errs,"idle":$idle,"sf":"$sfDir"}"""
+  }
+
+  /** Resting footprint after the suite (reference `bench_idle_usage`,
+    * benchmark.py:193): post-GC heap in use and the JVM ceiling — the
+    * cost of keeping the engine up with no query running. */
+  def idleUsage(spark: SparkSession): String = {
+    Reset.clear(spark)
+    System.gc()
+    Thread.sleep(200)
+    val rt = Runtime.getRuntime
+    val usedMb = (rt.totalMemory - rt.freeMemory) / 1048576.0
+    val maxMb = rt.maxMemory / 1048576.0
+    s"""{"heap_used_mb":${jsonNum(usedMb)},"heap_max_mb":${jsonNum(maxMb)}}"""
   }
 }
 
