@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GraphOps, Multimodal, Relational, Similarity}
+import graft.operators.{CorpusIO, Dedup, GraphOps, Multimodal, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory behind
   * `queries`; every key has a DuckDB oracle in `oracleSql` unless marked
@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ GraphOps.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      CorpusIO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ GraphOps.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      CorpusIO.oracles
 }

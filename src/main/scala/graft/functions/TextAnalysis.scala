@@ -214,16 +214,23 @@ object TextAnalysis {
     Tables.documents(spark, dir).selectExpr(
       "doc_id", "lang", s"$splitCaseExpr AS split")
 
-  def hashSplitOracle: String = {
+  /** DuckDB mirror of sparkPermille (strpos/substr digit arithmetic). */
+  def duckPermille(arg: String): String = {
     val hv = (0 until 4).map(k =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
       .mkString(" + ")
-    s"""SELECT doc_id, lang,
-       |  CASE WHEN ($hv) % 1000 < 900 THEN 'train'
-       |       WHEN ($hv) % 1000 < 950 THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM documents""".stripMargin
+    s"($hv) % 1000"
   }
+
+  /** DuckDB mirror of splitCaseExpr. */
+  def duckSplitCaseExpr: String =
+    s"""CASE WHEN ${duckPermille("CAST(doc_id AS VARCHAR)")} < 900 THEN 'train'
+       |     WHEN ${duckPermille("CAST(doc_id AS VARCHAR)")} < 950 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def hashSplitOracle: String =
+    s"""SELECT doc_id, lang, $duckSplitCaseExpr AS split
+       |FROM documents""".stripMargin
 
   /** T8: bottom-k (KMV) distinct-token sketch per source — graft's custom
     * TypedImperativeAggregate (functions.BottomK): bounded k-value state
@@ -321,16 +328,10 @@ object TextAnalysis {
       .filter(expr(s"u < $sampleRateCaseExpr"))
       .select(col("doc_id"), col("lang"), col("u"))
 
-  def stratifiedSampleOracle: String = {
-    val hv = (0 until 4).map(k =>
-      s"(strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
-      .mkString(" + ")
-    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
-      .mkString("CASE lang ", " ", " ELSE 1000 END")
+  def stratifiedSampleOracle: String =
     s"""SELECT doc_id, lang, u FROM (
-       |  SELECT doc_id, lang, ($hv) % 1000 AS u FROM documents)
-       |WHERE u < $rateCase""".stripMargin
-  }
+       |  SELECT doc_id, lang, ${duckPermille("'sample:' || CAST(doc_id AS VARCHAR)")} AS u FROM documents)
+       |WHERE u < $sampleRateCaseExpr""".stripMargin
 
   // --- T11: intra-document repetition --------------------------------------
 

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Reset
+import graft.functions.TextAnalysis
+import graft.sources.Tables
+
+/** Corpus interchange I/O (SURVEY §2 C1-C2) — the formats a training-data
+  * pipeline actually reads and writes around the engine:
+  *
+  *  - JSONL (one JSON object per line) is the de-facto corpus interchange
+  *    format; C1 proves a lossless export → distributed-scan → parse
+  *    roundtrip.
+  *  - The curated corpus lands as parquet partitioned by (split, lang) —
+  *    the hive layout that lets a trainer read `split=train/lang=en/`
+  *    without touching any other file; C2 materializes the full curation
+  *    chain (quality gate → split) into that layout and reads it back.
+  *
+  * Both scratch writes are once-per-JVM setup (Reset.writeOnce): repeated
+  * bench passes time the *read* path of the source/sink under test.
+  */
+object CorpusIO {
+
+  // --- C1: JSONL roundtrip --------------------------------------------------
+
+  /** Export documents as JSONL, read back with an explicit schema (no
+    * inference pass — at 100 TB schema inference is a second full scan),
+    * and surface a value fingerprint per row. Distributed text write and
+    * scan; `to_json`/`from_json` are codegen'd expressions. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/${Reset.ScratchPrefix}docs_jsonl_${math.abs(dir.hashCode)}"
+    Reset.writeOnce(path) {
+      Tables.documents(spark, dir)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"), col("text"))).as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .json(path)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("text_md5"))
+  }
+
+  /** The roundtrip is lossless, so the oracle is the original table. */
+  val jsonlRoundtripOracle: String =
+    "SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents"
+
+  // --- C2: curated corpus sink (hive-partitioned by split, lang) -----------
+
+  /** Materialize the curation chain — T2 scoring → T6 thresholds → T7
+    * split — as parquet partitioned by (split, lang), then read the
+    * layout back and report per-partition doc counts. The groupBy on the
+    * partition columns aggregates partition-pruned file listings: a
+    * trainer consuming one (split, lang) cell reads exactly that
+    * directory. */
+  def curatedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/${Reset.ScratchPrefix}curated_${math.abs(dir.hashCode)}"
+    Reset.writeOnce(path) {
+      TextAnalysis.qualityFilter(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .selectExpr("doc_id", "score", "lang", s"${TextAnalysis.splitCaseExpr} AS split")
+        .write.mode("overwrite").partitionBy("split", "lang").parquet(path)
+    }
+    spark.read.parquet(path)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val curatedSinkOracle: String =
+    s"""SELECT split, lang, count(*) AS n_docs FROM (
+       |  SELECT q.doc_id, d.lang, ${TextAnalysis.duckSplitCaseExpr.replace("doc_id", "q.doc_id")} AS split
+       |  FROM (${TextAnalysis.qualityFilterOracle}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id)
+       |GROUP BY split, lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_jsonl_roundtrip" -> jsonlRoundtrip,
+    "c_curated_sink" -> curatedSink)
+
+  val oracles: Map[String, String] = Map(
+    "c_jsonl_roundtrip" -> jsonlRoundtripOracle,
+    "c_curated_sink" -> curatedSinkOracle)
+}

@@ -128,18 +128,13 @@ object GraphOps {
 
   // --- G6: edge-list roundtrip ---------------------------------------------
 
-  /** Scratch paths already written this JVM: the TSV dump is setup for the
-    * edge-list *source* under test, so repeated invocations (bench warmup +
-    * timed passes) write once and time only the read path. Reset.clear
-    * (scratch = true) empties this so the next call regenerates. */
-  private val scratchWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private[graft] def resetScratch(): Unit = scratchWritten.clear()
-
+  /** The TSV dump is write-once setup for the edge-list *source* under
+    * test (Reset.writeOnce); timed passes measure only the read path. */
   def edgelistRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/${graft.Reset.ScratchPrefix}edgelist_${math.abs(dir.hashCode)}"
-    if (scratchWritten.add(path))
+    graft.Reset.writeOnce(path) {
       PropertyGraph.writeEdgeList(PropertyGraph.bipartiteOrders(spark, dir), path)
+    }
     PropertyGraph.fromEdgeList(spark, path).edges.select(col("src"), col("dst"))
   }
 
