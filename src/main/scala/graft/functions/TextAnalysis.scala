@@ -222,14 +222,16 @@ object TextAnalysis {
     s"($hv) % 1000"
   }
 
-  /** DuckDB mirror of splitCaseExpr. */
-  def duckSplitCaseExpr: String =
-    s"""CASE WHEN ${duckPermille("CAST(doc_id AS VARCHAR)")} < 900 THEN 'train'
-       |     WHEN ${duckPermille("CAST(doc_id AS VARCHAR)")} < 950 THEN 'val'
+  /** DuckDB mirror of splitCaseExpr; `docCol` is the (possibly qualified)
+    * doc-id column reference — parameterized so callers embedding this in
+    * a larger query never have to rewrite identifiers by string surgery. */
+  def duckSplitCaseExpr(docCol: String = "doc_id"): String =
+    s"""CASE WHEN ${duckPermille(s"CAST($docCol AS VARCHAR)")} < 900 THEN 'train'
+       |     WHEN ${duckPermille(s"CAST($docCol AS VARCHAR)")} < 950 THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
   def hashSplitOracle: String =
-    s"""SELECT doc_id, lang, $duckSplitCaseExpr AS split
+    s"""SELECT doc_id, lang, ${duckSplitCaseExpr()} AS split
        |FROM documents""".stripMargin
 
   /** T8: bottom-k (KMV) distinct-token sketch per source — graft's custom

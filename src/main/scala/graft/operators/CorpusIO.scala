@@ -69,7 +69,7 @@ object CorpusIO {
 
   val curatedSinkOracle: String =
     s"""SELECT split, lang, count(*) AS n_docs FROM (
-       |  SELECT q.doc_id, d.lang, ${TextAnalysis.duckSplitCaseExpr.replace("doc_id", "q.doc_id")} AS split
+       |  SELECT q.doc_id, d.lang, ${TextAnalysis.duckSplitCaseExpr("q.doc_id")} AS split
        |  FROM (${TextAnalysis.qualityFilterOracle}) q
        |  JOIN documents d ON d.doc_id = q.doc_id)
        |GROUP BY split, lang""".stripMargin

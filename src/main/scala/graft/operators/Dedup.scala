@@ -108,7 +108,10 @@ object Dedup {
        |sh AS (SELECT doc_id, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
        |hv AS (SELECT doc_id, list_transform(shingles, s -> ${shingleHash("strpos", "substr")}) AS hvs FROM sh),
        |mh AS (SELECT doc_id, $mh FROM hv),
-       |banded AS (${bands})""".stripMargin
+       |banded AS MATERIALIZED (${bands})""".stripMargin
+    // MATERIALIZED: every consumer self-joins banded x JOIN banded y;
+    // without it DuckDB inlines the doubly-referenced CTE and the whole
+    // md5-shingle + minhash pass runs once per join side
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band. The self-join
@@ -303,13 +306,7 @@ object Dedup {
     * filter applies the same DECIMAL-rounded value the D3 query emits,
     * so the surviving edge set is identical cross-engine. */
   val dedupClustersOracle: String = {
-    val rounds = (1 to 30).map { i =>
-      s"""l$i AS MATERIALIZED (
-         |  SELECT l.node, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp
-         |  FROM l${i - 1} l LEFT JOIN ue ON ue.src = l.node
-         |  LEFT JOIN l${i - 1} r ON r.node = ue.dst
-         |  GROUP BY l.node, l.comp)""".stripMargin
-    }.mkString(",\n")
+    val rounds = GraphOps.minLabelRoundsSql(30)
     s"""WITH $bandedDuckSql,
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM banded x JOIN banded y

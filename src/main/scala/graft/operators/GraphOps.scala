@@ -231,26 +231,31 @@ object GraphOps {
        |SELECT node, min(d) AS dist FROM bfs GROUP BY node HAVING min(d) >= $minD""".stripMargin
   }
 
-  /** Unrolled min-label propagation (CC): `iters` rounds of
-    * comp := min(comp, min(neighbor comp)) — converges to the component's
-    * min node id once iters ≥ eccentricity of that node. */
-  private def ccOracle(edgesSql: String, iters: Int): String = {
-    // MATERIALIZED: without it DuckDB inlines the doubly-referenced l_i
-    // CTEs and re-opens the base parquet once per unrolled round.
-    val rounds = (1 to iters).map { i =>
+  /** One unrolled min-label propagation round per i over CTEs `ue`
+    * (undirected edges) and `l0` (seed labels): comp := min(comp,
+    * min(neighbor comp)). Shared by the CC oracle here and the
+    * dedup-cluster oracle (same template, different seed and round
+    * count). MATERIALIZED: without it DuckDB inlines the
+    * doubly-referenced l_i CTEs and re-opens the base once per round. */
+  private[operators] def minLabelRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT l.node, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp
          |  FROM l${i - 1} l LEFT JOIN ue ON ue.src = l.node
          |  LEFT JOIN l${i - 1} r ON r.node = ue.dst
          |  GROUP BY l.node, l.comp)""".stripMargin
     }.mkString(",\n")
+
+  /** Unrolled min-label propagation (CC): `iters` rounds of
+    * comp := min(comp, min(neighbor comp)) — converges to the component's
+    * min node id once iters ≥ eccentricity of that node. */
+  private def ccOracle(edgesSql: String, iters: Int): String =
     s"""WITH base AS MATERIALIZED ($edgesSql),
        |ue AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
        |n0 AS (SELECT DISTINCT src AS node FROM ue),
        |l0 AS MATERIALIZED (SELECT node, node AS comp FROM n0),
-       |$rounds
+       |${minLabelRoundsSql(iters)}
        |SELECT node, comp FROM l$iters""".stripMargin
-  }
 
   /** Unrolled PageRank: same float ops in the same order as
     * Algorithms.pageRank, so doubles agree to well under the 1e-6 edge. */

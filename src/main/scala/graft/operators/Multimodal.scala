@@ -62,6 +62,10 @@ object Multimodal {
     * Payload bytes are only touched for sampled chunks. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)
+      // the n_chunks = 0 guard matters: Spark's sequence(0, -1) yields a
+      // DESCENDING [0, -1] (not an empty array), so an empty payload would
+      // emit a phantom chunk 0 that the oracle's range(0) never produces
+      .filter(length(col("payload")) > 0)
       .selectExpr("doc_id", "payload",
         s"filter(sequence(0, CAST(ceil(length(payload) / $ChunkBytes.0) AS INT) - 1), i -> i % $SampleEvery = 0) AS idxs")
       .selectExpr("doc_id", "explode(idxs) AS chunk_idx", "payload")

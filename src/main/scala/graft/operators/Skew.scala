@@ -13,11 +13,19 @@ object Skew {
 
   /** Inner equi-join with the left (large, skewed) side salted.
     *
-    * Left rows get a deterministic salt in [0, saltFactor) hashed from
-    * their whole row; right rows are replicated saltFactor times (an
-    * explode of a literal range — cheap when the right side is the
-    * smaller one). The join key becomes (key, salt), so a hot key's
-    * rows spread over `saltFactor` reducers instead of one.
+    * Left rows get a salt in [0, saltFactor) derived from a per-row
+    * unique id; right rows are replicated saltFactor times (an explode
+    * of a literal range — cheap when the right side is the smaller
+    * one). The join key becomes (key, salt), so a hot key's rows spread
+    * over `saltFactor` reducers instead of one.
+    *
+    * Why not hash the row content for the salt: (a) byte-identical
+    * duplicate rows — the common shape of a hot key in denormalized
+    * facts — would all hash to ONE salt and stay unspread, and (b)
+    * hashing struct(all columns) fails analysis outright on MapType
+    * columns. The unique-id salt spreads every row; any salt value in
+    * [0, saltFactor) is equally correct (the right side covers all of
+    * them), so the id's nondeterminism under task retry is harmless.
     *
     * Semantics identical to `left.join(right, leftKey === rightKey)`
     * (verified in SkewSpec); row multiplicity is preserved because every
@@ -27,7 +35,7 @@ object Skew {
                  leftKey: String, rightKey: String,
                  saltFactor: Int = 16): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated,

@@ -20,6 +20,20 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("saltedJoin works on map-typed columns and byte-identical duplicate rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 IDENTICAL left rows on one key (the shape a row-content-hash
+    // salt cannot spread — and whose map column it cannot even hash)
+    val left = Seq.fill(200)((1L, "dup")).toDF("k", "v")
+      .withColumn("props", map(lit("a"), lit("b")))
+      .repartition(4)
+    val right = Seq((1L, "dim"), (2L, "unmatched")).toDF("rk", "name")
+    val joined = Skew.saltedJoin(left, right, "k", "rk", saltFactor = 8)
+    assert(joined.count() == 200)
+    assert(joined.select("name").distinct().collect().map(_.getString(0)).toSeq == Seq("dim"))
+  }
+
   test("saltedJoin matches the plain join on a hot-key distribution") {
     import spark.implicits._
     // 90% of left rows hit key 1 (the hot key), the rest spread out
