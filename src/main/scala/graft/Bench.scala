@@ -83,13 +83,16 @@ object Bench {
     org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
     listener.snapshot() // drop warmup-attributed metrics
     val results = ordered.map { case (name, fn) =>
-      var err: Option[String] = None
       // per-PASS measurement: metrics are snapshotted after each timed
       // pass (behind a listener-bus flush, so straggler task-end events
       // land in the right snapshot) and the reported CPU/memory belong to
       // the same pass as the reported min wall time — not a sum over all
-      // passes next to a single pass's seconds.
+      // passes next to a single pass's seconds. Errors are per-pass too:
+      // a transient single-pass failure must neither discard the other
+      // pass's valid measurement nor let the aborted pass's (fast) wall
+      // time win the min.
       val passes = (1 to 2).map { _ =>
+        var err: Option[String] = None
         val t0 = System.nanoTime()
         try run(fn) catch {
           case t: Throwable =>
@@ -99,13 +102,22 @@ object Bench {
               .replaceAll("[\\x00-\\x1f\"\\\\,]", " ").take(200))
         }
         val secs = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+        // best-effort barrier: a bus still draining past the timeout
+        // degrades attribution for this query, it must not kill the run
+        try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+        catch { case _: Throwable => () }
         val (cpuS, peakMb) = listener.snapshot()
-        (secs, cpuS, peakMb)
+        (secs, cpuS, peakMb, err)
       }
       Reset.clear(spark)
-      val best = passes.minBy(_._1)
-      QueryBench(name, best._1, best._2, best._3, err)
+      val okPasses = passes.filter(_._4.isEmpty)
+      if (okPasses.nonEmpty) {
+        val best = okPasses.minBy(_._1)
+        QueryBench(name, best._1, best._2, best._3, None)
+      } else {
+        val last = passes.last
+        QueryBench(name, last._1, last._2, last._3, last._4)
+      }
     }
     results
   }

@@ -55,11 +55,14 @@ object Reset {
     written.clear()
     val tmp = Paths.get("/tmp")
     if (Files.isDirectory(tmp)) {
-      val it = Files.list(tmp).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith(ScratchPrefix)) deleteRecursively(p)
-      }
+      val stream = Files.list(tmp)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(ScratchPrefix)) deleteRecursively(p)
+        }
+      } finally stream.close()
     }
   }
 

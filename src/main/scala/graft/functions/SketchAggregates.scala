@@ -70,15 +70,22 @@ case class BottomK(child: Expression, k: Int,
   override def eval(buf: mutable.TreeSet[String]): Any =
     new GenericArrayData(buf.toArray.sorted.map(UTF8String.fromString(_)))
 
-  /** Length-prefixed encoding (count, then modified-UTF-8 per value):
-    * delimiter-free, so values containing any byte — separators, NULs,
-    * empty strings — round-trip exactly through partial-aggregate
-    * shuffles. */
+  /** Length-prefixed encoding (count, then byte-length + raw UTF-8 per
+    * value): delimiter-free, so values containing any byte — separators,
+    * NULs, empty strings — round-trip exactly through partial-aggregate
+    * shuffles. Raw int-prefixed bytes rather than writeUTF: modified
+    * UTF-8 caps a value at 65535 encoded bytes, and graft_bottomk is a
+    * general string aggregate (a ≥64 KB document must not crash the
+    * shuffle). */
   override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach(out.writeUTF)
+    buf.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -88,7 +95,12 @@ case class BottomK(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.TreeSet.empty[String]
     var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.add(new String(b, "UTF-8"))
+      i += 1
+    }
     buf
   }
 

@@ -178,10 +178,15 @@ object TextAnalysis {
     * under training-data thresholds (min length, min composite score, max
     * punctuation). The thresholds compare the *rounded* metrics, which are
     * bit-identical cross-engine, so the survivor set is deterministic. */
+  /** The T6 admission predicate over withQuality columns — ONE definition
+    * shared by the batch filter and the streaming ingest gate, so the two
+    * paths cannot silently diverge on a threshold tune. */
+  def qualityGateCond: Column =
+    col("n_words") >= 20 && col("score") >= 0.5 && col("punct_ratio") <= 0.2
+
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     quality(spark, dir)
-      .filter(col("n_words") >= 20 && col("score") >= 0.5 &&
-        col("punct_ratio") <= 0.2)
+      .filter(qualityGateCond)
       .select(col("doc_id"), col("n_words"), col("score"))
 
   def qualityFilterOracle: String =

@@ -224,6 +224,30 @@ object Dedup {
 
   val HammingMax = 3
 
+  /** Byte bands in the SimhashBits-wide fingerprint — the single source
+    * for the banding constants shared with the streaming near-dup probe
+    * (DocStreams.nearDupFlag): changing SimhashBits adjusts both sites'
+    * pigeonhole guarantee together. */
+  val SimhashBands: Int = SimhashBits / 8
+
+  /** SQL fragment: byte `bandCol` of fingerprint `simhashCol`. */
+  private[graft] def bandByteExpr(simhashCol: String, bandCol: String): String =
+    s"(shiftright($simhashCol, 8 * $bandCol) % 256)"
+
+  /** First-agreeing-band predicate: true iff `bandCol` is the FIRST band
+    * on which the two fingerprints agree — each colliding pair is
+    * emitted by exactly one band row, so no DISTINCT shuffle over the
+    * (large) candidate set. Unrolled to primitive bit ops (band count is
+    * a small constant) — stays inside whole-stage codegen. */
+  private[graft] def firstAgreeingBandSql(aCol: String, bCol: String,
+                                          bandCol: String): String = {
+    def diff(b: Int) =
+      s"(shiftright($aCol, ${8 * b}) % 256) <> (shiftright($bCol, ${8 * b}) % 256)"
+    val arms = (1 until SimhashBands).map(k =>
+      s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
+    s"CASE $bandCol WHEN 0 THEN true $arms END"
+  }
+
   /** Near-dup candidates by SimHash: pairs with hamming distance ≤ 3.
     * Banding for scale: the 32-bit fingerprint splits into 4 bytes — a
     * pair within hamming 3 must agree on ≥1 byte (pigeonhole), so the
@@ -232,23 +256,13 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir).localCheckpoint()
     val banded = sh
-      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", s"explode(sequence(0, ${SimhashBands - 1})) AS band")
       .selectExpr("doc_id", "simhash", "band",
-        "(shiftright(simhash, 8 * band) % 256) AS byte")
+        s"${bandByteExpr("simhash", "band")} AS byte")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
           col("x.doc_id") < col("y.doc_id"))
-      // first-agreeing-band predicate: each colliding pair is emitted by
-      // exactly one band row, so no DISTINCT shuffle over the (large)
-      // candidate set. Unrolled to primitive bit ops (band count is a
-      // constant 4) — stays inside whole-stage codegen, no per-row arrays.
-      .filter(expr {
-        def diff(b: Int) =
-          s"(shiftright(x.simhash, ${8 * b}) % 256) <> (shiftright(y.simhash, ${8 * b}) % 256)"
-        val arms = (1 until 4).map(k =>
-          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
-        s"CASE x.band WHEN 0 THEN true $arms END"
-      })
+      .filter(expr(firstAgreeingBandSql("x.simhash", "y.simhash", "x.band")))
       .selectExpr("x.doc_id AS a", "y.doc_id AS b",
         "bit_count(x.simhash ^ y.simhash) AS hamming")
       .filter(col("hamming") <= HammingMax)

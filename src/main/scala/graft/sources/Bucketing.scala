@@ -46,7 +46,12 @@ object Bucketing {
     * for lookup-only plans: the DisableUnnecessaryBucketedScan rule only
     * credits joins/aggregations with a bucketing benefit and would
     * otherwise fall back to a full scan, discarding the pruning. This
-    * helper pins the conf for the lookup and restores it after planning. */
+    * helper pins the conf for the lookup and restores it after planning —
+    * which means the pruning holds for actions on the RETURNED frame
+    * (its plan is fixed here); deriving a new plan from it later
+    * (.select/.filter/.count chains) re-plans under the restored conf
+    * and loses the pruning. Lookup-heavy workloads should set the conf
+    * at session level instead. */
   def pointLookup(spark: SparkSession, table: String, key: String,
                   value: Long): DataFrame = {
     val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

@@ -32,24 +32,22 @@ object DocStreams {
     * (band join, stateless stream side) is unchanged. */
   def nearDupFlag(docs: DataFrame, index: DataFrame,
                   hammingMax: Int = Dedup.HammingMax): DataFrame = {
+    // banding constants and predicates shared with batch D4b
+    // (Dedup.SimhashBands / bandByteExpr / firstAgreeingBandSql): one
+    // definition, one pigeonhole guarantee
     val idxBanded = index
       .selectExpr("doc_id AS matched_id", "simhash AS isim",
-        "explode(sequence(0, 3)) AS band")
+        s"explode(sequence(0, ${Dedup.SimhashBands - 1})) AS band")
       .selectExpr("matched_id", "isim", "band",
-        "(shiftright(isim, 8 * band) % 256) AS byte")
+        s"${Dedup.bandByteExpr("isim", "band")} AS byte")
     val hashed = Dedup.withSimhash(docs)
-      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash",
+        s"explode(sequence(0, ${Dedup.SimhashBands - 1})) AS band")
       .selectExpr("doc_id", "simhash", "band",
-        "(shiftright(simhash, 8 * band) % 256) AS byte")
+        s"${Dedup.bandByteExpr("simhash", "band")} AS byte")
     hashed.join(broadcast(idxBanded), Seq("band", "byte"))
       // first-agreeing-band: each (doc, match) pair emitted exactly once
-      .filter(expr {
-        def diff(b: Int) =
-          s"(shiftright(simhash, ${8 * b}) % 256) <> (shiftright(isim, ${8 * b}) % 256)"
-        val arms = (1 until 4).map(k =>
-          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
-        s"CASE band WHEN 0 THEN true $arms END"
-      })
+      .filter(expr(Dedup.firstAgreeingBandSql("simhash", "isim", "band")))
       .selectExpr("doc_id", "matched_id", "bit_count(simhash ^ isim) AS hamming")
       .filter(col("hamming") <= hammingMax)
   }
@@ -67,8 +65,7 @@ object DocStreams {
     * lambda-architecture corpus (bulk history + live tail) consistent. */
   def ingestGate(docs: DataFrame): DataFrame =
     TextAnalysis.withQuality(docs)
-      .filter(col("n_words") >= 20 && col("score") >= 0.5 &&
-        col("punct_ratio") <= 0.2)
+      .filter(TextAnalysis.qualityGateCond)
       .selectExpr("doc_id", "lang", "score",
         s"${TextAnalysis.splitCaseExpr} AS split",
         s"${TextAnalysis.sampleUExpr} AS u")

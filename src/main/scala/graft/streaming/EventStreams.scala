@@ -57,7 +57,12 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1))
+                  // min/max, not overwrite: a within-watermark LATE event
+                  // (t < s.last, delivered in a later micro-batch) must
+                  // extend the session backwards, never drag `last`
+                  // before `start` (which would emit end < start and
+                  // split sessions whose true gaps are within bounds)
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

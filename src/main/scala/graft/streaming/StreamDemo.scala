@@ -19,8 +19,9 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     // the file-stream source requires a directory: stage the single
-    // events.parquet file into one
-    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    // events.parquet file into one, inside the per-JVM scratch namespace
+    // so Reset.clearScratch (and the bench reset) reclaims it
+    val inDir = java.nio.file.Files.createTempDirectory(graft.Reset.ScratchPrefix + "stream_in")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       inDir.resolve("events.parquet"))

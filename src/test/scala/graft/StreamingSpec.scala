@@ -102,6 +102,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List(1L, 2L))
   }
 
+  test("S2: late within-watermark events extend sessions backwards, never end < start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("s2b").outputMode("append").start()
+    in.addData(Event(1, ts(100), 9, "c", 0))
+    q.processAllAvailable()
+    // late event (t=95 < state.last=100) arriving in a later micro-batch,
+    // still above the watermark (100min - 60min = 40min): must merge into
+    // the session as its new START, not overwrite `last` backwards
+    in.addData(Event(2, ts(95), 9, "c", 0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(200), 8, "c", 0)) // advance watermark → timeout closes user 9
+    q.processAllAvailable()
+    val u9 = spark.table("s2b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 9L)
+    q.stop()
+    assert(u9.nonEmpty, "user 9's session must close on watermark advance")
+    assert(u9.forall { case (_, s, e, _) => s <= e }, s"end before start: ${u9.toSeq}")
+    assert(u9.head == ((9L, (Base + 95) * 60000L, (Base + 100) * 60000L, 2L)))
+  }
+
   test("S5: streaming near-dup flags docs against the static fingerprint index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
