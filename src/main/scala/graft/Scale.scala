@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line: {"metric":"scale_total","n_docs":N,
   *   "queries":{name:sec,...},"errors":{...}}
   *
+  * Timing caveat: single pass, no warmup (this is a soak, not a
+  * benchmark — Bench owns steady-state numbers), so the first query of
+  * each operator family absorbs that family's one-time janino/JIT
+  * compilation; e.g. d_dedup_clusters runs alphabetically before the
+  * other minhash consumers and pays the whole pipeline's warmup.
+  *
   * Generation is fully distributed (spark.range → per-row expressions —
   * no driver-side data) and deterministic: doc i draws 30+i%50 words
   * from a 400-word vocabulary by hash (large enough that unrelated docs
