@@ -149,12 +149,14 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
-  /** R8: as-of join — for each purchase, the most recent strictly-prior
-    * click by the same user. Implemented as a single window pass over the
-    * union (no range-join explosion): sort within user, carry the last
-    * click id/ts forward. One shuffle on user_id. */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  /** R8 over any (event_id, user_id, ts, event_type) frame — ONE
+    * definition shared by the table-bound operator and the known-answer
+    * spec, so the test exercises the production expressions rather than
+    * a private copy. For each purchase, the most recent strictly-prior
+    * click by the same user: a single window pass over the union (no
+    * range-join explosion), one shuffle on user_id. */
+  def asofJoinOf(events: DataFrame): DataFrame = {
+    val e = events
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val w = Window.partitionBy(col("user_id"))
@@ -166,12 +168,17 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("prior_click_id"))
   }
 
-  /** R9: gap-based sessionization (30-min gap), batch form. Timestamps
+  /** R8: as-of join on the driver's events table. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOf(Tables.events(spark, dir))
+
+  /** R9 over any events frame (see asofJoinOf on why it is split out):
+    * gap-based sessionization (30-min gap), batch form. Timestamps
     * compared in integer microseconds for cross-engine determinism. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeOf(events: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
       .withColumn("is_new",
@@ -183,6 +190,10 @@ object Relational {
         min(col("us")).as("start_us"),
         max(col("us")).as("end_us"))
   }
+
+  /** R9: sessionization on the driver's events table. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir))
 
   /** R10: event-time tumbling-window aggregation (batch twin of the
     * streaming S1 operator; windows are epoch-aligned 1h buckets). */

@@ -27,7 +27,15 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-bucketing-test")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.stop()
+    // the temp warehouse (three bucketed tables) must not accumulate
+    // across runs
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(warehouse))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
 
   test("bucketed fact-fact join plans with zero exchanges") {
     val dir = "/root/testdata/sf0.001"

@@ -30,11 +30,16 @@ class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((q -- o).isEmpty, s"queries without oracles (driver downgrades to rows-only): ${q -- o}")
   }
 
-  test("all queries run and produce non-null schemas on sf0.001") {
+  test("all queries EXECUTE on sf0.001 (not just analyze)") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+      // limit(1).collect() forces real execution: analysis-clean queries
+      // that fail at runtime (ANSI overflow, bad element_at, unreadable
+      // column) must be caught here, not first by the external gate
+      try df.limit(1).collect()
+      catch { case t: Throwable => fail(s"$name failed at runtime: ${t.getMessage}", t) }
     }
   }
 }

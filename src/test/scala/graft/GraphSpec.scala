@@ -147,7 +147,9 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
-    val path = "/tmp/graft_test_edgelist"
+    // per-JVM scratch namespace: a concurrent test/bench JVM must not
+    // race this path (and Reset.clearScratch reclaims it)
+    val path = s"/tmp/${Reset.ScratchPrefix}test_edgelist"
     PropertyGraph.writeEdgeList(g, path)
     val back = PropertyGraph.fromEdgeList(spark, path).edges
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

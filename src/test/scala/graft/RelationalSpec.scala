@@ -6,11 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Relational
+
 /** Hand-computed unit semantics for the window-based relational
   * operators (the DuckDB oracle verifies them at sf0.01; these tiny
   * known-answer cases localize a failure to the operator, not the
-  * data). Exercises the same expressions as Relational.asofJoin /
-  * sessionize via small in-memory frames. */
+  * data). Drives the PRODUCTION operators (Relational.asofJoinOf /
+  * sessionizeOf) on small in-memory frames — not copies of their
+  * expressions. */
 class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -32,39 +35,30 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("as-of join: latest strictly-prior click, none at session start") {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val e = events(
       (1L, 0, 7L, "click"), (2L, 5, 7L, "purchase"), (3L, 6, 7L, "click"),
       (4L, 9, 7L, "purchase"), (5L, 1, 8L, "purchase"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val got = e.withColumn("prior_click_id",
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val got = Relational.asofJoinOf(e)
       .select("event_id", "prior_click_id").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
     assert(got == Map(2L -> Some(1L), 4L -> Some(3L), 5L -> None))
   }
 
   test("sessionization: 30-min gap splits sessions, per-user counters") {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val e = events(
       (1L, 0, 7L, "c"), (2L, 10, 7L, "c"), (3L, 50, 7L, "c"), // gap 40 → split
       (4L, 55, 7L, "c"), (5L, 0, 8L, "c"))
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val got = e.withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n")).collect()
+    val got = Relational.sessionizeOf(e)
+      .select("user_id", "session_id", "n_events").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 2L), (8L, 1L, 1L)))
+  }
+
+  test("sessionization boundaries: start/end are the session's min/max micros") {
+    val e = events((1L, 0, 7L, "c"), (2L, 10, 7L, "c"), (3L, 50, 7L, "c"))
+    val got = Relational.sessionizeOf(e)
+      .select("session_id", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 10L * 60000000L), (2L, 50L * 60000000L, 50L * 60000000L)))
   }
 }

@@ -33,7 +33,15 @@ class ResetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = Paths.get(s"/tmp/${Reset.ScratchPrefix}reset_spec_scratch")
     Files.createDirectories(p)
     Files.writeString(p.resolve("part-0"), "1\t2\n")
+    // claim a write-once marker; after clear the same path must fire again
+    var fired = 0
+    Reset.writeOnce(p.toString) { fired += 1 }
+    Reset.writeOnce(p.toString) { fired += 1 }
+    assert(fired == 1, "second writeOnce on a claimed path must not fire")
     Reset.clear(spark, scratch = true)
     assert(!Files.exists(p))
+    Reset.writeOnce(p.toString) { fired += 1 }
+    assert(fired == 2, "clear(scratch = true) must reset write-once markers")
+    Reset.clear(spark, scratch = true) // leave no marker for other suites
   }
 }

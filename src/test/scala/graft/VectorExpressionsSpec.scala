@@ -41,12 +41,14 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("graft_dot handles double literals against float columns") {
-    val df = spark.range(50).selectExpr(
+    val df = spark.range(50).selectExpr("id",
       "transform(sequence(1, 4), i -> CAST(i * (id + 1) AS FLOAT)) AS a")
-    val rows = df.selectExpr("graft_dot(array(1.0D, 0.5D, -1.0D, 2.0D), a) AS d")
-      .collect().map(_.getDouble(0))
+    // carry id alongside the result: pairing expected values by collect()
+    // position would silently depend on partition collection order
+    val rows = df.selectExpr("id", "graft_dot(array(1.0D, 0.5D, -1.0D, 2.0D), a) AS d")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
     // 1*(id+1) + 0.5*2(id+1) - 3(id+1) + 2*4(id+1) = 7(id+1)
-    rows.zipWithIndex.foreach { case (d, id) => assert(d === 7.0 * (id + 1)) }
+    rows.foreach { case (id, d) => assert(d === 7.0 * (id + 1)) }
   }
 
   test("graft_dot is null-safe on null arrays and mismatched lengths") {
