@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of wrapping each
+// line in sbt's "[info] " logger prefix: the bench/verify harness parses
+// the raw one-line JSON from `runMain graft.Bench`, and the prefix made
+// it unparseable (BENCH_r01/r02 both recorded parsed:null).
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's own "[success] Total time" trailer for the same
+// reason: the bench JSON must be the last line of output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

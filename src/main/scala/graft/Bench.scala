@@ -52,8 +52,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
-    println(benchLine(spark, listener, sfDir))
+    val line = benchLine(spark, listener, sfDir)
+    // Print the JSON line LAST, after Spark has fully shut down (log
+    // level off so no shutdown chatter trails it): the harness parses
+    // the tail of the combined output, so nothing may print after this.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 
   /** Run every query at one SF (warmup pass + min of two timed passes per

@@ -137,7 +137,7 @@ object TextAnalysis {
       |  len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens,
       |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
       |  length(text) AS n_chars,
-      |  COALESCE(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'), w -> length(w))), 0) AS sum_word_chars
+      |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'), w -> length(w))), 0) AS BIGINT) AS sum_word_chars
       |FROM documents""".stripMargin
 
   /** T4: document fingerprinting — a bag fingerprint (md5 of the sorted

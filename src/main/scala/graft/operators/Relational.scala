@@ -304,6 +304,9 @@ object Relational {
     // micros, so ordering the oracle at nano precision makes same-micro
     // ties resolve differently cross-engine (different prev row → different
     // as-of match / session boundary).
+    // DuckDB sum() over integers yields HUGEINT, which pandas renders as
+    // float64 ("4.0" vs Spark's "4" under the driver's value hash) — every
+    // integer sum in an oracle must be CAST to BIGINT.
     "q_asof_join" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,
@@ -319,9 +322,9 @@ object Relational {
         |  FROM events),
         |s AS (
         |  SELECT user_id, us,
-        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM t)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us

@@ -3,38 +3,44 @@
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
-Reads each <name>.parquet result dumped by graft.Verify, runs the matching
-oracle SQL from oracle_sql.json in DuckDB against the sf_dir tables, and
-compares row count, column names, and a row-order-independent hash of the
-values (columns sorted by name, rows sorted).
+Reads each <name>.parquet result dumped by graft.Verify (via pandas, as
+the driver does), runs the matching oracle SQL from oracle_sql.json in
+DuckDB (materialized to a pandas frame via .df(), as the driver does),
+and compares row count, column names, and a row-order-independent hash
+of the values (columns sorted by name, rows sorted, full-precision str).
+
+Using pandas on BOTH sides is load-bearing: DuckDB HUGEINT (any sum()
+over integers) becomes float64 in pandas, so "4.0" != Spark's "4" even
+though fetchall() would have returned equal Python ints. The fetchall
+version of this script was blind to exactly that class (rounds 1-2:
+q_sessionize, t_token_count).
 """
+import glob
 import json
-import math
 import os
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Column-name-sorted, row-sorted canonical form with float rounding."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Column-name-sorted, row-sorted canonical form, full-precision str."""
+    cols = sorted(df.columns)
 
     def norm(v):
-        if v is None:
+        if v is None or (isinstance(v, float) and v != v):
             return "\0NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.9g}"
-        if isinstance(v, list):
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(norm(x) for x in v) + "]"
         return str(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    rows = [tuple(norm(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
 
 
 def main():
@@ -55,24 +61,23 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{res_path}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            parts = sorted(glob.glob(os.path.join(res_path, "*.parquet")))
+            got = pd.concat([pd.read_parquet(p) for p in parts],
+                            ignore_index=True)
+            want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(want_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: cols {sorted(got.columns)} != {sorted(want.columns)}")
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        cg, cw = canon(got, got_cols), canon(want, want_cols)
+        cg, cw = canon(got), canon(want)
         if cg != cw:
             bad = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
             print(f"FAIL {name}: value mismatch at sorted rows {bad}")
@@ -89,3 +94,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
