@@ -19,6 +19,7 @@ run / outputStrategy := Some(StdoutOutput)
 // ... and drop sbt's own "[success] Total time" trailer for the same
 // reason: the bench JSON must be the last line of output.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

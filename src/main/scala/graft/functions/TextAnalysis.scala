@@ -424,7 +424,76 @@ object TextAnalysis {
       |  CAST(round(CAST(quantile_cont(n_chars, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95
       |FROM documents GROUP BY source""".stripMargin
 
+  // --- T14: sequence packing ----------------------------------------------
+
+  /** Tokens per packed training sequence. */
+  val PackBudget = 256L
+
+  /** T14: deterministic sequence packing — the concat-then-slice packing a
+    * training pipeline applies before writing examples: documents are laid
+    * out in a fixed order (doc_id) per language stream and sliced into
+    * PackBudget-token sequences; each doc reports the sequence it starts in
+    * and its token offset within it. One shuffle on the stream key (lang);
+    * the running sum is a per-stream window, so streams pack independently
+    * and in parallel — the 100 TB layout would use many finer streams
+    * (e.g. (lang, shard)) for the same plan shape.
+    *
+    * Everything is integer arithmetic: the window sum is a BIGINT cumsum
+    * and seq/offset are integer div/mod — bit-identical cross-engine. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(words).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(expr(
+        """sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+          |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin), lit(0L)))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"cum_before div $PackBudget AS seq_id",
+        s"cum_before % $PackBudget AS seq_offset")
+
+  def seqPackOracle: String =
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $PackBudget AS BIGINT) AS seq_offset
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (SELECT doc_id, lang,
+       |      CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+       |    FROM documents))""".stripMargin
+
+  // --- T15: n-gram (bigram) counts ------------------------------------------
+
+  /** T15: corpus bigram statistics — top-50 adjacent word pairs, the n-gram
+    * LM / contamination-analysis building block. Same explode→hash-agg
+    * shape as T5 vocab: the shuffle carries one row per distinct bigram per
+    * partition (map-side combine), never per token. */
+  def bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(words.as("w"))
+      // slice length must be >= 0 (slice throws on size(w)-1 = -1), and
+      // docs with <2 words contribute no bigrams anyway
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        // adjacency via two shifted slices zipped — no index sequence, so
+        // there is no sequence(1, 0) reversed-range edge case
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("bigram").asc)
+      .limit(50)
+
+  def bigramsOracle: String =
+    """SELECT bigram, count(*) AS n_occ FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |  FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents)
+      |  WHERE len(w) >= 2)
+      |GROUP BY bigram ORDER BY n_occ DESC, bigram ASC LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_seq_pack" -> seqPack,
+    "t_bigrams" -> bigrams,
     "t_lang_id" -> langId,
     "t_quality" -> quality,
     "t_token_count" -> tokenCount,
@@ -440,6 +509,8 @@ object TextAnalysis {
     "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
+    "t_seq_pack" -> seqPackOracle,
+    "t_bigrams" -> bigramsOracle,
     "t_lang_id" -> langIdOracle,
     "t_quality" -> qualityOracle,
     "t_token_count" -> tokenCountOracle,

@@ -74,29 +74,31 @@ object Dedup {
     s"list_min(list_transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
 
   /** Word-shingle sets per doc — the shared input of minhash banding and
-    * Jaccard verification (computed once, checkpointed by callers). */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    * Jaccard verification (computed once, checkpointed by callers).
+    * `keep` carries extra passthrough columns (e.g. `source` for the
+    * incremental variant). */
+  private def shingleSets(spark: SparkSession, dir: String,
+                          keep: Seq[String] = Nil): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
+      .selectExpr("doc_id" +: keep :+ "regexp_extract_all(lower(text), '[a-z]+', 0) AS words": _*)
       .filter(expr(s"size(words) >= $ShingleLen"))
-      .selectExpr("doc_id", s"$sparkShingles AS shingles")
+      .selectExpr("doc_id" +: keep :+ s"$sparkShingles AS shingles": _*)
 
   /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1.
     * Input must have (doc_id, shingles). Each exploded row carries the full
     * band-value array (`vals`) so the pair join can dedupe multi-band
     * collisions with a first-agreeing-band predicate instead of a global
     * DISTINCT shuffle. */
-  private def bandedFromShingles(sh: DataFrame): DataFrame = {
+  private def bandedFromShingles(sh: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
     val bands = (0 until Bands).map(b =>
       s"concat(CAST(h${2 * b} AS STRING), '|', CAST(h${2 * b + 1} AS STRING))").mkString(", ")
-    sh.selectExpr("doc_id",
-        s"transform(shingles, s -> ${shingleHash("instr", "substring")}) AS hvs")
-      .selectExpr("doc_id" +: mh: _*)
-      .selectExpr("doc_id", s"array($bands) AS vals")
-      .selectExpr("doc_id", "vals",
-        s"explode(sequence(0, ${Bands - 1})) AS band_idx")
-      .selectExpr("doc_id", "vals", "band_idx", "element_at(vals, band_idx + 1) AS val")
+    val id = "doc_id" +: keep
+    sh.selectExpr(id :+ s"transform(shingles, s -> ${shingleHash("instr", "substring")}) AS hvs": _*)
+      .selectExpr(id ++ mh: _*)
+      .selectExpr(id :+ s"array($bands) AS vals": _*)
+      .selectExpr(id ++ Seq("vals", s"explode(sequence(0, ${Bands - 1})) AS band_idx"): _*)
+      .selectExpr(id ++ Seq("vals", "band_idx", "element_at(vals, band_idx + 1) AS val"): _*)
   }
 
   private val bandedDuckSql: String = {
@@ -125,17 +127,22 @@ object Dedup {
     * band produces the pair (cheap per-row predicate on the carried `vals`
     * arrays), so no global DISTINCT shuffle over the candidate set — the
     * standard LSH dedup-by-min-band trick. */
+  /** True iff the joined band is the FIRST band on which x and y agree —
+    * the per-row predicate that replaces a global DISTINCT over multi-band
+    * collisions (expects the join sides aliased x/y with `vals` carried). */
+  private def firstAgreeingBand = expr {
+    def diff(b: Int) =
+      s"element_at(x.vals, ${b + 1}) <> element_at(y.vals, ${b + 1})"
+    val arms = (1 until Bands).map(k =>
+      s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
+    s"CASE x.band_idx WHEN 0 THEN true $arms END"
+  }
+
   private def pairsFrom(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(expr {
-        def diff(b: Int) =
-          s"element_at(x.vals, ${b + 1}) <> element_at(y.vals, ${b + 1})"
-        val arms = (1 until Bands).map(k =>
-          s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
-        s"CASE x.band_idx WHEN 0 THEN true $arms END"
-      })
+      .filter(firstAgreeingBand)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
 
   val minhashPairsOracle: String =
@@ -347,7 +354,44 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
 
+  // --- D9: incremental (new-batch vs index) dedup ---------------------------
+
+  /** The "new batch" side of the incremental dedup: one ingest source. */
+  val IncrNewSource = "src0"
+
+  /** D9: incremental dedup — the steady-state shape of a production
+    * pipeline: an incoming batch is checked against the already-indexed
+    * corpus, never corpus-vs-corpus. Both sides share one signature pass
+    * (banded once, checkpointed); the candidate join is new-batch × index
+    * on the (band, value) key, so cost scales with the BATCH size times
+    * bucket occupancy — the 100 TB index is only ever probed, and the
+    * first-agreeing-band predicate again replaces a global DISTINCT.
+    * Output: each new doc that collides with the index, with its distinct
+    * index-partner count and canonical (min) index match. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedFromShingles(
+      shingleSets(spark, dir, Seq("source")), Seq("source")).localCheckpoint()
+    banded.filter(col("source") === IncrNewSource).as("x")
+      .join(banded.filter(col("source") =!= IncrNewSource).as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val"))
+      .filter(firstAgreeingBand)
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("match_id")).as("canonical_id"))
+  }
+
+  val incrementalDedupOracle: String =
+    s"""WITH $bandedDuckSql,
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id
+       |  FROM banded x
+       |  JOIN documents dn ON dn.doc_id = x.doc_id AND dn.source = '$IncrNewSource'
+       |  JOIN banded y ON x.band_idx = y.band_idx AND x.val = y.val
+       |  JOIN documents di ON di.doc_id = y.doc_id AND di.source <> '$IncrNewSource')
+       |SELECT doc_id, count(*) AS n_matches, min(match_id) AS canonical_id
+       |FROM pairs GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_incr_dedup" -> incrementalDedup,
     "d_exact_dedup" -> exactDedup,
     "d_minhash_pairs" -> minhashPairs,
     "d_jaccard_pairs" -> jaccardPairs,
@@ -356,6 +400,7 @@ object Dedup {
     "d_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "d_incr_dedup" -> incrementalDedupOracle,
     "d_exact_dedup" -> exactDedupOracle,
     "d_minhash_pairs" -> minhashPairsOracle,
     "d_jaccard_pairs" -> jaccardPairsOracle,

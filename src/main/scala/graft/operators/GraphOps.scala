@@ -174,6 +174,42 @@ object GraphOps {
     GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir),
       numParts = 2)
 
+  // --- G14: k-core decomposition -------------------------------------------
+
+  val KCoreK = 2
+  val KCoreRounds = 10
+
+  /** The component-sample edge set in SQL (shared by the CC and k-core
+    * oracles; must mirror PropertyGraph.componentSample). */
+  private val sparseEdgesSql =
+    s"""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |  CAST($Off + l_suppkey AS BIGINT) AS dst
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_linenumber = 1 AND o_orderkey % 20 = 0""".stripMargin
+
+  /** G14: k-core of the sparse component graph — synchronous peel, fixed
+    * rounds (GraphSpec proves the peel has converged well within
+    * KCoreRounds on the bench graphs, so the fixed count is the fixpoint). */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.kCore(PropertyGraph.componentSample(spark, dir).edges,
+      KCoreK, KCoreRounds)
+
+  /** Unrolled synchronous peel: degree-among-survivors → keep deg >= k,
+    * `rounds` times, then the survivors' in-core degrees. */
+  private def kcoreOracle(edgesSql: String, k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT ue.src AS id, count(*) AS deg FROM ue
+         |  JOIN a${i - 1} x ON x.id = ue.src JOIN a${i - 1} y ON y.id = ue.dst GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($edgesSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ue),
+       |$peels
+       |SELECT ue.src AS id, count(*) AS deg FROM ue
+       |  JOIN a$rounds x ON x.id = ue.src JOIN a$rounds y ON y.id = ue.dst GROUP BY 1""".stripMargin
+  }
+
   // --- G9: PageRank ---------------------------------------------------------
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -313,6 +349,7 @@ object GraphOps {
     "g_edgelist_roundtrip" -> edgelistRoundtrip,
     "g_degree_dist" -> degreeDist,
     "g_connected_components" -> connectedComponents,
+    "g_kcore" -> kCore,
     "g_pagerank" -> pageRank,
     "g_triangles" -> triangles,
     "g_label_prop" -> labelProp,
@@ -353,11 +390,8 @@ object GraphOps {
          |ins AS (SELECT dst, count(*) AS c FROM e GROUP BY dst)
          |SELECT id, COALESCE(outs.c, 0) AS outdeg, COALESCE(ins.c, 0) AS indeg
          |FROM nodes LEFT JOIN outs ON outs.src = id LEFT JOIN ins ON ins.dst = id""".stripMargin,
-    "g_connected_components" -> ccOracle(
-      s"""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-         |  CAST($Off + l_suppkey AS BIGINT) AS dst
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |WHERE l_linenumber = 1 AND o_orderkey % 20 = 0""".stripMargin, 50),
+    "g_connected_components" -> ccOracle(sparseEdgesSql, 50),
+    "g_kcore" -> kcoreOracle(sparseEdgesSql, KCoreK, KCoreRounds),
     "g_pagerank" -> prOracle(nationEdgesSql, 10, 0.85),
     "g_label_prop" -> lpaOracle(nationEdgesSql, LpaRounds),
     "g_triangles" ->

@@ -217,7 +217,32 @@ object Relational {
     semi.unionByName(anti)
   }
 
+  /** R15: user pseudonymization — the privacy pass a training pipeline
+    * applies before events leave the ingest boundary: the stable key is
+    * replaced with a salted one-way hash, and downstream analytics (here:
+    * per-user activity envelope) run on the pseudonym only. Pure per-row
+    * expressions feeding one hash aggregation — zero extra shuffle beyond
+    * the groupBy, same plan shape at any scale. */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(md5(concat(lit("graft-salt:"), col("user_id").cast("string"))).as("user_pseudo"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .groupBy(col("user_pseudo"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+
+  val pseudonymizeOracle: String =
+    """SELECT md5('graft-salt:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+      |  count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_event_types,
+      |  min(epoch_us(ts)) AS first_us,
+      |  max(epoch_us(ts)) AS last_us
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> pseudonymize,
     "q_scan_filter" -> scanFilter,
     "q1_pricing_summary" -> pricingSummary,
     "q5_local_supplier" -> localSupplierVolume,
@@ -234,6 +259,7 @@ object Relational {
     "q_semi_anti" -> semiAnti)
 
   val oracles: Map[String, String] = Map(
+    "q_pseudonymize" -> pseudonymizeOracle,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 5""".stripMargin,

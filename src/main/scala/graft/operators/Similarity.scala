@@ -283,13 +283,66 @@ object Similarity {
        |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
        |FROM r WHERE rank <= 3""".stripMargin
 
+  // --- E1: int8-quantized ANN ----------------------------------------------
+
+  /** E1: scalar-quantized (int8) cosine top-k — the storage-scale path: a
+    * 64-dim float corpus quantized to unit-scaled int8 is 4× smaller on
+    * disk and in shuffle, and the score loop becomes integer multiply-adds.
+    * Each vector is normalized then mapped to `floor(u*127 + 0.5)`; the
+    * approximate cosine is the integer dot of the two quantized vectors
+    * (÷127² implicitly — ranking needs only the integer, so the score
+    * column IS the exact BIGINT dot: bit-identical cross-engine by
+    * construction, no float rounding protocol needed).
+    *
+    * The int dot runs through the same native codegen loop as the float
+    * path: products ≤ 127² and 64-term sums stay far below 2^53, so
+    * `graft_dot` over the int8 values cast to double is EXACT integer
+    * arithmetic at float-path speed. */
+  def quantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val qz = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm")
+      .filter(col("nrm") > 0)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(nrm) * 127.0D + 0.5D) AS DOUBLE)) AS qv")
+    val q = qz.selectExpr("vec_id AS query_id", "qv AS qq")
+      .filter(col("query_id") < NumQueries)
+    qz.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"CAST(${sparkDot("qq", "qv")} AS BIGINT) AS qdot")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("qdot"))
+  }
+
+  val quantizedAnnOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |qz AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range($Dim),
+       |      i -> CAST(floor(CAST(e[i + 1] AS DOUBLE) / sqrt(nrm) * 127.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM emb WHERE nrm > 0),
+       |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT query_id, qz.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range($Dim), i -> qq[i + 1] * qv[i + 1])) AS BIGINT) AS qdot
+       |  FROM qz JOIN q ON qz.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, qdot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, qdot FROM r WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_ann" -> lshAnn,
     "s_ivf_ann" -> ivfAnn,
+    "s_quantized_ann" -> quantizedAnn,
     "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
+    "s_quantized_ann" -> quantizedAnnOracle,
     "s_cosine_topk" -> cosineTopKOracle,
     "s_lsh_ann" -> lshAnnOracle,
     "s_ivf_ann" -> ivfAnnOracle,

@@ -61,6 +61,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == expected)
   }
 
+  test("incrementalDedup: cross-source matches are exactly the minhash pairs spanning the batch boundary") {
+    import org.apache.spark.sql.functions.col
+    val srcOf = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute reference: the full-corpus LSH pairs, restricted to (new, index)
+    val expected = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (srcOf(a) == Dedup.IncrNewSource, srcOf(b) == Dedup.IncrNewSource) match {
+          case (true, false) => Some((a, b))
+          case (false, true) => Some((b, a))
+          case _ => None
+        }
+      }.groupBy(_._1)
+    val got = Dedup.incrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, ps) =>
+      assert(got(id) == ((ps.length.toLong, ps.map(_._2).min)), s"doc $id")
+    }
+  }
+
   test("simhashPairs only emits pairs within the hamming bound, deduplicated") {
     val rows = Dedup.simhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -124,6 +124,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filterKeys(_ >= 10L).values.toSet.size == 1)
   }
 
+  test("kCore: triangle-with-tail peels the tail; k=2 core is the triangle") {
+    // 1-2-3 triangle, 4 hangs off 3, 5 hangs off 4: peeling removes 5
+    // then 4 (two rounds needed — proves iteration, not a single filter)
+    val g = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val got = Algorithms.kCore(g.edges, k = 2, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: the bench query's fixed rounds are past the fixpoint at test SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val e = graft.graph.PropertyGraph.componentSample(spark, dir).edges
+        .localCheckpoint()
+      val atRounds = Algorithms.kCore(e, operators.GraphOps.KCoreK, operators.GraphOps.KCoreRounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val beyond = Algorithms.kCore(e, operators.GraphOps.KCoreK, operators.GraphOps.KCoreRounds + 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(atRounds == beyond, s"peel not converged within rounds at $dir")
+      assert(atRounds.forall(_._2 >= operators.GraphOps.KCoreK))
+    }
+  }
+
   test("pageRank at 50 iterations completes in bounded time (per-iteration cache)") {
     // Without the cache/materialize/unpersist cadence in GraphXBridge the
     // 50-iteration lineage replays every prior join at the final action.

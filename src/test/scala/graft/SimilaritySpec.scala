@@ -44,9 +44,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     ivf.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"ivf query $q") }
   }
 
+  test("quantizedAnn: int8 scores bounded, and quantized ranking tracks the exact one") {
+    val rows = Similarity.quantizedAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // |q[i]| <= 127 (+0.5 rounding) on unit vectors → dot bounded by ~64*128^2
+    assert(rows.forall { case (_, _, _, d) => math.abs(d) <= 64L * 128 * 128 })
+    // 4-bit-mantissa quantization of unit vectors preserves the gross
+    // neighborhood: each query's quantized top-5 overlaps the exact top-5
+    val exact = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).toSet.intersect(exact(q)).nonEmpty, s"query $q")
+    }
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
-        Similarity.ivfAnn(spark, dir)).foreach { df =>
+        Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir)).foreach { df =>
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(rows.forall { case (q, n, _) => q != n })
       rows.groupBy(_._1).foreach { case (_, g) =>

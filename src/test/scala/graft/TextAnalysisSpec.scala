@@ -54,6 +54,31 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.forall(r => r.getInt(0) == r.getInt(1) - 1))
   }
 
+  test("seqPack: per-language streams pack contiguously with in-budget offsets") {
+    val rows = TextAnalysis.seqPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, _, off) => off >= 0 && off < TextAnalysis.PackBudget })
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, seq, off) =>
+        assert(seq == cum / TextAnalysis.PackBudget, s"$lang doc $id seq")
+        assert(off == cum % TextAnalysis.PackBudget, s"$lang doc $id offset")
+        cum += n
+      }
+    }
+  }
+
+  test("bigrams: top-50 adjacent pairs, deterministically ordered") {
+    val rows = TextAnalysis.bigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length <= 50 && rows.nonEmpty)
+    assert(rows.forall(_._1.matches("[a-z]+ [a-z]+")))
+    rows.sliding(2).foreach { case Array((b1, n1), (b2, n2)) =>
+      assert(n1 > n2 || (n1 == n2 && b1 < b2), s"($b1,$n1) before ($b2,$n2)")
+    case _ => }
+  }
+
   test("qualityBuckets: tercile sizes differ by at most 1 within each language") {
     val sizes = TextAnalysis.qualityBuckets(spark, dir)
       .groupBy(col("lang"), col("bucket")).count()
