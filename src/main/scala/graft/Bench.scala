@@ -41,9 +41,29 @@ object Bench {
   def jsonNum(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
+  /** 3-decimal variant for the stdout line, where every byte counts (see
+    * [[LineBudget]]); 1 ms resolution is ample for wall-clock seconds. */
+  def jsonNum3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Hard cap on the stdout JSON line. The round driver captures only the
+    * LAST 2000 characters of combined output and parses the trailing JSON
+    * line out of that window — a longer line arrives truncated mid-JSON
+    * and records `parsed: null` (this silently voided BENCH_r02 and
+    * BENCH_r03). 1800 leaves headroom for the newline and any stray
+    * shutdown chatter. Per-query CPU/memory detail therefore lives in
+    * [[DetailFile]], not on stdout. */
+  val LineBudget = 1800
+
+  /** Full-fidelity metrics sidecar, written next to the sbt working dir
+    * (the repo root when the driver runs) so it lands in the round
+    * snapshot commit. */
+  val DetailFile = "BENCH_DETAIL.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", DetailFile)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,13 +72,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
-    val line = benchLine(spark, listener, sfDir)
+    val results = runSuite(spark, listener, sfDir)
+    val idle = idleUsage(spark)
+    // Full per-query detail (wall + CPU + peak memory + idle footprint) to
+    // the sidecar file; best-effort — the stdout line must print regardless.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailOut),
+      detailJson(results, idle, sfDir) + "\n")
+    catch { case _: Throwable => () }
+    val line = benchLine(results, sfDir)
     // Print the JSON line LAST, after Spark has fully shut down (log
     // level off so no shutdown chatter trails it): the harness parses
     // the tail of the combined output, so nothing may print after this.
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
-    println(line)
+    // stop() is best-effort — a shutdown hiccup must not cost the line.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.stop()
+    } catch { case _: Throwable => () }
+    finally println(line)
   }
 
   /** Run every query at one SF (warmup pass + min of two timed passes per
@@ -127,14 +157,46 @@ object Bench {
     results
   }
 
-  /** Driver-contract JSON line for one SF. Failed queries are reported
-    * under "errors" and excluded from the total instead of being silently
-    * timed as ~0 s successes. */
+  /** Driver-contract stdout JSON line for one SF: total + per-query wall
+    * seconds + errors, guaranteed to fit [[LineBudget]]. Failed queries are
+    * reported under "errors" and excluded from the total instead of being
+    * silently timed as ~0 s successes. If the full queries map would
+    * overflow the budget, the SLOWEST queries are kept (they carry the
+    * performance signal), a `queries_omitted` count records the cut, and
+    * the complete map is in [[DetailFile]]. */
+  def benchLine(results: Seq[QueryBench], sfDir: String): String = {
+    val ok = results.filter(_.err.isEmpty)
+    val errs = results.collect { case QueryBench(k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_.secs).sum
+    def render(keep: Seq[QueryBench]): String = {
+      val qs = keep.sortBy(_.name)
+        .map(r => s"\"${r.name}\":${jsonNum3(r.secs)}").mkString("{", ",", "}")
+      val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
+      s"""{"metric":"total","value":${jsonNum3(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs$omitted,"detail":"$DetailFile","sf":"$sfDir"}"""
+    }
+    val bySlowest = ok.sortBy(r => (-r.secs, r.name))
+    var n = ok.size
+    var line = render(bySlowest.take(n))
+    while (line.length > LineBudget && n > 0) {
+      n -= 1
+      line = render(bySlowest.take(n))
+    }
+    line
+  }
+
+  /** Convenience overload: run the suite, then build the line (test/REPL
+    * entry — `main` runs the suite once and feeds both outputs). */
   def benchLine(spark: SparkSession, listener: QueryMetricsListener,
                 sfDir: String,
-                queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-                  SparkEntry.queries): String = {
-    val results = runSuite(spark, listener, sfDir, queries)
+                queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): String =
+    benchLine(runSuite(spark, listener, sfDir, queries), sfDir)
+
+  /** Full-fidelity JSON for [[DetailFile]]: everything the pre-round-4
+    * stdout line carried (per-query wall/CPU/peak-memory, errors, idle
+    * footprint) without the stdout length constraint. */
+  def detailJson(results: Seq[QueryBench], idle: String, sfDir: String): String = {
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(r => s"\"${r.name}\":${jsonNum(r.secs)}").mkString("{", ",", "}")
     val cpu = ok.map(r => s"\"${r.name}\":${jsonNum(r.cpuS)}").mkString("{", ",", "}")
@@ -142,7 +204,6 @@ object Bench {
     val errs = results.collect { case QueryBench(k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_.secs).sum
-    val idle = idleUsage(spark)
     s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cpu,"peak_task_mem_mb":$mem,"errors":$errs,"idle":$idle,"sf":"$sfDir"}"""
   }

@@ -23,13 +23,14 @@ object BenchPlot {
                        cpuS: Double, peakMb: Double)
 
   /** Parse BenchSweep CSV (query,sf,seconds,cpu_seconds,peak_task_mem_mb,
-    * error); rows with a non-empty error column are dropped. */
+    * error); rows with a non-empty error column — or malformed numeric
+    * fields (hand-edited/truncated files) — are dropped, not fatal. */
   def parseCsv(csv: String): Seq[Row] =
     csv.linesIterator.drop(1).filter(_.nonEmpty).flatMap { line =>
       val f = line.split(",", -1)
       if (f.length < 5 || (f.length >= 6 && f(5).nonEmpty)) None
-      else Some(Row(f(0), f(1).stripPrefix("sf").toDouble,
-        f(2).toDouble, f(3).toDouble, f(4).toDouble))
+      else scala.util.Try(Row(f(0), f(1).stripPrefix("sf").toDouble,
+        f(2).toDouble, f(3).toDouble, f(4).toDouble)).toOption
     }.toSeq
 
   // validated placeholder palette (dataviz reference instance)
@@ -81,12 +82,21 @@ object BenchPlot {
       (q, py(sorted.last._3))
     }
     // direct labels, nudged apart so they never collide (identity lives
-    // here, not in color)
+    // here, not in color). Downward nudging alone lets a cluster near the
+    // panel bottom spill into the next panel's area, so the finished stack
+    // is shifted back up to fit inside this panel's height.
     var prev = Double.NegativeInfinity
-    ends.sortBy(_._2).foreach { case (q, yRaw) =>
+    val placed = ends.sortBy(_._2).map { case (q, yRaw) =>
       val y = math.max(yRaw, prev + 9.5)
       prev = y
-      sb ++= s"""<text x="${ox + M._1 + w + 6}" y="${y + 3}" fill="$InkSecondary" font-size="8">${esc(q)}</text>\n"""
+      (q, y)
+    }
+    val bottom = oy + PanelH - 6
+    val top = oy + 16
+    val overflow = if (placed.nonEmpty) math.max(0.0, placed.last._2 - bottom) else 0.0
+    val shift = if (placed.nonEmpty) math.min(overflow, math.max(0.0, placed.head._2 - top)) else 0.0
+    placed.foreach { case (q, y) =>
+      sb ++= s"""<text x="${ox + M._1 + w + 6}" y="${y - shift + 3}" fill="$InkSecondary" font-size="8">${esc(q)}</text>\n"""
     }
     sb.toString
   }

@@ -31,8 +31,46 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // total must equal the ok query's time alone (single entry in queries)
     val queriesObj = line.split("\"queries\":")(1).split("}")(0)
     assert(!queriesObj.contains("boom"))
-    // cpu/mem metrics present for the successful query
-    assert(line.contains(""""cpu_s":{"ok_count":"""))
-    assert(line.contains(""""peak_task_mem_mb":{"ok_count":"""))
+  }
+
+  test("detail JSON carries the cpu/mem metrics the stdout line no longer does") {
+    val results = Seq(
+      QueryBench("ok_count", 1.5, 3.0, 64.0, None),
+      QueryBench("boom", 0.1, 0.0, 0.0, Some("forced failure")))
+    val detail = Bench.detailJson(results, """{"heap_used_mb":1.0,"heap_max_mb":2.0}""", "/unused")
+    assert(detail.contains(""""cpu_s":{"ok_count":3.0000}"""))
+    assert(detail.contains(""""peak_task_mem_mb":{"ok_count":64.0000}"""))
+    assert(detail.contains(""""errors":{"boom":"forced failure"}"""))
+    assert(detail.contains(""""idle":{"heap_used_mb":1.0"""))
+    org.json4s.jackson.JsonMethods.parse(detail) // must be valid JSON
+  }
+
+  test("stdout line never exceeds the driver's 2000-char tail window") {
+    // The driver keeps only the last 2000 chars of combined output; a line
+    // longer than that is truncated mid-JSON and parses as null (this
+    // voided BENCH_r02/r03). Simulate a far larger suite than the real one
+    // and require: under budget, valid JSON, slowest queries retained.
+    val results = (1 to 200).map { i =>
+      QueryBench(f"synthetic_query_name_$i%03d", i * 0.01, 0.0, 0.0, None)
+    }
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
+    assert(qs.nonEmpty && qs.size < 200, "over-budget suite must be trimmed, not dropped")
+    assert(qs.exists(_._1 == "synthetic_query_name_200"), "slowest query must survive the trim")
+    assert(line.contains(""""queries_omitted":"""))
+    // value stays the FULL total even when the map is trimmed
+    val total = (parsed \ "value").asInstanceOf[org.json4s.JDouble].num
+    assert(math.abs(total - results.map(_.secs).sum) < 0.01)
+  }
+
+  test("the real suite's line fits the budget with every query listed") {
+    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 1.234, 0.0, 0.0, None))
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(!line.contains("queries_omitted"),
+      "the real suite must fit untrimmed — shorten query names or raise precision policy if this fires")
+    org.json4s.jackson.JsonMethods.parse(line)
   }
 }

@@ -50,12 +50,15 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // |q[i]| <= 127 (+0.5 rounding) on unit vectors → dot bounded by ~64*128^2
     assert(rows.forall { case (_, _, _, d) => math.abs(d) <= 64L * 128 * 128 })
     // 4-bit-mantissa quantization of unit vectors preserves the gross
-    // neighborhood: each query's quantized top-5 overlaps the exact top-5
+    // neighborhood: each query's quantized top-5 shares a majority (>=3 of
+    // 5) with the exact top-5 — a bare nonempty intersection could pass a
+    // badly broken quantizer by chance
     val exact = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .map { case (q, g) => q -> g.map(_._2).toSet }
     rows.groupBy(_._1).foreach { case (q, g) =>
-      assert(g.map(_._2).toSet.intersect(exact(q)).nonEmpty, s"query $q")
+      val common = g.map(_._2).toSet.intersect(exact(q)).size
+      assert(common >= 3, s"query $q: only $common of top-5 match exact")
     }
   }
 

@@ -28,7 +28,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df):
-    """Column-name-sorted, row-sorted canonical form, full-precision str."""
+    """Column-name-sorted, row-sorted canonical form, full-precision str.
+
+    NaN is canonicalized the same as NULL deliberately: pandas represents
+    SQL NULL in float64 columns as NaN on BOTH sides of this compare
+    (pd.read_parquet and duckdb .df()), so the two are indistinguishable
+    here anyway; no graft query legitimately produces NaN. Full-precision
+    str() means NO float tolerance — every float-producing query must
+    snap its value through a DECIMAL cast on both engines (see
+    Relational.dsum / the ratio-rounding recipes) before surfacing it.
+    """
     cols = sorted(df.columns)
 
     def norm(v):
