@@ -371,26 +371,48 @@ object TextAnalysis {
 
   // --- T12: quality buckets (head/middle/tail) ------------------------------
 
-  /** T12: CCNet-style quality bucketing — within each language, rank docs
-    * by the T2 composite score and split into head/middle/tail terciles
-    * (ntile(3), deterministic tie-break on doc_id). The rounded score is
-    * bit-identical cross-engine, so the ordering — and therefore the
-    * bucket boundaries — agree exactly. One shuffle on the language key. */
-  def qualityBuckets(spark: SparkSession, dir: String): DataFrame =
-    quality(spark, dir)
+  /** T12: CCNet-style quality bucketing — within each language, split docs
+    * into head/middle/tail by the T2 composite score.
+    *
+    * Boundary-based, not rank-based: per-language tercile BOUNDARIES are a
+    * tiny aggregate (2 doubles per language), broadcast back, and each doc
+    * buckets by a per-row comparison. An `ntile(3) OVER (PARTITION BY
+    * lang ...)` window would funnel the whole corpus through one sorting
+    * task per language — with 'en' ≈ half the corpus that single task is
+    * the scale killer at 100 TB. This form is two corpus scans (score agg
+    * + score bucket), zero global sorts, and the skewed key costs nothing.
+    * Ties at a boundary all land in the higher bucket on both engines
+    * (scores and boundaries are decimal-snapped, so the comparison is
+    * bit-identical cross-engine). */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("tercile", expr(
-        "ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC)"))
-      .selectExpr("doc_id", "lang", "score",
-        "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket")
+      .select(col("doc_id"), col("lang"), col("score"))
+    val bounds = scored.groupBy(col("lang")).agg(
+      rdet(expr("percentile(score, 1.0D/3)"), 6).as("b_lo"),
+      rdet(expr("percentile(score, 2.0D/3)"), 6).as("b_hi"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score") >= col("b_hi"), lit("head"))
+          .when(col("score") >= col("b_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+  }
 
   def qualityBucketsOracle: String =
-    s"""SELECT doc_id, lang, score,
-       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-       |FROM (
-       |  SELECT q.doc_id, d.lang, q.score,
-       |    ntile(3) OVER (PARTITION BY d.lang ORDER BY q.score DESC, q.doc_id ASC) AS tercile
-       |  FROM ($qualityOracle) q JOIN documents d ON d.doc_id = q.doc_id)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT q.doc_id, d.lang, q.score
+       |  FROM ($qualityOracle) q JOIN documents d ON d.doc_id = q.doc_id),
+       |b AS (
+       |  SELECT lang,
+       |    CAST(round(CAST(quantile_cont(score, 1.0/3) AS DECIMAL(18,10)), 6) AS DOUBLE) AS b_lo,
+       |    CAST(round(CAST(quantile_cont(score, 2.0/3) AS DECIMAL(18,10)), 6) AS DOUBLE) AS b_hi
+       |  FROM s GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.score,
+       |  CASE WHEN s.score >= b.b_hi THEN 'head'
+       |       WHEN s.score >= b.b_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM s JOIN b USING (lang)""".stripMargin
 
   // --- T13: length-distribution telemetry -----------------------------------
 
@@ -429,38 +451,69 @@ object TextAnalysis {
   /** Tokens per packed training sequence. */
   val PackBudget = 256L
 
-  /** T14: deterministic sequence packing — the concat-then-slice packing a
-    * training pipeline applies before writing examples: documents are laid
-    * out in a fixed order (doc_id) per language stream and sliced into
-    * PackBudget-token sequences; each doc reports the sequence it starts in
-    * and its token offset within it. One shuffle on the stream key (lang);
-    * the running sum is a per-stream window, so streams pack independently
-    * and in parallel — the 100 TB layout would use many finer streams
-    * (e.g. (lang, shard)) for the same plan shape.
-    *
-    * Everything is integer arithmetic: the window sum is a BIGINT cumsum
-    * and seq/offset are integer div/mod — bit-identical cross-engine. */
-  def seqPack(spark: SparkSession, dir: String): DataFrame =
+  /** Shards per language stream in the gated sharded packing (T14b).
+    * Production would size this so each (lang, shard) stream holds a few
+    * GB of tokens — thousands of shards at 100 TB, behind this same knob. */
+  val PackShards = 8
+
+  /** Core of T14: pack documents into PackBudget-token training sequences
+    * within each independent stream defined by `streamKeys` — fixed doc_id
+    * order per stream, running BIGINT cumsum, integer div/mod for the
+    * sequence id and offset (bit-identical cross-engine). One shuffle on
+    * the stream key; each stream is a single window task, so the stream
+    * key's granularity IS the parallelism: callers choose it to bound the
+    * per-task data (see seqPackSharded). */
+  def seqPackStreams(df: DataFrame, streamKeys: Seq[String]): DataFrame =
+    df.withColumn("cum_before", coalesce(expr(
+        s"""sum(n_tokens) OVER (PARTITION BY ${streamKeys.mkString(", ")}
+           |ORDER BY doc_id ASC
+           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $PackBudget"))
+      .withColumn("seq_offset", expr(s"cum_before % $PackBudget"))
+      .drop("cum_before")
+
+  private def packBase(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), size(words).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(expr(
-        """sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
-          |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin), lit(0L)))
-      .selectExpr("doc_id", "lang", "n_tokens",
-        s"cum_before div $PackBudget AS seq_id",
-        s"cum_before % $PackBudget AS seq_offset")
 
-  def seqPackOracle: String =
-    s"""SELECT doc_id, lang, n_tokens,
+  /** T14 (compat form): one stream per language. Fine when languages are
+    * balanced and streams fit one task; the gated scale form is
+    * seqPackSharded below. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackStreams(packBase(spark, dir), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"), col("seq_offset"))
+
+  /** T14b (scale form): streams are (lang, shard) with shard a
+    * deterministic hash of doc_id mod PackShards — the per-stream window
+    * task now sees ~1/PackShards of its language, so a skewed language
+    * ('en' ≈ half the corpus) no longer serializes through one task.
+    * Readers reassemble a language's corpus as the union of its shard
+    * streams; determinism is unchanged (the shard draw is the same md5
+    * permille used by T7/T10, reproducible on any engine). */
+  def seqPackSharded(spark: SparkSession, dir: String): DataFrame =
+    seqPackStreams(
+      packBase(spark, dir).withColumn("shard",
+        expr(s"${sparkPermille("CAST(doc_id AS STRING)")} % $PackShards").cast("int")),
+      Seq("lang", "shard"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+
+  private def seqPackOracleFor(streamKeys: String, shardCol: String): String =
+    s"""SELECT doc_id, lang$shardCol, n_tokens,
        |  CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
        |  CAST(cum_before % $PackBudget AS BIGINT) AS seq_offset
        |FROM (
-       |  SELECT doc_id, lang, n_tokens,
-       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+       |  SELECT doc_id, lang$shardCol, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY $streamKeys ORDER BY doc_id ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |  FROM (SELECT doc_id, lang,
+       |      CAST(${duckPermille("CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard,
        |      CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
        |    FROM documents))""".stripMargin
+
+  def seqPackOracle: String = seqPackOracleFor("lang", "")
+
+  def seqPackShardedOracle: String = seqPackOracleFor("lang, shard", ", shard")
 
   // --- T15: n-gram (bigram) counts ------------------------------------------
 
@@ -493,6 +546,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_seq_pack" -> seqPack,
+    "t_seq_pack_sharded" -> seqPackSharded,
     "t_bigrams" -> bigrams,
     "t_lang_id" -> langId,
     "t_quality" -> quality,
@@ -510,6 +564,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_seq_pack" -> seqPackOracle,
+    "t_seq_pack_sharded" -> seqPackShardedOracle,
     "t_bigrams" -> bigramsOracle,
     "t_lang_id" -> langIdOracle,
     "t_quality" -> qualityOracle,

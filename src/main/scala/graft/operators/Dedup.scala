@@ -181,9 +181,16 @@ object Dedup {
 
   // --- D4: SimHash ----------------------------------------------------------
 
-  /** SimHash width: 32 bits (16 collides heavily when documents share a
-    * small vocabulary — every nibble-band bucket floods). */
-  val SimhashBits = 32
+  /** SimHash width: 60 bits, banded 4×15 (see SimhashBands). Why 60 and
+    * not 64: the fingerprint lives in one signed BIGINT on BOTH engines
+    * (one codegen'd column, DuckDB-oracle-able), and a full 64-bit value
+    * can't — bit 63 is the sign, word values built from 16 hex digits
+    * exceed Long.MaxValue, and under ANSI arithmetic the overflow is an
+    * error, not a wrap, on either engine. 60 bits is the widest multiple
+    * of 4 hex digits that stays nonnegative; bands go from 2^8 to 2^15
+    * values (128× finer buckets), which is what kills the quadratic
+    * within-bucket blowup at corpus scale. */
+  val SimhashBits = 60
   private val HexDigits = SimhashBits / 4
 
   /** Word value from the first 8 hex digits of md5(w) — pure arithmetic on
@@ -194,7 +201,7 @@ object Dedup {
     (0 until HexDigits).map(j =>
       s"${hexVal(find, j)} * CAST(${1L << (4 * (HexDigits - 1 - j))} AS BIGINT)").mkString(" + ")
 
-  /** Append a 32-bit `simhash` column computed from `text` — shared by
+  /** Append a SimhashBits-wide `simhash` column computed from `text` — shared by
     * the batch D4 query and the streaming near-dup operator (stateless
     * per-row expression work, so it runs unchanged on an unbounded
     * DataFrame). Bit i of the fingerprint is the majority vote of bit i
@@ -231,15 +238,20 @@ object Dedup {
 
   val HammingMax = 3
 
-  /** Byte bands in the SimhashBits-wide fingerprint — the single source
-    * for the banding constants shared with the streaming near-dup probe
-    * (DocStreams.nearDupFlag): changing SimhashBits adjusts both sites'
-    * pigeonhole guarantee together. */
-  val SimhashBands: Int = SimhashBits / 8
+  /** Bands in the SimhashBits-wide fingerprint — HammingMax+1 bands so
+    * the pigeonhole guarantee holds (hamming ≤ 3 ⇒ ≥1 band agrees). The
+    * single source for the banding constants shared with the streaming
+    * near-dup probe (DocStreams.nearDupFlag): changing SimhashBits
+    * adjusts both sites' guarantee and bucket width together. */
+  val SimhashBands: Int = 4
+  /** Bits per band (15 at the 60/4 profile → 2^15 bucket values). */
+  val BandBits: Int = SimhashBits / SimhashBands
+  private val BandMask: Long = (1L << BandBits) - 1
 
-  /** SQL fragment: byte `bandCol` of fingerprint `simhashCol`. */
+  /** SQL fragment: band `bandCol` (0-based, low bits first) of
+    * fingerprint `simhashCol`. */
   private[graft] def bandByteExpr(simhashCol: String, bandCol: String): String =
-    s"(shiftright($simhashCol, 8 * $bandCol) % 256)"
+    s"(shiftright($simhashCol, $BandBits * $bandCol) % ${BandMask + 1})"
 
   /** First-agreeing-band predicate: true iff `bandCol` is the FIRST band
     * on which the two fingerprints agree — each colliding pair is
@@ -249,17 +261,20 @@ object Dedup {
   private[graft] def firstAgreeingBandSql(aCol: String, bCol: String,
                                           bandCol: String): String = {
     def diff(b: Int) =
-      s"(shiftright($aCol, ${8 * b}) % 256) <> (shiftright($bCol, ${8 * b}) % 256)"
+      s"(shiftright($aCol, ${BandBits * b}) % ${BandMask + 1}) <> (shiftright($bCol, ${BandBits * b}) % ${BandMask + 1})"
     val arms = (1 until SimhashBands).map(k =>
       s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
     s"CASE $bandCol WHEN 0 THEN true $arms END"
   }
 
   /** Near-dup candidates by SimHash: pairs with hamming distance ≤ 3.
-    * Banding for scale: the 32-bit fingerprint splits into 4 bytes — a
-    * pair within hamming 3 must agree on ≥1 byte (pigeonhole), so the
-    * join key is (band, byte), never all-pairs; the exact bit_count
-    * filter runs only on band-collision candidates. */
+    * Banding for scale: the fingerprint splits into SimhashBands bands —
+    * a pair within hamming 3 must agree on ≥1 band (pigeonhole), so the
+    * join key is (band, value), never all-pairs; the exact bit_count
+    * filter runs only on band-collision candidates. At the 60/4 profile
+    * each band has 2^15 values, so a billion-doc corpus bucket holds
+    * ~N/32768 docs per band value — the within-bucket self-join stays
+    * subquadratic where an 8-bit band (256 values) would not. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir).localCheckpoint()
     val banded = sh
@@ -276,8 +291,8 @@ object Dedup {
   }
 
   val simhashPairsOracle: String = {
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash // CAST(${1L << (8 * b)} AS BIGINT)) % 256 AS byte FROM s")
+    val bands = (0 until SimhashBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash // CAST(${1L << (BandBits * b)} AS BIGINT)) % ${BandMask + 1} AS byte FROM s")
       .mkString("\n  UNION ALL ")
     s"""WITH s AS MATERIALIZED ($simhashOracle),
        |banded AS MATERIALIZED ($bands)

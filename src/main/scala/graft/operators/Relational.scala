@@ -55,8 +55,13 @@ object Relational {
         round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** R3: TPC-H Q5-style multi-join: broadcast the dimension chain
-    * (region→nation→customer-filter), shuffle only the two fact joins. */
+  /** R3: TPC-H Q5-style multi-join. Broadcast hints only on the
+    * genuinely fixed-size dimensions (region = 5 rows, nation = 25 rows
+    * at EVERY scale factor). Customer and supplier grow with SF (×150k
+    * and ×10k rows per SF) — at the 100 TB design point an unconditional
+    * broadcast of either is an executor/driver OOM, so their joins carry
+    * no hint and AQE picks the strategy (broadcast at small SF where they
+    * fit the threshold, shuffle at large SF where they don't). */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -67,8 +72,8 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -76,7 +81,10 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
   }
 
-  /** R4: TPC-H Q3-style join+filter+agg (no LIMIT: deterministic set). */
+  /** R4: TPC-H Q3-style join+filter+agg (no LIMIT: deterministic set).
+    * Customer is SF-scaled, so no broadcast hint (see R3's note): the
+    * mktsegment filter pushes into its scan and AQE broadcasts the
+    * filtered side only when its runtime size actually fits. */
   def shippingRevenue(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
@@ -84,7 +92,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
   }

@@ -38,16 +38,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("l_comment"), "projection must not read l_comment\n" + p)
   }
 
-  test("Q5 dimension chain broadcasts; fact joins shuffle") {
+  test("Q5/Q3: fixed dims broadcast by hint; SF-scaled sides are never force-broadcast") {
     // disable size-based auto-broadcast: at sf0.001 EVERY table fits the
     // 10MB threshold, which would hide the 100 TB shape. With it off, only
-    // the explicit broadcast() hints survive — which is exactly the claim:
-    // dimensions broadcast by declaration, the fact join shuffles.
+    // explicit broadcast() hints survive — so this pins exactly the claim:
+    // the constant-size dims (region=5, nation=25 rows) broadcast by
+    // declaration, while customer/supplier/orders (all grow with SF) carry
+    // NO hint and must shuffle. A broadcast hint on an SF-scaled table
+    // would be an OOM, not a slow plan, at the 100 TB design point.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan(Relational.localSupplierVolume(spark, dir))
-      assert(p.contains("BroadcastHashJoin"), p)
-      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+      val p5 = plan(Relational.localSupplierVolume(spark, dir))
+      assert(p5.contains("BroadcastHashJoin"), p5) // nation + region hints
+      // the lineitem-orders, customer and supplier joins all shuffle
+      val shuffleJoins5 =
+        "ShuffledHashJoin".r.findAllIn(p5).size + "SortMergeJoin".r.findAllIn(p5).size
+      assert(shuffleJoins5 >= 3,
+        s"customer/supplier must shuffle without hints (saw $shuffleJoins5 shuffle joins)\n" + p5)
+      val p3 = plan(Relational.shippingRevenue(spark, dir))
+      assert(!p3.contains("BroadcastHashJoin"),
+        "Q3 has no fixed-size dim; nothing may broadcast when size info is off\n" + p3)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
@@ -65,6 +75,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(Similarity.ivfAssignment(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
       "corpus-side shuffle in IVF assignment\n" + p)
+  }
+
+  test("qualityBuckets has no corpus-wide window sort (boundary-based terciles)") {
+    // an ntile window PARTITION BY lang would pipe ~half the corpus (the
+    // 'en' key) through ONE sorting task; the boundary form's only
+    // per-lang state is a 2-double aggregate that broadcasts back
+    val p = plan(TextAnalysis.qualityBuckets(spark, dir))
+    assert(!p.contains("Window"),
+      "quality bucketing must not window-sort the corpus\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "tercile boundaries must join back via broadcast\n" + p)
   }
 
   test("stratifiedSample and hashSplit are single-scan, shuffle-free plans") {
