@@ -139,26 +139,37 @@ object Algorithms {
   }
 
   /** K-core decomposition by synchronous peeling: each round drops every
-    * node whose degree among the survivors is < k, `rounds` times (pick
-    * `rounds` ≥ the peel depth — extra rounds are no-ops once converged;
-    * GraphSpec proves convergence on the bench graphs). Returns the
-    * members of the k-core with their in-core degree.
+    * node whose degree among the survivors is < k, until a round drops
+    * nothing (converged) or `rounds` is exhausted (`rounds` is a safety
+    * cap, not the expected iteration count). Returns the members of the
+    * k-core with their in-core degree.
     *
     * Scale shape: one degree aggregation (shuffle on node id) per round
     * over a monotonically SHRINKING edge set; each survivor frontier is
-    * localCheckpoint'ed so the plan stays O(1) across rounds. */
+    * localCheckpoint'ed so the plan stays O(1) across rounds. The
+    * early-exit costs one count per round on the (already materialized)
+    * checkpoint — the same convergence probe CC uses — and halves the
+    * work on graphs that peel in fewer rounds than the cap. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+    var nAlive = alive.count()
     def degAmong(a: DataFrame): DataFrame = und
       .join(a.select(col("id").as("s2")), col("src") === col("s2"))
       .join(a.select(col("id").as("d2")), col("dst") === col("d2"))
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to rounds)
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
       alive = degAmong(alive).filter(col("deg") >= k)
         .select(col("id")).localCheckpoint()
+      val n = alive.count()
+      converged = n == nAlive
+      nAlive = n
+      r += 1
+    }
     val out = degAmong(alive).localCheckpoint()
     und.unpersist()
     out

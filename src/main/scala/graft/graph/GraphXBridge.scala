@@ -65,6 +65,56 @@ object GraphXBridge {
     drain(spark, res, res.vertices.filter(_._2 != Long.MaxValue), ("node", "dist"))
   }
 
+  /** Point-to-point shortest-path LENGTH (the reference's src→dst `ssp`,
+    * databases.py:46); -1 if unreachable. Pregel's built-in loop cannot
+    * stop on a predicate, so the superstep loop is explicit: one
+    * aggregateMessages per BFS level, with a single probe job per level
+    * that reads both the frontier size and the target's message — the
+    * loop exits the level the target is reached, doing depth(target)
+    * supersteps instead of the graph's full eccentricity. Per-level cost
+    * is the RDD superstep floor (no SQL planning), which is what makes a
+    * deep traversal affordable on a small graph and shuffle-bounded on a
+    * large one. */
+  def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
+                         target: Long, numParts: Int = 0): Long = {
+    var cur = toGraphX(g, numParts).mapVertices((id, _) =>
+      if (id == source) 0L else Long.MaxValue).cache()
+    var result = if (source == target) 0L else -1L
+    var done = result == 0L
+    while (!done) {
+      // messages only to UNVISITED vertices: the frontier is exactly the
+      // newly reached level, so counting it doubles as the termination test
+      val msgs = cur.aggregateMessages[Long](
+        t => if (t.srcAttr != Long.MaxValue && t.dstAttr == Long.MaxValue)
+          t.sendToDst(t.srcAttr + 1L),
+        math.min).cache()
+      val (n, tHit) = msgs.aggregate((0L, -1L))(
+        { case ((c, t0), (v, d)) => (c + 1, if (v == target) d else t0) },
+        { case ((c1, t1), (c2, t2)) => (c1 + c2, math.max(t1, t2)) })
+      if (tHit >= 0L) { result = tHit; done = true }
+      else if (n == 0L) done = true
+      else {
+        // same materialize-then-unpersist discipline as pageRank — BOTH
+        // edges and vertices, in that order: the new graph's edge view
+        // ships vertex attributes lazily, so unpersisting the previous
+        // round before the edges materialize chains every round's
+        // recompute into one deeply nested lineage (observed: a single
+        // task stuck for minutes re-zipping 30 rounds of joins)
+        val next = cur.outerJoinVertices(msgs)((_, old, m) =>
+          m.map(math.min(old, _)).getOrElse(old)).cache()
+        next.edges.foreachPartition(_ => ())
+        next.vertices.foreachPartition(_ => ())
+        cur.unpersistVertices(blocking = false)
+        cur.edges.unpersist(blocking = false)
+        msgs.unpersist(blocking = false)
+        cur = next
+      }
+    }
+    cur.unpersistVertices(blocking = false)
+    cur.edges.unpersist(blocking = false)
+    result
+  }
+
   /** Weighted single-source shortest paths via Pregel (non-negative
     * integer weights; edges must carry a `w` column). Same vertex-resident
     * relaxation loop as `distances`, with the edge weight as the message

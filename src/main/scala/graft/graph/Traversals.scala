@@ -42,8 +42,9 @@ object Traversals {
 
   /** Unweighted shortest-path length from src to dst (reference `ssp`);
     * -1 if unreachable. Early-exits as soon as dst is reached. */
-  def shortestPathLength(edges: DataFrame, source: Long, target: Long): Long = {
-    val dists = bfs(edges, source, None, stopAt = Some(target))
+  def shortestPathLength(edges: DataFrame, source: Long, target: Long,
+                         numParts: Int = 0): Long = {
+    val dists = bfs(edges, source, None, stopAt = Some(target), numParts = numParts)
     val hit = dists.filter(col("node") === target).select(col("dist")).collect()
     if (hit.isEmpty) -1L else hit.head.getInt(0).toLong
   }
@@ -77,14 +78,20 @@ object Traversals {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint() // the one materializing job this round
-      if (next.isEmpty) done = true
+      // one probe job per round on the (tiny, checkpointed) frontier:
+      // emptiness and target-hit together — a separate filter+count for
+      // stopAt would double the per-round job overhead that dominates
+      // deep traversals on small graphs
+      val probe = next.agg(count(lit(1)).as("n"),
+        sum(when(col("node") === lit(stopAt.getOrElse(-1L)), 1L).otherwise(0L)).as("hit"))
+        .collect()(0)
+      if (probe.getLong(0) == 0L) done = true
       else {
         parts ::= next.withColumn("dist", lit(hop))
         frontier = next
         hop += 1
         if (maxHops.exists(hop > _)) done = true
-        else if (stopAt.exists(t => next.filter(col("node") === t).limit(1).count() > 0))
-          done = true
+        else if (stopAt.isDefined && probe.getLong(1) > 0L) done = true
       }
     }
     e.unpersist()

@@ -99,6 +99,24 @@ object GraphOps {
     GraphXBridge.distances(spark, PropertyGraph.grid(spark, 16), source = 0L,
       numParts = 1)
 
+  // --- G4b: point-to-point shortest path ------------------------------------
+
+  /** G4b: the reference's `ssp` exactly (databases.py:46) — shortest-path
+    * LENGTH between two given nodes, not all distances: corner-to-corner
+    * on the 16×16 grid (0 → 255, 30 hops on the right/down DAG). Runs on
+    * the GraphX early-exit loop (RDD superstep floor, no per-round SQL
+    * planning); the DataFrame twin Traversals.shortestPathLength has the
+    * same semantics and is cross-validated in GraphSpec. */
+  def sspPair(spark: SparkSession, dir: String): DataFrame = {
+    val n = 16
+    val dist = GraphXBridge.shortestPathLength(
+      spark, PropertyGraph.grid(spark, n), source = 0L,
+      target = (n * n - 1).toLong, numParts = 1)
+    spark.range(1).select(
+      lit(0L).as("src"), lit((n * n - 1).toLong).as("dst"),
+      lit(dist).as("dist"))
+  }
+
   // --- G13: weighted SSSP ---------------------------------------------------
 
   /** Deterministic integer edge weights for the grid: w = (src+2·dst)%5+1
@@ -209,6 +227,49 @@ object GraphOps {
        |SELECT ue.src AS id, count(*) AS deg FROM ue
        |  JOIN a$rounds x ON x.id = ue.src JOIN a$rounds y ON y.id = ue.dst GROUP BY 1""".stripMargin
   }
+
+  // --- G15: the reference's real dataset (Wiki-Vote) ------------------------
+
+  /** The reference's actual benchmark input (databases.py:129-137,
+    * benchmark.py:125-136): SNAP Wiki-Vote converted by the reference's
+    * conv.py to a node-id-per-line file (7115 nodes, isolated ids
+    * included) plus a src\tdst TSV (103689 edges). Read-only. Unlike the
+    * synthetic grid/bipartite generators, this graph is power-law: the
+    * degree and traversal queries below exercise real hub skew. */
+  val WikiVoteNodes = "/root/reference/data_sets/Wiki-VoteN.txt"
+  val WikiVoteEdges = "/root/reference/data_sets/Wiki-VoteE.txt"
+
+  private def wikiVote(spark: SparkSession) =
+    PropertyGraph.fromNodeEdgeLists(spark, WikiVoteNodes, WikiVoteEdges)
+
+  /** DuckDB view of the same two files. */
+  private val wikiEdgesSql =
+    s"""SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |FROM read_csv('$WikiVoteEdges', delim='\\t', header=false, names=['src','dst'])""".stripMargin
+  private val wikiNodesSql =
+    s"""SELECT CAST(id AS BIGINT) AS id
+       |FROM read_csv('$WikiVoteNodes', header=false, names=['id'])""".stripMargin
+
+  /** G15a: degree histogram of the real graph — the power-law tail (max
+    * in-degree in the hundreds) lands each hub in its own (outdeg,
+    * indeg) cell, so the whole distribution is checked, not a summary. */
+  def wikivoteDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = wikiVote(spark)
+    Algorithms.degrees(g.nodes, g.edges, numParts = 4)
+      .groupBy(col("outdeg"), col("indeg")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** G15b: the reference's bench_traversal (benchmark.py:168-178) on its
+    * own dataset — directed BFS frontier expansion from a fixed start
+    * node. The reference defaults to start_node=1, which does not exist
+    * in Wiki-Vote (min id is 3); node 3 is the smallest real id with
+    * out-edges, so the traversal actually expands through the hubs. */
+  val WikiKhopSource = 3L
+  val WikiKhopHops = 3
+
+  def wikivoteKhop(spark: SparkSession, dir: String): DataFrame =
+    Traversals.kHop(wikiVote(spark).edges, source = WikiKhopSource,
+      maxHops = WikiKhopHops, numParts = 4)
 
   // --- G9: PageRank ---------------------------------------------------------
 
@@ -344,6 +405,9 @@ object GraphOps {
     "g_khop_grid" -> khopGrid,
     "g_khop_bipartite" -> khopBipartite,
     "g_sssp_grid" -> ssspGrid,
+    "g_ssp_pair" -> sspPair,
+    "g_wikivote_degree" -> wikivoteDegree,
+    "g_wikivote_khop" -> wikivoteKhop,
     "g_wsssp_grid" -> wssspGrid,
     "g_grid_degree" -> gridDegree,
     "g_edgelist_roundtrip" -> edgelistRoundtrip,
@@ -370,6 +434,27 @@ object GraphOps {
     "g_khop_grid" -> bfsOracle(gridEdgesSql(20), undirected = false, 0L, 5, 1),
     "g_khop_bipartite" -> bfsOracle(bipartiteEdgesSql, undirected = true, 1L, 2, 1),
     "g_sssp_grid" -> bfsOracle(gridEdgesSql(16), undirected = false, 0L, 64, 0),
+    "g_ssp_pair" ->
+      s"""WITH RECURSIVE base AS (${gridEdgesSql(16)}),
+         |bfs(node, d) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION
+         |  SELECT base.dst, bfs.d + 1 FROM bfs JOIN base ON base.src = bfs.node
+         |  WHERE bfs.d < 64)
+         |SELECT CAST(0 AS BIGINT) AS src, CAST(255 AS BIGINT) AS dst,
+         |  CAST(min(d) AS BIGINT) AS dist
+         |FROM bfs WHERE node = 255""".stripMargin,
+    "g_wikivote_degree" ->
+      s"""WITH e AS ($wikiEdgesSql),
+         |n AS ($wikiNodesSql),
+         |outs AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+         |ins AS (SELECT dst, count(*) AS c FROM e GROUP BY dst)
+         |SELECT COALESCE(outs.c, 0) AS outdeg, COALESCE(ins.c, 0) AS indeg,
+         |  count(*) AS n_nodes
+         |FROM n LEFT JOIN outs ON outs.src = n.id LEFT JOIN ins ON ins.dst = n.id
+         |GROUP BY 1, 2""".stripMargin,
+    "g_wikivote_khop" ->
+      bfsOracle(wikiEdgesSql, undirected = false, WikiKhopSource, WikiKhopHops, 1),
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),
     "g_grid_degree" ->
       s"""WITH e AS (${gridEdgesSql(20)}),

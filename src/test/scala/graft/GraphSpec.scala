@@ -43,6 +43,15 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Traversals.shortestPathLength(pathG.edges, 4L, 1L) == -1L)
   }
 
+  test("GraphX early-exit ssp agrees with the DataFrame BFS") {
+    assert(GraphXBridge.shortestPathLength(spark, pathG, 1L, 4L) == 3L)
+    assert(GraphXBridge.shortestPathLength(spark, pathG, 4L, 1L) == -1L)
+    assert(GraphXBridge.shortestPathLength(spark, pathG, 2L, 2L) == 0L)
+    val g = PropertyGraph.grid(spark, 8)
+    assert(GraphXBridge.shortestPathLength(spark, g, 0L, 63L, numParts = 1) ==
+      Traversals.shortestPathLength(g.edges, 0L, 63L, numParts = 1))
+  }
+
   test("distances agree with GraphX Pregel on the grid") {
     val g = PropertyGraph.grid(spark, 8)
     val df = Traversals.distances(g.edges, 0L)
