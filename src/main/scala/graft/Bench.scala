@@ -79,7 +79,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailOut),
       detailJson(results, idle, sfDir) + "\n")
     catch { case _: Throwable => () }
-    val line = benchLine(results, sfDir)
+    val line = benchLine(results, sfDir, detailOut)
     // Print the JSON line LAST, after Spark has fully shut down (log
     // level off so no shutdown chatter trails it): the harness parses
     // the tail of the combined output, so nothing may print after this.
@@ -112,9 +112,13 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
       Reset.clear(spark) // reference bench semantics: clear between runs
     }
-    // Two timed passes, min per query: single-shot timings on shared
+    // Three timed passes, min per query: single-shot timings on shared
     // hosts absorb multi-second I/O stalls (dropped page cache, virtual
-    // disk latency) that say nothing about the plan being measured.
+    // disk latency) that say nothing about the plan being measured — and
+    // min-of-2 is not enough when one contention window spans both passes
+    // (round 4 recorded two ~8 s phantoms for sub-second queries exactly
+    // that way). With three passes a stall must cover all three to
+    // fabricate a number.
     org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
     listener.snapshot() // drop warmup-attributed metrics
     val results = ordered.map { case (name, fn) =>
@@ -124,9 +128,9 @@ object Bench {
       // the same pass as the reported min wall time — not a sum over all
       // passes next to a single pass's seconds. Errors are per-pass too:
       // a transient single-pass failure must neither discard the other
-      // pass's valid measurement nor let the aborted pass's (fast) wall
+      // passes' valid measurements nor let the aborted pass's (fast) wall
       // time win the min.
-      val passes = (1 to 2).map { _ =>
+      val passes = (1 to 3).map { _ =>
         var err: Option[String] = None
         val t0 = System.nanoTime()
         try run(fn) catch {
@@ -160,28 +164,42 @@ object Bench {
   /** Driver-contract stdout JSON line for one SF: total + per-query wall
     * seconds + errors, guaranteed to fit [[LineBudget]]. Failed queries are
     * reported under "errors" and excluded from the total instead of being
-    * silently timed as ~0 s successes. If the full queries map would
-    * overflow the budget, the SLOWEST queries are kept (they carry the
-    * performance signal), a `queries_omitted` count records the cut, and
-    * the complete map is in [[DetailFile]]. */
-  def benchLine(results: Seq[QueryBench], sfDir: String): String = {
+    * silently timed as ~0 s successes. If the full line would overflow the
+    * budget, it degrades in stages, cheapest signal first: drop the
+    * FASTEST queries (the slow ones carry the performance signal, a
+    * `queries_omitted` count records the cut), then truncate error
+    * messages to 40 chars, then replace the errors object entirely with an
+    * `errors_omitted` count — a mass-failure round (60+ errors × 200
+    * chars) must still produce a parseable line. Full fidelity always
+    * lives in the detail sidecar (`detail` names the actual file written,
+    * honoring SPARK_GRAFT_DETAIL_OUT). */
+  def benchLine(results: Seq[QueryBench], sfDir: String,
+                detail: String = DetailFile): String = {
     val ok = results.filter(_.err.isEmpty)
-    val errs = results.collect { case QueryBench(k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
+    val errList = results.collect { case QueryBench(k, _, _, _, Some(e)) => (k, e) }
     val total = ok.map(_.secs).sum
-    def render(keep: Seq[QueryBench]): String = {
+    def render(keep: Seq[QueryBench], errMaxLen: Int): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${jsonNum3(r.secs)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
+      val errs =
+        if (errMaxLen > 0 || errList.isEmpty)
+          errList.map { case (k, e) => s"\"$k\":\"${e.take(errMaxLen)}\"" }
+            .mkString("{", ",", "}") + omittedErrs(0)
+        else "{}" + omittedErrs(errList.size)
       s"""{"metric":"total","value":${jsonNum3(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs$omitted,"detail":"$DetailFile","sf":"$sfDir"}"""
+        s""""errors":$errs$omitted,"detail":"$detail","sf":"$sfDir"}"""
     }
+    def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
-    var n = ok.size
-    var line = render(bySlowest.take(n))
-    while (line.length > LineBudget && n > 0) {
-      n -= 1
-      line = render(bySlowest.take(n))
+    var line = render(bySlowest, 200)
+    for (errMaxLen <- Seq(200, 40, 0) if line.length > LineBudget) {
+      var n = ok.size
+      line = render(bySlowest.take(n), errMaxLen)
+      while (line.length > LineBudget && n > 0) {
+        n -= 1
+        line = render(bySlowest.take(n), errMaxLen)
+      }
     }
     line
   }
@@ -248,7 +266,11 @@ object BenchSweep {
     val rows = sfDirs.flatMap { dir =>
       val sf = dir.split('/').last
       Reset.clear(spark, scratch = true) // each SF regenerates its scratch
-      Bench.runSuite(spark, listener, dir).map { r =>
+      // overlay the SF-scaled grid variants: the sweep mirrors the
+      // reference's increasing-size loop, so fixed-size graph rows would
+      // measure the same graph at every SF (see GraphOps.sweepQueries)
+      Bench.runSuite(spark, listener, dir,
+        SparkEntry.queries ++ graft.operators.GraphOps.sweepQueries).map { r =>
         s"${r.name},$sf,${Bench.jsonNum(r.secs)},${Bench.jsonNum(r.cpuS)}," +
           s"${Bench.jsonNum(r.peakMb)},${r.err.getOrElse("")}"
       }

@@ -22,9 +22,26 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Demo-scale LSH profile — the oracle-gated form (an 8-wide signature
+    * keeps the DuckDB oracle SQL readable and fast). The code path is
+    * profile-parameterized: see [[ProdNumHashes]]/[[ProdBands]] and
+    * [[minhashPairsOf]] for the production constants behind the SAME
+    * expressions. */
   val NumHashes = 8
   val Bands = 4 // rows per band = NumHashes / Bands = 2
   val ShingleLen = 3
+
+  /** Production LSH profile: 128 hashes / 16 bands (8 rows per band) —
+    * the constants a corpus-scale near-dup pipeline actually runs: the
+    * detection curve 1-(1-s^8)^16 is a much sharper threshold around
+    * s≈0.7 than the demo 1-(1-s^2)^4, so low-similarity pairs stop
+    * flooding the candidate join while true near-dups are still caught
+    * with ≥99.9% probability. Same code path as the gated entries
+    * (DedupProfileSpec proves recall on planted dups); not oracle-gated —
+    * a 128-hash unrolled oracle would be SQL-generation noise, and the
+    * equivalence to the gated path is structural. */
+  val ProdNumHashes = 128
+  val ProdBands = 16
 
   // --- D1: exact dedup ------------------------------------------------------
 
@@ -73,31 +90,42 @@ object Dedup {
   private def duckMinhash(j: Int) =
     s"list_min(list_transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
 
-  /** Word-shingle sets per doc — the shared input of minhash banding and
-    * Jaccard verification (computed once, checkpointed by callers).
-    * `keep` carries extra passthrough columns (e.g. `source` for the
-    * incremental variant). */
-  private def shingleSets(spark: SparkSession, dir: String,
-                          keep: Seq[String] = Nil): DataFrame =
-    Tables.documents(spark, dir)
+  /** Word-shingle sets per doc over any (doc_id, text, ...) frame — the
+    * shared input of minhash banding and Jaccard verification (computed
+    * once, checkpointed by callers). `keep` carries extra passthrough
+    * columns (e.g. `source` for the incremental variant). */
+  private[graft] def shingleSetsOf(docs: DataFrame,
+                                   keep: Seq[String] = Nil): DataFrame =
+    docs
       .selectExpr("doc_id" +: keep :+ "regexp_extract_all(lower(text), '[a-z]+', 0) AS words": _*)
       .filter(expr(s"size(words) >= $ShingleLen"))
       .selectExpr("doc_id" +: keep :+ s"$sparkShingles AS shingles": _*)
 
-  /** Docs with their LSH band values: band b = concat of minhashes 2b,2b+1.
-    * Input must have (doc_id, shingles). Each exploded row carries the full
-    * band-value array (`vals`) so the pair join can dedupe multi-band
-    * collisions with a first-agreeing-band predicate instead of a global
-    * DISTINCT shuffle. */
-  private def bandedFromShingles(sh: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val mh = (0 until NumHashes).map(j => s"${sparkMinhash(j)} AS h$j")
-    val bands = (0 until Bands).map(b =>
-      s"concat(CAST(h${2 * b} AS STRING), '|', CAST(h${2 * b + 1} AS STRING))").mkString(", ")
+  private def shingleSets(spark: SparkSession, dir: String,
+                          keep: Seq[String] = Nil): DataFrame =
+    shingleSetsOf(Tables.documents(spark, dir), keep)
+
+  /** Docs with their LSH band values: band b = concat of its
+    * `numHashes/bands` consecutive minhashes. Input must have (doc_id,
+    * shingles). Each exploded row carries the full band-value array
+    * (`vals`) so the pair join can dedupe multi-band collisions with a
+    * first-agreeing-band predicate instead of a global DISTINCT shuffle.
+    * Profile-parameterized: the gated queries pass the demo 8/4, the
+    * production path passes 128/16 through the identical expressions. */
+  private def bandedFromShingles(sh: DataFrame, keep: Seq[String] = Nil,
+                                 numHashes: Int = NumHashes,
+                                 bands: Int = Bands): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide hashes ($numHashes)")
+    val rows = numHashes / bands
+    val mh = (0 until numHashes).map(j => s"${sparkMinhash(j)} AS h$j")
+    val bandVals = (0 until bands).map(b =>
+      (0 until rows).map(r => s"CAST(h${rows * b + r} AS STRING)")
+        .mkString("concat_ws('|', ", ", ", ")")).mkString(", ")
     val id = "doc_id" +: keep
     sh.selectExpr(id :+ s"transform(shingles, s -> ${shingleHash("instr", "substring")}) AS hvs": _*)
       .selectExpr(id ++ mh: _*)
-      .selectExpr(id :+ s"array($bands) AS vals": _*)
-      .selectExpr(id ++ Seq("vals", s"explode(sequence(0, ${Bands - 1})) AS band_idx"): _*)
+      .selectExpr(id :+ s"array($bandVals) AS vals": _*)
+      .selectExpr(id ++ Seq("vals", s"explode(sequence(0, ${bands - 1})) AS band_idx"): _*)
       .selectExpr(id ++ Seq("vals", "band_idx", "element_at(vals, band_idx + 1) AS val"): _*)
   }
 
@@ -130,20 +158,30 @@ object Dedup {
   /** True iff the joined band is the FIRST band on which x and y agree —
     * the per-row predicate that replaces a global DISTINCT over multi-band
     * collisions (expects the join sides aliased x/y with `vals` carried). */
-  private def firstAgreeingBand = expr {
+  private def firstAgreeingBand(bands: Int) = expr {
     def diff(b: Int) =
       s"element_at(x.vals, ${b + 1}) <> element_at(y.vals, ${b + 1})"
-    val arms = (1 until Bands).map(k =>
+    val arms = (1 until bands).map(k =>
       s"WHEN $k THEN ${(0 until k).map(diff).mkString(" AND ")}").mkString(" ")
     s"CASE x.band_idx WHEN 0 THEN true $arms END"
   }
 
-  private def pairsFrom(banded: DataFrame): DataFrame =
+  private def pairsFrom(banded: DataFrame, bands: Int = Bands): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(firstAgreeingBand)
+      .filter(firstAgreeingBand(bands))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+
+  /** Candidate pairs at an arbitrary LSH profile over any (doc_id, text)
+    * frame — the production entry point ([[ProdNumHashes]]/[[ProdBands]]
+    * by default) behind the exact code path the gated `d_minhash_pairs`
+    * exercises at the demo profile. */
+  def minhashPairsOf(docs: DataFrame,
+                     numHashes: Int = ProdNumHashes,
+                     bands: Int = ProdBands): DataFrame =
+    pairsFrom(bandedFromShingles(shingleSetsOf(docs),
+      numHashes = numHashes, bands = bands).localCheckpoint(), bands)
 
   val minhashPairsOracle: String =
     s"""WITH $bandedDuckSql
@@ -389,7 +427,7 @@ object Dedup {
     banded.filter(col("source") === IncrNewSource).as("x")
       .join(banded.filter(col("source") =!= IncrNewSource).as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.val") === col("y.val"))
-      .filter(firstAgreeingBand)
+      .filter(firstAgreeingBand(Bands))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("match_id")).as("canonical_id"))

@@ -80,6 +80,48 @@ object GraphOps {
     Traversals.kHop(PropertyGraph.grid(spark, 20).edges, source = 0L, maxHops = 5,
       numParts = 1)
 
+  // --- SF-scaled sweep variants ---------------------------------------------
+
+  /** Grid side for the size sweep, derived from the SF (√customer-count,
+    * clamped): the reference's bench iterates INCREASING graph sizes
+    * (benchmark.py:238-263), so the sweep's traversal/SSSP rows must
+    * actually grow with SF — the oracle-gated entries keep their fixed
+    * sizes (a static oracle can't see the SF), these scaled twins are
+    * what BenchSweep runs. Clamp rationale: BFS/Bellman-Ford depth on an
+    * N-grid is ~2N supersteps, so N caps at 48 to bound superstep count;
+    * floor 8 keeps the smallest SF a real graph. */
+  def gridNFor(spark: SparkSession, dir: String): Int = {
+    val rows = graft.sources.Tables.customer(spark, dir).count()
+    math.max(8, math.min(48, math.ceil(math.sqrt(rows / 10.0)).toInt))
+  }
+
+  /** Sweep-only overlays for the fixed-size grid queries (same code paths,
+    * SF-derived N). Merged over the gated map by BenchSweep. */
+  val sweepQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_khop_grid" -> ((s, d) => Traversals.kHop(
+      PropertyGraph.grid(s, gridNFor(s, d)).edges, source = 0L, maxHops = 5,
+      numParts = 1)),
+    "g_grid_degree" -> ((s, d) => {
+      val g = PropertyGraph.grid(s, gridNFor(s, d))
+      Algorithms.degrees(g.nodes, g.edges, numParts = 1)
+        .groupBy(col("outdeg"), col("indeg")).agg(count(lit(1)).as("n_nodes"))
+    }),
+    "g_sssp_grid" -> ((s, d) => GraphXBridge.distances(
+      s, PropertyGraph.grid(s, gridNFor(s, d)), source = 0L, numParts = 1)),
+    "g_wsssp_grid" -> ((s, d) => {
+      val g = PropertyGraph.grid(s, gridNFor(s, d))
+      val we = g.edges.selectExpr("src", "dst", s"CAST($WeightSql AS BIGINT) AS w")
+      GraphXBridge.weightedDistances(s, g.nodes, we, source = 0L, numParts = 1)
+    }),
+    "g_ssp_pair" -> ((s, d) => {
+      val n = gridNFor(s, d)
+      val dist = GraphXBridge.shortestPathLength(
+        s, PropertyGraph.grid(s, n), source = 0L,
+        target = (n.toLong * n - 1), numParts = 1)
+      s.range(1).select(
+        lit(0L).as("src"), lit(n.toLong * n - 1).as("dst"), lit(dist).as("dist"))
+    }))
+
   def khopBipartite(spark: SparkSession, dir: String): DataFrame = {
     // raw (non-distinct) edge multiset: BFS frontiers dedup per round, so
     // a pre-distinct of the edge set would be a wasted full shuffle — the

@@ -66,11 +66,37 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the real suite's line fits the budget with every query listed") {
-    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 1.234, 0.0, 0.0, None))
+    // 999.999 = maximal realistic per-query timing width (7 chars after
+    // jsonNum3): the fit guarantee must hold at worst-case digit counts,
+    // not at a friendly 1.234
+    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 999.999, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(!line.contains("queries_omitted"),
       "the real suite must fit untrimmed — shorten query names or raise precision policy if this fires")
     org.json4s.jackson.JsonMethods.parse(line)
+  }
+
+  test("mass failure still yields a parseable line under budget") {
+    // every query failing with a maximal 200-char sanitized message: the
+    // budget loop must shrink the ERRORS object too (shrinking queries
+    // alone can never fit), degrading to 40-char messages and finally to
+    // an errors_omitted count — never a mid-JSON truncation by the driver
+    val longMsg = "e" * 200
+    val results = SparkEntry.queries.keys.toSeq.map(n =>
+      QueryBench(n, 0.0, 0.0, 0.0, Some(longMsg)))
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val omitted = (parsed \ "errors_omitted")
+    val errs = (parsed \ "errors").asInstanceOf[org.json4s.JObject].obj
+    assert(errs.nonEmpty || omitted != org.json4s.JNothing,
+      "errors must surface as truncated messages or an omitted count")
+  }
+
+  test("detail path on the line follows SPARK_GRAFT_DETAIL_OUT") {
+    val results = Seq(QueryBench("q", 1.0, 0.0, 0.0, None))
+    val line = Bench.benchLine(results, "/sf", "/tmp/elsewhere.json")
+    assert(line.contains(""""detail":"/tmp/elsewhere.json""""))
   }
 }
