@@ -95,8 +95,12 @@ object BenchPlot {
     val top = oy + 16
     val overflow = if (placed.nonEmpty) math.max(0.0, placed.last._2 - bottom) else 0.0
     val shift = if (placed.nonEmpty) math.min(overflow, math.max(0.0, placed.head._2 - top)) else 0.0
+    // a stack taller than the panel can still overshoot after the uniform
+    // shift; per-label clamp to [top, bottom] keeps every label inside this
+    // panel (labels may then overlap — containment beats cross-panel spill)
     placed.foreach { case (q, y) =>
-      sb ++= s"""<text x="${ox + M._1 + w + 6}" y="${y - shift + 3}" fill="$InkSecondary" font-size="8">${esc(q)}</text>\n"""
+      val yc = math.min(bottom, math.max(top, y - shift))
+      sb ++= s"""<text x="${ox + M._1 + w + 6}" y="${yc + 3}" fill="$InkSecondary" font-size="8">${esc(q)}</text>\n"""
     }
     sb.toString
   }

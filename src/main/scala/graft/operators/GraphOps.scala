@@ -313,6 +313,16 @@ object GraphOps {
     Traversals.kHop(wikiVote(spark).edges, source = WikiKhopSource,
       maxHops = WikiKhopHops, numParts = 4)
 
+  /** G15c: connected components of the real graph (GraphX native,
+    * undirected min-id labels) — the iterative algorithm family on a
+    * power-law instance: one giant 7066-node component plus a tail of
+    * small ones, exactly the shape TPC-H-derived graphs never produce.
+    * Oracle rounds: min-label propagation needs the min id's
+    * eccentricity per component (measured 5 on the giant component;
+    * 10 rounds is a 2× margin). */
+  def wikivoteCC(spark: SparkSession, dir: String): DataFrame =
+    GraphXBridge.connectedComponents(spark, wikiVote(spark), numParts = 4)
+
   // --- G9: PageRank ---------------------------------------------------------
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -450,6 +460,7 @@ object GraphOps {
     "g_ssp_pair" -> sspPair,
     "g_wikivote_degree" -> wikivoteDegree,
     "g_wikivote_khop" -> wikivoteKhop,
+    "g_wikivote_cc" -> wikivoteCC,
     "g_wsssp_grid" -> wssspGrid,
     "g_grid_degree" -> gridDegree,
     "g_edgelist_roundtrip" -> edgelistRoundtrip,
@@ -497,6 +508,7 @@ object GraphOps {
          |GROUP BY 1, 2""".stripMargin,
     "g_wikivote_khop" ->
       bfsOracle(wikiEdgesSql, undirected = false, WikiKhopSource, WikiKhopHops, 1),
+    "g_wikivote_cc" -> ccOracle(wikiEdgesSql, 10),
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),
     "g_grid_degree" ->
       s"""WITH e AS (${gridEdgesSql(20)}),
