@@ -102,6 +102,91 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the SimHash fingerprint fold — the hot
+  * loop of the D4 fingerprint (operators/Dedup.withSimhash).
+  *
+  * Why: the SQL formulation is `bits` separate `aggregate(vals, ...)`
+  * higher-order calls (one interpreted lambda walk over the word-hash
+  * array PER BIT — 60 walks/row at the 60-bit profile). This expression
+  * does one compiled pass: for each word hash, every bit's ±1 vote
+  * accumulates into a reused int buffer; the fingerprint is the
+  * sign-vote per bit. Semantics are bit-identical to the SQL form (and
+  * the DuckDB oracle): vote = 2·((v >> i) & 1) − 1 summed in array
+  * order, bit set iff the sum is strictly positive; empty array → 0.
+  * Null array → null; word-hash values are nonnegative (< 2^60) so
+  * arithmetic and logical shifts agree. */
+case class SimhashFingerprint(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if bits >= 1 && bits <= 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash expects (array<bigint>, bits in 1..63), got " +
+            s"${child.dataType.catalogString} with bits=$bits")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val cnt = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      var b = 0
+      while (b < bits) {
+        cnt(b) += (((v >>> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (cnt(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // per-row vote buffer reused across rows (mutable state, zeroed each
+    // row) — no per-row allocation inside the scan loop
+    val buf = ctx.addMutableState("int[]", "simhashVotes",
+      v => s"$v = new int[$bits];")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final int $n = $c.numElements();
+         |java.util.Arrays.fill($buf, 0);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $v = $c.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $buf[$b] += ((int) (($v >>> $b) & 1L) * 2) - 1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($buf[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions — as a session-builder call
   * (`GraftFunctions.register`) or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -123,6 +208,15 @@ object GraftFunctions {
       BottomK(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
     })
 
+  val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"graft_simhash takes (vals, bits), got ${exprs.length} args")
+      require(exprs(1).foldable, "graft_simhash's bits must be a constant")
+      SimhashFingerprint(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
+    })
+
   /** Idempotent in-session registration (used by the operator builders so
     * `selectExpr("graft_dot(a, b)")` resolves without extensions config). */
   def register(spark: SparkSession): Unit = {
@@ -130,6 +224,8 @@ object GraftFunctions {
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       bottomkDescriptor._1, bottomkDescriptor._2, bottomkDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
   }
 }
 
@@ -139,5 +235,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bottomkDescriptor)
+    ext.injectFunction(GraftFunctions.simhashDescriptor)
   }
 }

@@ -150,11 +150,19 @@ object Algorithms {
     * early-exit costs one count per round on the (already materialized)
     * checkpoint — the same convergence probe CC uses — and halves the
     * work on graphs that peel in fewer rounds than the cap. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** `numParts > 0` sizes the persisted edge set and each round's frontier
+    * to the graph instead of `spark.sql.shuffle.partitions` — a
+    * few-thousand-edge graph over local[32]'s default width pays ~10
+    * rounds × 4 stages × 32 near-empty tasks otherwise (same knob as
+    * Traversals.bfs / GraphXBridge). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int, numParts: Int = 0): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+    val und0 = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val und = (if (numParts > 0) und0.repartition(numParts, col("src")) else und0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def chk(df: DataFrame): DataFrame =
+      (if (numParts > 0) df.repartition(numParts, col("id")) else df).localCheckpoint()
+    var alive = chk(und.select(col("src").as("id")).distinct())
     var nAlive = alive.count()
     def degAmong(a: DataFrame): DataFrame = und
       .join(a.select(col("id").as("s2")), col("src") === col("s2"))
@@ -163,8 +171,7 @@ object Algorithms {
     var converged = false
     var r = 0
     while (r < rounds && !converged) {
-      alive = degAmong(alive).filter(col("deg") >= k)
-        .select(col("id")).localCheckpoint()
+      alive = chk(degAmong(alive).filter(col("deg") >= k).select(col("id")))
       val n = alive.count()
       converged = n == nAlive
       nAlive = n

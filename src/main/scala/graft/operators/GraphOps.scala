@@ -252,7 +252,7 @@ object GraphOps {
     * KCoreRounds on the bench graphs, so the fixed count is the fixpoint). */
   def kCore(spark: SparkSession, dir: String): DataFrame =
     Algorithms.kCore(PropertyGraph.componentSample(spark, dir).edges,
-      KCoreK, KCoreRounds)
+      KCoreK, KCoreRounds, numParts = 4)
 
   /** Unrolled synchronous peel: degree-among-survivors → keep deg >= k,
     * `rounds` times, then the survivors' in-core degrees. */
