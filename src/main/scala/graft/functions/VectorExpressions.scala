@@ -187,6 +187,72 @@ case class SimhashFingerprint(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Helper for [[ArrayMd5Head]] — kept as plain static JVM code so the
+  * generated (janino) code is one call per row and the per-element loop
+  * runs as ordinary JIT-compiled bytecode. */
+object Md5Head {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 4 digest bytes as an unsigned 32-bit value in a Long —
+    * EXACTLY the integer the SQL formulation builds from the first 8 md5
+    * hex digits (digit d_k weighted 16^(7-k)), so Spark results stay
+    * bit-identical to the DuckDB oracle's strpos/substr arithmetic. */
+  def head64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  def hashAll(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null else head64(a.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native per-element md5-prefix hash of a string array — the shingle →
+  * 32-bit-value step feeding every MinHash consumer (D2/D3/D8/D9).
+  *
+  * Why: the SQL form is `transform(shingles, s -> <8 × instr+substring
+  * over md5(s)>)` — an interpreted lambda with 16 string operations per
+  * element, run once per shingle per document across the whole dedup
+  * stack. This expression is one compiled pass: MD5 of the element's
+  * UTF-8 bytes, first 4 digest bytes as the value (identical to the hex
+  * arithmetic, see [[Md5Head.head64]]). */
+case class ArrayMd5Head(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_md5h expects array<string>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_md5h"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Head.hashAll(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Head.hashAll($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMd5Head =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions — as a session-builder call
   * (`GraftFunctions.register`) or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -208,6 +274,14 @@ object GraftFunctions {
       BottomK(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
     })
 
+  val md5hDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5h"),
+    new ExpressionInfo(classOf[ArrayMd5Head].getName, "graft_md5h"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"graft_md5h takes 1 argument, got ${exprs.length}")
+      ArrayMd5Head(exprs.head)
+    })
+
   val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_simhash"),
     new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
@@ -226,6 +300,8 @@ object GraftFunctions {
       bottomkDescriptor._1, bottomkDescriptor._2, bottomkDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      md5hDescriptor._1, md5hDescriptor._2, md5hDescriptor._3)
   }
 }
 
@@ -236,5 +312,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bottomkDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
+    ext.injectFunction(GraftFunctions.md5hDescriptor)
   }
 }

@@ -122,7 +122,11 @@ object Dedup {
       (0 until rows).map(r => s"CAST(h${rows * b + r} AS STRING)")
         .mkString("concat_ws('|', ", ", ", ")")).mkString(", ")
     val id = "doc_id" +: keep
-    sh.selectExpr(id :+ s"transform(shingles, s -> ${shingleHash("instr", "substring")}) AS hvs": _*)
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    // graft_md5h = the native one-pass form of
+    // `transform(shingles, s -> <8 hex-digit extracts of md5(s)>)` — same
+    // values, no interpreted per-element lambda (see ArrayMd5Head)
+    sh.selectExpr(id :+ "graft_md5h(shingles) AS hvs": _*)
       .selectExpr(id ++ mh: _*)
       .selectExpr(id :+ s"array($bandVals) AS vals": _*)
       .selectExpr(id ++ Seq("vals", s"explode(sequence(0, ${bands - 1})) AS band_idx"): _*)
