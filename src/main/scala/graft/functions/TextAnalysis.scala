@@ -263,6 +263,114 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source""".stripMargin
 
+  // --- T16: KMV distinct-cardinality estimate -------------------------------
+
+  /** Sketch size shared by [[bottomkSketch]] and [[distinctEstimate]]. */
+  val SketchK = 16
+
+  /** Hex digits of the k-th hash used as the KMV order statistic: 12
+    * digits = 48 bits, exact in a BIGINT with 15× headroom. */
+  private val KmvHexDigits = 12
+  private val KmvSpace = 1L << (4 * KmvHexDigits)
+
+  /** Hex-prefix value of a 32-digit md5 string by explicit digit
+    * arithmetic ([[Dedup]]'s cross-engine recipe: `find` is `instr` on
+    * Spark, `strpos` on DuckDB). */
+  private def kmvVal(find: String, arg: String): String =
+    (0 until KmvHexDigits).map(j =>
+      s"($find('0123456789abcdef', substr($arg, ${j + 1}, 1)) - 1) * CAST(${1L << (4 * (KmvHexDigits - 1 - j))} AS BIGINT)")
+      .mkString(" + ")
+
+  /** T16: per-source distinct-token cardinality estimated from the
+    * bottom-k (KMV) sketch, next to the exact count it approximates —
+    * the estimator the T8 sketch exists to serve: est = (k-1)/u_(k),
+    * where u_(k) is the k-th smallest hash normalized into [0,1).
+    *
+    * Scale shape: the exact count shuffles every distinct token once;
+    * the estimate's state is k hashes per group REGARDLESS of
+    * cardinality — at 100 TB the sketch column is the difference between
+    * a bounded-memory aggregate and one whose partials grow with the
+    * vocabulary (collect_set). Sketches of non-full size short-circuit
+    * to the exact count (a not-yet-full KMV sketch IS the distinct set).
+    * All integer arithmetic (48-bit hash prefix, integer division) →
+    * bit-identical cross-engine. */
+  def distinctEstimate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("w"))
+      .selectExpr("source", "md5(w) AS h")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        expr(s"graft_bottomk(h, $SketchK)").as("sk"))
+      .selectExpr("source", "n_exact",
+        s"""CASE WHEN size(sk) < $SketchK THEN n_exact
+           |  ELSE CAST(${SketchK - 1} AS BIGINT) * $KmvSpace
+           |    DIV greatest(${kmvVal("instr", s"element_at(sk, $SketchK)")}, 1)
+           |END AS n_est""".stripMargin)
+  }
+
+  def distinctEstimateOracle: String =
+    s"""WITH tok AS (SELECT source, md5(w) AS h
+       |  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)),
+       |agg AS (SELECT source, count(DISTINCT h) AS n_exact,
+       |    (list_sort(list(DISTINCT h)))[1:$SketchK] AS sk
+       |  FROM tok GROUP BY source)
+       |SELECT source, n_exact,
+       |  CASE WHEN len(sk) < $SketchK THEN n_exact
+       |    ELSE CAST(${SketchK - 1} AS BIGINT) * $KmvSpace
+       |      // greatest(${kmvVal("strpos", s"sk[$SketchK]")}, 1)
+       |  END AS n_est
+       |FROM agg""".stripMargin
+
+  // --- T17: per-document TF-IDF top term ------------------------------------
+
+  /** T17: each document's most distinctive term by TF-IDF (tf·ln(N/df),
+    * the classic smoothing-free form; N = documents with ≥1 token).
+    *
+    * Scale shape: term frequencies are one (doc, word) hash aggregation;
+    * the document-frequency table is vocabulary-sized (≪ corpus — Heaps'
+    * law) and explicitly broadcast, as is the single-row N — so the
+    * corpus shuffles ONCE for the tf groupBy and the scoring join adds
+    * no exchange. The per-doc argmax is a window partitioned by doc_id:
+    * millions of singleton-ish partitions hash-spread across executors,
+    * never a skewed global sort. Ties break lexicographically → fully
+    * deterministic; the score is snapped through DECIMAL(18,10)→6dp (the
+    * [[Dedup.jaccardPairs]] recipe) for cross-engine hash stability. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, N, and the scoring join: one tf pass
+    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tok.join(broadcast(dfTab), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(
+        "CAST(round(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,10)), 6) AS DOUBLE)"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), col("score").as("tfidf"))
+  }
+
+  def tfidfTopOracle: String =
+    """WITH tok AS (SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfx AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+      |scored AS (SELECT doc_id, w,
+      |    CAST(round(CAST(tf * ln((SELECT n FROM nn) / df) AS DECIMAL(18,10)), 6) AS DOUBLE) AS score
+      |  FROM tok JOIN dfx USING (w)),
+      |r AS (SELECT doc_id, w, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+      |  FROM scored)
+      |SELECT doc_id, w AS top_term, score AS tfidf FROM r WHERE rn = 1""".stripMargin
+
   // --- T9: eval-set decontamination ----------------------------------------
 
   /** Shingle width for contamination checks. Real deployments use 8-13
@@ -556,6 +664,8 @@ object TextAnalysis {
     "t_quality_filter" -> qualityFilter,
     "t_hash_split" -> hashSplit,
     "t_bottomk_sketch" -> bottomkSketch,
+    "t_distinct_estimate" -> distinctEstimate,
+    "t_tfidf" -> tfidfTop,
     "t_decontam" -> decontam,
     "t_stratified_sample" -> stratifiedSample,
     "t_repetition" -> repetition,
@@ -574,6 +684,8 @@ object TextAnalysis {
     "t_quality_filter" -> qualityFilterOracle,
     "t_hash_split" -> hashSplitOracle,
     "t_bottomk_sketch" -> bottomkSketchOracle,
+    "t_distinct_estimate" -> distinctEstimateOracle,
+    "t_tfidf" -> tfidfTopOracle,
     "t_decontam" -> decontamOracle,
     "t_stratified_sample" -> stratifiedSampleOracle,
     "t_repetition" -> repetitionOracle,

@@ -221,6 +221,47 @@ object Dedup {
        |    / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS jaccard
        |FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b""".stripMargin
 
+  // --- D10: edit-distance verification --------------------------------------
+
+  /** Length-difference cut for the edit-distance verify: |len(a)-len(b)|
+    * is a lower bound on Levenshtein distance, so pairs further apart
+    * than this can be skipped without running the DP at all. */
+  val EditMaxLenDiff = 64
+
+  /** D10: exact Levenshtein distance for every LSH candidate pair, over
+    * the same normalized content as exact dedup (lowercased words joined
+    * by single spaces — so whitespace/punctuation noise never inflates
+    * the distance).
+    *
+    * Scale shape: the DP is O(len_a·len_b) PER PAIR — affordable only
+    * because it runs strictly on the LSH candidate set, never all-pairs
+    * (same blocking discipline as [[jaccardPairs]]). The length-diff
+    * prune ([[EditMaxLenDiff]]) is the standard lower-bound cut: it
+    * rejects pairs before the quadratic DP, on two already-carried
+    * integers. At corpus scale the candidate join dominates and this
+    * stage stays embarrassingly parallel (per-row expression work only —
+    * `levenshtein` is a codegen'd Catalyst expression, not a UDF). */
+  def editPairs(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ").as("norm"))
+    minhashPairs(spark, dir)
+      .join(norm.select(col("doc_id").as("a"), col("norm").as("na")), Seq("a"))
+      .join(norm.select(col("doc_id").as("b"), col("norm").as("nb")), Seq("b"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= EditMaxLenDiff)
+      .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("edit_dist"))
+  }
+
+  val editPairsOracle: String =
+    s"""WITH $bandedDuckSql,
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |  ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id),
+       |norm AS (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm FROM documents)
+       |SELECT a, b, levenshtein(na.norm, nb.norm) AS edit_dist
+       |FROM pairs JOIN norm na ON na.doc_id = a JOIN norm nb ON nb.doc_id = b
+       |WHERE abs(len(na.norm) - len(nb.norm)) <= $EditMaxLenDiff""".stripMargin
+
   // --- D4: SimHash ----------------------------------------------------------
 
   /** SimHash width: 60 bits, banded 4×15 (see SimhashBands). Why 60 and
@@ -456,6 +497,7 @@ object Dedup {
     "d_exact_dedup" -> exactDedup,
     "d_minhash_pairs" -> minhashPairs,
     "d_jaccard_pairs" -> jaccardPairs,
+    "d_edit_pairs" -> editPairs,
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_dedup_clusters" -> dedupClusters)
@@ -465,6 +507,7 @@ object Dedup {
     "d_exact_dedup" -> exactDedupOracle,
     "d_minhash_pairs" -> minhashPairsOracle,
     "d_jaccard_pairs" -> jaccardPairsOracle,
+    "d_edit_pairs" -> editPairsOracle,
     "d_simhash" -> simhashOracle,
     "d_simhash_pairs" -> simhashPairsOracle,
     "d_dedup_clusters" -> dedupClustersOracle)

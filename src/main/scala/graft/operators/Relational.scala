@@ -249,7 +249,33 @@ object Relational {
       |  max(epoch_us(ts)) AS last_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** R16: the explicit salted join ([[Skew.saltedJoin]]) gated against a
+    * plain-join oracle — proof that salting is semantically invisible
+    * (identical revenue per priority class, identical row multiplicity).
+    * The orders side is replicated 16× (the salt fan-out) while lineitem
+    * rows each take one salt, so a hot orderkey's lineitems spread over
+    * 16 reducers instead of one. This is the fallback for the skew AQE
+    * cannot fix: a single key whose rows exceed one executor even after
+    * AQE's split, or a pipeline with AQE disabled (SURVEY §5). */
+  def saltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+  }
+
+  val saltedRevenueOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> saltedRevenue,
     "q_pseudonymize" -> pseudonymize,
     "q_scan_filter" -> scanFilter,
     "q1_pricing_summary" -> pricingSummary,
@@ -267,6 +293,7 @@ object Relational {
     "q_semi_anti" -> semiAnti)
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedRevenueOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

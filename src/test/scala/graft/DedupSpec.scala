@@ -44,6 +44,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored.forall { case (_, j) => j >= 0.0 && j <= 1.0 })
   }
 
+  test("editPairs: length-pruned subset of candidates; zero distance iff jaccard 1.0") {
+    val cand = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edits = Dedup.editPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(edits.keySet.subsetOf(cand),
+      "edit distances must only be computed on LSH candidates")
+    assert(edits.values.forall(_ >= 0))
+    // planted near-dups differ by a handful of word mutations — some
+    // candidate must sit within a few edits
+    assert(edits.values.min <= 10, "planted near-dups must surface with small distances")
+    // zero edit distance = identical normalized content ⇒ identical
+    // shingle sets ⇒ jaccard exactly 1.0 (the converse need not hold)
+    val jac = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(edits.filter(_._2 == 0).keys.forall(p => jac(p) == 1.0))
+  }
+
   test("dedupClusters: every member maps to the min doc_id of its pair-connected cluster") {
     val edges = Dedup.jaccardPairs(spark, dir)
       .filter(org.apache.spark.sql.functions.col("jaccard") >= Dedup.ClusterJaccard)

@@ -176,6 +176,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 to n).forall(i => d(i.toLong) == i))
   }
 
+  test("commonNeighbors: triangle pairs score 1; over-cap hubs are not witnesses") {
+    import spark.implicits._
+    // triangle 1-2-3 plus hub 9 adjacent to 1,2,3,4 (degree 4).
+    // directed/duplicate/self-loop edges must collapse to undirected.
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 2L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    def pairs(cap: Int) =
+      graft.operators.GraphOps.commonNeighborsOf(e, cap, topK = 100)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // cap 3 excludes the hub as a witness: only the triangle's own
+    // common-neighbor structure remains, plus pairs witnessed via 1/2/3
+    val capped = pairs(3)
+    assert(capped((1L, 2L)) == 1L && capped((1L, 3L)) == 1L && capped((2L, 3L)) == 1L)
+    assert(!capped.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "node 4 is reachable only through the hub; with the hub capped out it must vanish")
+    // cap 10 admits the hub: (1,2) now has witnesses {3, 9} and 4 pairs
+    // with each triangle node through the hub
+    val open = pairs(10)
+    assert(open((1L, 2L)) == 2L)
+    assert(open((1L, 4L)) == 1L && open((2L, 4L)) == 1L && open((3L, 4L)) == 1L)
+  }
+
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
     // per-JVM scratch namespace: a concurrent test/bench JVM must not

@@ -79,6 +79,34 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => }
   }
 
+  test("distinctEstimate: KMV estimate brackets the exact count it approximates") {
+    val rows = TextAnalysis.distinctEstimate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, exact, est) =>
+      assert(exact > 0 && est > 0, s"$src: non-positive counts")
+      // k=16 KMV has relative σ ≈ 1/√(k-2); 4σ ≈ ±~100%. Anything inside
+      // [exact/4, exact*4] proves the estimator is wired to the right
+      // order statistic (an off-by-one digit in the hash-prefix
+      // arithmetic throws the estimate off by 16×+).
+      assert(est >= exact / 4 && est <= exact * 4,
+        s"$src: estimate $est implausible vs exact $exact")
+    }
+  }
+
+  test("tfidfTop: one top term per tokenized doc, deterministic, score >= 0") {
+    import graft.sources.Tables
+    val nTokenized = Tables.documents(spark, dir)
+      .filter(expr("size(regexp_extract_all(lower(text), '[a-z]+', 0)) > 0"))
+      .count()
+    val rows = TextAnalysis.tfidfTop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == nTokenized, "exactly one row per doc with tokens")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(_._3 >= 0.0), "tf*ln(N/df) is nonnegative (df <= N)")
+    assert(rows.forall(_._2.nonEmpty))
+  }
+
   test("qualityBuckets: tercile sizes differ by at most 1 within each language") {
     val sizes = TextAnalysis.qualityBuckets(spark, dir)
       .groupBy(col("lang"), col("bucket")).count()
