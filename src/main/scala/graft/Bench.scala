@@ -178,9 +178,11 @@ object Bench {
     val ok = results.filter(_.err.isEmpty)
     val errList = results.collect { case QueryBench(k, _, _, _, Some(e)) => (k, e) }
     val total = ok.map(_.secs).sum
-    def render(keep: Seq[QueryBench], errMaxLen: Int): String = {
+    def num(d: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+    def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int): String = {
       val qs = keep.sortBy(_.name)
-        .map(r => s"\"${r.name}\":${jsonNum3(r.secs)}").mkString("{", ",", "}")
+        .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
       val errs =
         if (errMaxLen > 0 || errList.isEmpty)
@@ -192,14 +194,17 @@ object Bench {
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
-    var line = render(bySlowest, 200)
-    for (errMaxLen <- Seq(200, 40, 0) if line.length > LineBudget) {
-      var n = ok.size
-      line = render(bySlowest.take(n), errMaxLen)
-      while (line.length > LineBudget && n > 0) {
-        n -= 1
-        line = render(bySlowest.take(n), errMaxLen)
-      }
+    // degrade ladder, cheapest signal first: 3→2 decimal per-query
+    // precision (10 ms resolution still ranks every query), then error
+    // truncation, then error omission, and only then drop the FASTEST
+    // queries (the slow ones carry the performance signal)
+    var line = render(bySlowest, 200, 3)
+    for ((prec, errMaxLen) <- Seq((2, 200), (2, 40), (2, 0)) if line.length > LineBudget)
+      line = render(bySlowest, errMaxLen, prec)
+    var n = ok.size
+    while (line.length > LineBudget && n > 0) {
+      n -= 1
+      line = render(bySlowest.take(n), 0, 2)
     }
     line
   }

@@ -357,12 +357,17 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+    // checkpoint the adjacency once: it feeds the degree count AND both
+    // sides of the witness self-join — without it each consumer re-reads
+    // and re-dedups the raw edge source (8 scans observed)
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
     val witnesses = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= cap).select(col("node").as("w"))
     val capped = adj.join(witnesses, adj("nbr") === witnesses("w"))
       .select(col("node"), col("nbr"))
+      .localCheckpoint()
     capped.as("x").join(capped.as("y"),
         col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
       .groupBy(col("x.node").as("a"), col("y.node").as("b"))
@@ -370,6 +375,61 @@ object GraphOps {
       .orderBy(col("n_common").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** G17: Adamic-Adar link scoring — common neighbors weighted by
+    * 1/ln(degree of the witness), so prolific witnesses count less (the
+    * standard refinement of G16; same capped-witness join shape, one
+    * extra degree column carried through). Per-witness weights snap
+    * through DECIMAL(18,12) BEFORE the sum: decimal addition is exact
+    * and associative, so the aggregate is immune to partial-agg ordering
+    * where a raw double sum would flake the cross-engine hash. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    adamicAdarOf(wikiVote(spark).edges, WitnessDegCap, CommonNbrTopK)
+
+  def adamicAdarOf(edges: DataFrame, cap: Int, topK: Int): DataFrame = {
+    val e = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    // a common neighbor of two nodes has degree >= 2 — degree-1 nodes
+    // can never witness a pair, and must be dropped BEFORE the weight
+    // expression or 1/ln(1) divides by zero under ANSI
+    val witnesses = adj.groupBy(col("node")).agg(count(lit(1)).as("wdeg"))
+      .filter(col("wdeg") >= 2 && col("wdeg") <= cap)
+      .select(col("node").as("w"), col("wdeg"))
+    val capped = adj.join(witnesses, adj("nbr") === witnesses("w"))
+      .select(col("node"), col("nbr"),
+        expr("CAST(1.0d / ln(CAST(wdeg AS DOUBLE)) AS DECIMAL(18,12))").as("wgt"))
+      .localCheckpoint()
+    capped.as("x").join(capped.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(expr("CAST(round(sum(x.wgt), 6) AS DOUBLE)").as("aa_score"),
+        count(lit(1)).as("n_common"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  val adamicAdarOracle: String =
+    s"""WITH base AS ($wikiEdgesSql),
+       |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM base WHERE src <> dst),
+       |adj AS (SELECT u AS node, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
+       |wit AS (SELECT node, count(*) AS wdeg FROM adj GROUP BY node
+       |  HAVING count(*) BETWEEN 2 AND $WitnessDegCap),
+       |capped AS (SELECT adj.node, adj.nbr,
+       |    CAST(1.0 / ln(CAST(wdeg AS DOUBLE)) AS DECIMAL(18,12)) AS wgt
+       |  FROM adj JOIN wit ON wit.node = adj.nbr)
+       |SELECT x.node AS a, y.node AS b,
+       |  CAST(round(sum(x.wgt), 6) AS DOUBLE) AS aa_score,
+       |  count(*) AS n_common
+       |FROM capped x JOIN capped y ON y.nbr = x.nbr AND x.node < y.node
+       |GROUP BY 1, 2
+       |ORDER BY aa_score DESC, a, b LIMIT $CommonNbrTopK""".stripMargin
 
   val commonNeighborsOracle: String =
     s"""WITH base AS ($wikiEdgesSql),
@@ -522,6 +582,7 @@ object GraphOps {
     "g_wikivote_khop" -> wikivoteKhop,
     "g_wikivote_cc" -> wikivoteCC,
     "g_common_neighbors" -> commonNeighbors,
+    "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
     "g_grid_degree" -> gridDegree,
     "g_edgelist_roundtrip" -> edgelistRoundtrip,
@@ -571,6 +632,7 @@ object GraphOps {
       bfsOracle(wikiEdgesSql, undirected = false, WikiKhopSource, WikiKhopHops, 1),
     "g_wikivote_cc" -> ccOracle(wikiEdgesSql, 10),
     "g_common_neighbors" -> commonNeighborsOracle,
+    "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),
     "g_grid_degree" ->
       s"""WITH e AS (${gridEdgesSql(20)}),

@@ -249,6 +249,36 @@ object Relational {
       |  max(epoch_us(ts)) AS last_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** R17: per-user inter-arrival gaps — the lag-window primitive (the one
+    * window class R6/R8/R9 don't surface): consecutive event deltas per
+    * user, reduced to an integer envelope. The window partitions on
+    * user_id (hash-spread, no skewed key at any SF — a user's events are
+    * bounded) and all outputs are exact BIGINT microseconds, so the gate
+    * needs no float snapping. Equal-timestamp ties are harmless: the gap
+    * MULTISET is determined by the sorted timestamp multiset alone, and
+    * min/max/sum/count are multiset functions of it. */
+  def eventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .filter(col("n_gaps") > 0)
+  }
+
+  val eventDeltasOracle: String =
+    """SELECT user_id, count(gap_us) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM (SELECT user_id,
+      |        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+      |      FROM events)
+      |GROUP BY user_id HAVING count(gap_us) > 0""".stripMargin
+
   /** R16: the explicit salted join ([[Skew.saltedJoin]]) gated against a
     * plain-join oracle — proof that salting is semantically invisible
     * (identical revenue per priority class, identical row multiplicity).
@@ -276,6 +306,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> saltedRevenue,
+    "q_event_deltas" -> eventDeltas,
     "q_pseudonymize" -> pseudonymize,
     "q_scan_filter" -> scanFilter,
     "q1_pricing_summary" -> pricingSummary,
@@ -294,6 +325,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> saltedRevenueOracle,
+    "q_event_deltas" -> eventDeltasOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

