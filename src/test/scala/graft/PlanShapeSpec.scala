@@ -95,4 +95,46 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("Exchange"), "per-row operators must not shuffle\n" + p)
     }
   }
+
+  test("saltedRevenue shuffles on (key, salt): the hot key spreads over reducers") {
+    // with auto-broadcast off the join must shuffle, and the exchange key
+    // must include the salt — that spread IS the operator's entire point
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.saltedRevenue(spark, dir))
+      assert(p.contains("__salt"),
+        "join-side exchanges must partition on the salt column\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "salting must stay an equi-join\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("tfidfTop: rank-1 pushes down to WindowGroupLimit; df/N join by broadcast") {
+    val p = plan(TextAnalysis.tfidfTop(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      "per-doc argmax must prune via group-limit, not a full window sort\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary-sized df table and 1-row N must broadcast\n" + p)
+  }
+
+  test("distinctEstimate is a single-scan two-stage aggregate (no join, no extra pass)") {
+    val p = plan(TextAnalysis.distinctEstimate(spark, dir))
+    // formatted explain lists every node twice (tree + detail section):
+    // count the numbered detail entries only
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "exact count and sketch must come from ONE corpus scan\n" + p)
+    assert(!p.contains("Join"), "no join belongs in this aggregate\n" + p)
+  }
+
+  test("commonNeighbors/adamicAdar witness joins stay equi-joins on checkpointed adjacency") {
+    import graft.operators.GraphOps
+    for (df <- Seq(GraphOps.commonNeighbors(spark, dir),
+                   GraphOps.adamicAdar(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "witness self-join must hash on nbr, never go quadratic\n" + p)
+      assert(p.contains("Scan ExistingRDD"),
+        "adjacency must be checkpointed, not re-derived per consumer\n" + p)
+    }
+  }
 }
