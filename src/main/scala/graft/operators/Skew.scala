@@ -38,7 +38,14 @@ object Skew {
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
-    salted.join(replicated,
+    // SHUFFLE_HASH pin: this operator exists precisely for the case where
+    // the right side cannot broadcast (at the design scale it is SF-sized
+    // ×saltFactor). Without the hint, a small-SF run broadcasts the
+    // replicated side — the salt becomes dead weight and the measured
+    // plan (broadcast of a deliberately saltFactor-times-inflated table)
+    // is one that can never exist at scale. The hint forces the
+    // shuffle-on-(key, salt) plan that IS the operator.
+    salted.join(replicated.hint("shuffle_hash"),
         salted(leftKey) === replicated(rightKey) &&
           salted("__salt") === replicated("__salt"))
       .drop("__salt")
