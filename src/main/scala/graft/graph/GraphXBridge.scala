@@ -140,14 +140,27 @@ object GraphXBridge {
 
   /** PageRank with the same semantics as Algorithms.pageRank (fixed
     * iterations, uniform 1/N init, no dangling redistribution). */
+  /** @param snap if > 0, every iteration's rank (and the uniform initial
+    *   rank) is rounded HALF_UP to `snap` decimals. On graphs with hub
+    *   in-degrees in the hundreds the contribution sum is an
+    *   order-dependent double reduction — engines summing in different
+    *   orders drift in the last ulp and the drift compounds across
+    *   iterations. Snapping well above ulp granularity (9 dp vs ~1e-16
+    *   relative error) makes each iteration's ranks bit-identical on
+    *   both engines, so divergence cannot accumulate; the DuckDB oracle
+    *   mirrors the same per-round rounding. 0 keeps raw doubles (safe on
+    *   small regular graphs like the 25-node nation adjacency). */
   def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85,
-               numParts: Int = 0): DataFrame = {
+               numParts: Int = 0, snap: Int = 0): DataFrame = {
     import spark.implicits._
+    def snapped(r: Double): Double =
+      if (snap > 0) BigDecimal(r).setScale(snap, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else r
     val n = g.nodes.count().toDouble
     val base = toGraphX(g, numParts)
     val gx = base.outerJoinVertices(base.outDegrees) {
       (_, _, deg) => deg.getOrElse(0)
-    }.mapVertices((_, deg) => (1.0 / n, deg))
+    }.mapVertices((_, deg) => (snapped(1.0 / n), deg))
     // Cache + materialize each iteration's graph, then unpersist the
     // previous one (GraphX's own PageRank pattern): without this every
     // outerJoinVertices extends one long uncached lineage and the final
@@ -159,7 +172,7 @@ object GraphXBridge {
         t => t.sendToDst(t.srcAttr._1 / t.srcAttr._2),
         _ + _)
       val next = cur.outerJoinVertices(contribs) { (_, attr, c) =>
-        ((1 - d) / n + d * c.getOrElse(0.0), attr._2)
+        (snapped((1 - d) / n + d * c.getOrElse(0.0)), attr._2)
       }.cache()
       next.edges.foreachPartition(_ => ()) // materialize before dropping prev
       next.vertices.foreachPartition(_ => ())

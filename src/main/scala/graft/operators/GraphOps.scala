@@ -323,6 +323,15 @@ object GraphOps {
   def wikivoteCC(spark: SparkSession, dir: String): DataFrame =
     GraphXBridge.connectedComponents(spark, wikiVote(spark), numParts = 4)
 
+  /** G15d: PageRank on the real power-law graph — hub in-degrees in the
+    * hundreds make the contribution sum order-dependent in doubles, so
+    * both sides snap ranks per iteration (see [[GraphXBridge.pageRank]]'s
+    * `snap` doc); output rounded to 6 dp like `g_pagerank`. */
+  def wikivotePagerank(spark: SparkSession, dir: String): DataFrame =
+    GraphXBridge.pageRank(spark, wikiVote(spark), iters = 10, d = 0.85,
+        numParts = 4, snap = 9)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -548,21 +557,27 @@ object GraphOps {
 
   /** Unrolled PageRank: same float ops in the same order as
     * Algorithms.pageRank, so doubles agree to well under the 1e-6 edge. */
-  private def prOracle(edgesSql: String, iters: Int, d: Double): String = {
+  /** PageRank oracle over any (edgesSql, nodesSql yielding `id`). `snap`
+    * mirrors [[GraphXBridge.pageRank]]'s per-iteration rounding — REQUIRED
+    * on hub-skewed graphs, where the contribution sum is an
+    * order-dependent double reduction that drifts across engines. */
+  private def prOracle(edgesSql: String, nodesSql: String, iters: Int,
+                       d: Double, snap: Int = 0): String = {
+    def rnd(x: String) = if (snap > 0) s"round($x, $snap)" else x
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT t.node,
-         |  (CAST(1 AS DOUBLE) - CAST($d AS DOUBLE)) / (SELECT n FROM nn)
-         |    + CAST($d AS DOUBLE) * COALESCE(SUM(p.rank / deg.c), 0) AS rank
+         |  ${rnd(s"""(CAST(1 AS DOUBLE) - CAST($d AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST($d AS DOUBLE) * COALESCE(SUM(p.rank / deg.c), 0)""".stripMargin)} AS rank
          |  FROM r0 t LEFT JOIN e ON e.dst = t.node
          |  LEFT JOIN r${i - 1} p ON p.node = e.src
          |  LEFT JOIN deg ON deg.src = e.src
          |  GROUP BY t.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS ($edgesSql),
+       |nodes AS ($nodesSql),
        |deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
-       |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
-       |  CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nation),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT id AS node, ${rnd("CAST(1 AS DOUBLE) / (SELECT n FROM nn)")} AS rank FROM nodes),
        |$rounds
        |SELECT node, round(rank, 6) AS rank FROM r$iters""".stripMargin
   }
@@ -581,6 +596,7 @@ object GraphOps {
     "g_wikivote_degree" -> wikivoteDegree,
     "g_wikivote_khop" -> wikivoteKhop,
     "g_wikivote_cc" -> wikivoteCC,
+    "g_wikivote_pagerank" -> wikivotePagerank,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -655,7 +671,9 @@ object GraphOps {
          |FROM nodes LEFT JOIN outs ON outs.src = id LEFT JOIN ins ON ins.dst = id""".stripMargin,
     "g_connected_components" -> ccOracle(sparseEdgesSql, 50),
     "g_kcore" -> kcoreOracle(sparseEdgesSql, KCoreK, KCoreRounds),
-    "g_pagerank" -> prOracle(nationEdgesSql, 10, 0.85),
+    "g_pagerank" -> prOracle(nationEdgesSql,
+      "SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation", 10, 0.85),
+    "g_wikivote_pagerank" -> prOracle(wikiEdgesSql, wikiNodesSql, 10, 0.85, snap = 9),
     "g_label_prop" -> lpaOracle(nationEdgesSql, LpaRounds),
     "g_triangles" ->
       s"""WITH e AS ($nationEdgesSql),
