@@ -124,11 +124,34 @@ object Algorithms {
     val e = edges.select(col("src"), col("dst"))
     val canon = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-    val tri = canon.as("e1")
-      .join(canon.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(canon.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // Degree orientation (the standard scale trick): orient every
+    // undirected edge from the (degree, id)-smaller endpoint to the
+    // larger. Every oriented out-degree is then O(√m), so the wedge
+    // self-join generates O(m^1.5) candidates TOTAL — where id-ordering
+    // leaves a hub with d² wedges (fatal on power-law graphs: one
+    // deg-1000 hub is 10⁶ wedges by itself). Each triangle survives in
+    // exactly one representation (u ≺ v ≺ w), so counts are unchanged.
+    val deg = canon.select(col("src").as("node"))
+      .union(canon.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("src"), col("c").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("c").as("dv")), Seq("dst"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("src") < col("dst"))
+    // checkpoint: dir feeds both wedge sides and the closing-edge probe
+    val dir = withDeg.select(
+        when(uFirst, col("src")).otherwise(col("dst")).as("s"),
+        when(uFirst, col("dst")).otherwise(col("src")).as("d"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint()
+    val wedgeOrd = col("e1.dd") < col("e2.dd") ||
+      (col("e1.dd") === col("e2.dd") && col("e1.d") < col("e2.d"))
+    val tri = dir.as("e1")
+      .join(dir.as("e2"), col("e1.s") === col("e2.s") && wedgeOrd)
+      .join(dir.as("e3"),
+        col("e3.s") === col("e1.d") && col("e3.d") === col("e2.d"))
+      .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
     val perNode = tri.select(col("a").as("id"))
       .union(tri.select(col("b").as("id")))
       .union(tri.select(col("c").as("id")))
