@@ -165,21 +165,30 @@ object Bench {
     * seconds + errors, guaranteed to fit [[LineBudget]]. Failed queries are
     * reported under "errors" and excluded from the total instead of being
     * silently timed as ~0 s successes. If the full line would overflow the
-    * budget, it degrades in stages, cheapest signal first: drop the
-    * FASTEST queries (the slow ones carry the performance signal, a
-    * `queries_omitted` count records the cut), then truncate error
-    * messages to 40 chars, then replace the errors object entirely with an
-    * `errors_omitted` count — a mass-failure round (60+ errors × 200
-    * chars) must still produce a parseable line. Full fidelity always
-    * lives in the detail sidecar (`detail` names the actual file written,
-    * honoring SPARK_GRAFT_DETAIL_OUT). */
+    * budget, it degrades in stages, cheapest signal first: per-query
+    * precision drops 3→2 decimals, then error messages truncate to 40
+    * chars, then the errors object collapses to an `errors_omitted`
+    * count — a mass-failure round (60+ errors × 200 chars) must still
+    * produce a parseable line — then precision drops to 1 decimal
+    * (100 ms still separates the multi-second tail from the sub-second
+    * pack), and only as the last resort are the FASTEST queries dropped
+    * (the slow ones carry the performance signal; a `queries_omitted`
+    * count records the cut). Full fidelity always lives in the detail
+    * sidecar (`detail` names the actual file written, honoring
+    * SPARK_GRAFT_DETAIL_OUT). */
   def benchLine(results: Seq[QueryBench], sfDir: String,
                 detail: String = DetailFile): String = {
     val ok = results.filter(_.err.isEmpty)
     val errList = results.collect { case QueryBench(k, _, _, _, Some(e)) => (k, e) }
     val total = ok.map(_.secs).sum
-    def num(d: Double, prec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+    // trailing zeros carry no information and the budget is bytes: format
+    // at `prec`, then drop redundant fraction digits ("10.0" → "10",
+    // "0.40" → "0.4") — still a valid JSON number, same meaning
+    def num(d: Double, prec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
@@ -196,15 +205,15 @@ object Bench {
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
     // degrade ladder, cheapest signal first: 3→2 decimal per-query
     // precision (10 ms resolution still ranks every query), then error
-    // truncation, then error omission, and only then drop the FASTEST
-    // queries (the slow ones carry the performance signal)
+    // truncation, then error omission, then 1-decimal precision, and only
+    // then drop the FASTEST queries (the slow ones carry the signal)
     var line = render(bySlowest, 200, 3)
-    for ((prec, errMaxLen) <- Seq((2, 200), (2, 40), (2, 0)) if line.length > LineBudget)
+    for ((prec, errMaxLen) <- Seq((2, 200), (2, 40), (2, 0), (1, 0)) if line.length > LineBudget)
       line = render(bySlowest, errMaxLen, prec)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
-      line = render(bySlowest.take(n), 0, 2)
+      line = render(bySlowest.take(n), 0, 1)
     }
     line
   }

@@ -50,6 +50,17 @@ object Reset {
   def writeOnce(path: String)(write: => Unit): Unit =
     if (written.add(path)) write
 
+  /** writeOnce for a saveAsTable-backed layout: catalogs are per-SESSION
+    * while the write-once markers are per-JVM, so a fresh session in a
+    * JVM whose marker is already claimed (one test suite after another)
+    * would otherwise skip the write and then fail to resolve the table.
+    * Writes when the table is missing from this session's catalog OR the
+    * marker is free (first claim, or scratch cleared between sweep SFs). */
+  def writeOnceTable(spark: SparkSession, table: String, path: String)
+                    (write: => Unit): Unit =
+    if (!spark.catalog.tableExists(table)) { written.add(path); write }
+    else writeOnce(path)(write)
+
   /** Delete every /tmp/graft_* scratch dir and reset write-once markers. */
   def clearScratch(): Unit = {
     written.clear()

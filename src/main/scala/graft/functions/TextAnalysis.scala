@@ -378,6 +378,13 @@ object TextAnalysis {
     * vocabulary (at width 8 almost nothing but verbatim dups collide). */
   val DecontamShingle = 4
 
+  /** Production shingle width (the 8-13-gram band real pipelines use).
+    * Runs behind the exact same [[decontamOf]] code path as the gated
+    * 4-gram profile; DecontamProfileSpec proves it catches planted
+    * verbatim contamination while admitting fewer incidental collisions
+    * than the wide-net 4-gram. */
+  val DecontamShingleProd = 8
+
   /** T9: decontamination — flag training documents that share any
     * `DecontamShingle`-gram with the held-out eval set (stand-in eval
     * set: doc_id % 50 = 0, the role a benchmark suite plays in a real
@@ -388,15 +395,22 @@ object TextAnalysis {
     * scan, no corpus shuffle (the groupBy shuffles only matched rows,
     * a vanishing fraction). This is the n-gram-overlap decontamination
     * pass every serious training-data pipeline runs before training. */
-  def decontam(spark: SparkSession, dir: String): DataFrame = {
+  def decontam(spark: SparkSession, dir: String): DataFrame =
+    decontamOf(Tables.documents(spark, dir), DecontamShingle)
+
+  /** Core of T9 over any (doc_id, text, ...) frame at a given shingle
+    * width (eval set = doc_id % 50 = 0): the gated 4-gram profile and the
+    * production 8-gram profile ([[DecontamShingleProd]]) are the same
+    * plan with a different width constant. */
+  def decontamOf(docs: DataFrame, width: Int): DataFrame = {
     // checkpoint the shingle sets once: both the eval and the train branch
     // read them, and the regex + shingle-build pass is the expensive part
-    val sh = Tables.documents(spark, dir)
+    val sh = docs
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
-      .filter(expr(s"size(words) >= $DecontamShingle"))
+      .filter(expr(s"size(words) >= $width"))
       .selectExpr("doc_id",
-        s"""array_distinct(transform(sequence(0, size(words) - $DecontamShingle),
-           |  i -> concat_ws(' ', slice(words, i + 1, $DecontamShingle)))) AS sh""".stripMargin)
+        s"""array_distinct(transform(sequence(0, size(words) - $width),
+           |  i -> concat_ws(' ', slice(words, i + 1, $width)))) AS sh""".stripMargin)
       .localCheckpoint()
     val evalSh = sh.filter(col("doc_id") % 50 === 0)
       .selectExpr("explode(sh) AS s").distinct()
@@ -534,8 +548,10 @@ object TextAnalysis {
     * Scale note: exact percentile buffers each group's value multiset —
     * fine for per-source telemetry (groups are bounded and values are
     * small ints); at 100 TB with huge value domains the one-word change
-    * is `approx_percentile` (bounded sketch state, mergeable partials),
-    * which is not oracle-matchable and so not the gated form here. */
+    * is [[lengthPercentilesApprox]] (bounded sketch state, mergeable
+    * partials), which is not oracle-matchable (its output depends on the
+    * accuracy knob) and so is gated by PercentileApproxSpec against this
+    * exact form instead. */
   def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
@@ -545,6 +561,23 @@ object TextAnalysis {
         rdet(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         rdet(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
         rdet(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+
+  /** T13's 100 TB form: `approx_percentile` — the Greenwald-Khanna style
+    * sketch whose per-group state is bounded by `accuracy` (rank error ≤
+    * group_size / accuracy) and whose partials merge map-side, where the
+    * exact form buffers every value. Same output schema as
+    * [[lengthPercentiles]]; PercentileApproxSpec asserts its values track
+    * the exact ones within the sketch's error bound at sf0.1. */
+  def lengthPercentilesApprox(spark: SparkSession, dir: String,
+                              accuracy: Int = 10000): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_chars, 0.25, $accuracy)").cast("double").as("p25"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").cast("double").as("p50"),
+        expr(s"approx_percentile(n_chars, 0.75, $accuracy)").cast("double").as("p75"),
+        expr(s"approx_percentile(n_chars, 0.95, $accuracy)").cast("double").as("p95"))
 
   def lengthPercentilesOracle: String =
     """SELECT source, count(*) AS n_docs,

@@ -139,8 +139,9 @@ object GraphXBridge {
   }
 
   /** PageRank with the same semantics as Algorithms.pageRank (fixed
-    * iterations, uniform 1/N init, no dangling redistribution). */
-  /** @param snap if > 0, every iteration's rank (and the uniform initial
+    * iterations, uniform 1/N init, no dangling redistribution).
+    *
+    * @param snap if > 0, every iteration's rank (and the uniform initial
     *   rank) is rounded HALF_UP to `snap` decimals. On graphs with hub
     *   in-degrees in the hundreds the contribution sum is an
     *   order-dependent double reduction — engines summing in different

@@ -62,7 +62,7 @@ object GraphOps {
   def nodeLookupFast(spark: SparkSession, dir: String): DataFrame = {
     val table = s"graft_cust_bucketed_${math.abs(dir.hashCode)}"
     val path = s"/tmp/${graft.Reset.ScratchPrefix}bucketed_$table"
-    graft.Reset.writeOnce(path) {
+    graft.Reset.writeOnceTable(spark, table, path) {
       graft.sources.Tables.customer(spark, dir)
         .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
         .write.bucketBy(16, "id").sortBy("id")
@@ -90,14 +90,24 @@ object GraphOps {
     * what BenchSweep runs. Clamp rationale: BFS/Bellman-Ford depth on an
     * N-grid is ~2N supersteps, so N caps at 48 to bound superstep count;
     * floor 8 keeps the smallest SF a real graph. */
-  def gridNFor(spark: SparkSession, dir: String): Int = {
-    val rows = graft.sources.Tables.customer(spark, dir).count()
-    math.max(8, math.min(48, math.ceil(math.sqrt(rows / 10.0)).toInt))
-  }
+  private val gridNCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def gridNFor(spark: SparkSession, dir: String): Int =
+    // memoized per dir: the sweep calls this once per overlay query per
+    // pass, and the customer row count for a dir never changes within a
+    // JVM — one count() per (dir), not one per invocation
+    gridNCache.computeIfAbsent(dir, d => {
+      val rows = graft.sources.Tables.customer(spark, d).count()
+      Int.box(math.max(8, math.min(48, math.ceil(math.sqrt(rows / 10.0)).toInt)))
+    }).intValue
 
   /** Sweep-only overlays for the fixed-size grid queries (same code paths,
-    * SF-derived N). Merged over the gated map by BenchSweep. */
-  val sweepQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    * SF-derived N), plus the hops/target-depth axes. Merged over the gated
+    * map by BenchSweep. */
+  val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sizeSweep ++ khopSweep ++ sspSweep
+
+  private def sizeSweep: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_khop_grid" -> ((s, d) => Traversals.kHop(
       PropertyGraph.grid(s, gridNFor(s, d)).edges, source = 0L, maxHops = 5,
       numParts = 1)),
@@ -121,6 +131,39 @@ object GraphOps {
       s.range(1).select(
         lit(0L).as("src"), lit(n.toLong * n - 1).as("dst"), lit(dist).as("dist"))
     }))
+
+  /** Hops axis for the traversal sweep — the reference's bench_traversal
+    * iterates HOP COUNT as its size variable (benchmark.py:168-178 via
+    * iterate_bench :248-268), not just graph size; these overlays sweep
+    * maxHops 1..8 on the SF-scaled grid so BENCH_SWEEP.csv carries a
+    * per-hop cost curve (expected monotone: one BFS round — one frontier
+    * join + checkpoint — per added hop). */
+  private def khopSweep: Map[String, (SparkSession, String) => DataFrame] =
+    (1 to 8).map { h =>
+      s"g_khop_grid@h$h" -> ((s: SparkSession, d: String) => Traversals.kHop(
+        PropertyGraph.grid(s, gridNFor(s, d)).edges, source = 0L, maxHops = h,
+        numParts = 1))
+    }.toMap
+
+  /** Target-depth axis for the point-to-point ssp sweep — the reference
+    * varies the DESTINATION with size (`ssp(1, 151*size)`,
+    * benchmark.py:181-190), so early-exit depth sensitivity is a measured
+    * curve, not a claim: targets sit on the grid diagonal at 25/50/75/100%
+    * of the maximum depth (node (k,k) is exactly 2k BFS levels from the
+    * corner), and wall time should track target depth because the superstep
+    * loop exits the level the target is reached. */
+  private def sspSweep: Map[String, (SparkSession, String) => DataFrame] =
+    Seq(25, 50, 75, 100).map { pct =>
+      s"g_ssp_pair@d$pct" -> ((s: SparkSession, d: String) => {
+        val n = gridNFor(s, d)
+        val k = math.max(1, (n - 1) * pct / 100)
+        val target = k.toLong * n + k
+        val dist = GraphXBridge.shortestPathLength(
+          s, PropertyGraph.grid(s, n), source = 0L, target = target, numParts = 1)
+        s.range(1).select(
+          lit(0L).as("src"), lit(target).as("dst"), lit(dist).as("dist"))
+      })
+    }.toMap
 
   def khopBipartite(spark: SparkSession, dir: String): DataFrame = {
     // raw (non-distinct) edge multiset: BFS frontiers dedup per round, so
@@ -331,6 +374,52 @@ object GraphOps {
     GraphXBridge.pageRank(spark, wikiVote(spark), iters = 10, d = 0.85,
         numParts = 4, snap = 9)
       .select(col("node"), round(col("rank"), 6).as("rank"))
+
+  /** G15e: per-node triangle counts on the real power-law graph — the
+    * adversarial input for [[Algorithms.triangleCounts]]'s degree
+    * orientation: under plain id-ordering a deg-~900 hub alone yields
+    * ~4·10⁵ wedges, and Wiki-Vote has dozens of such hubs; orientation
+    * bounds every oriented out-degree at O(√m) so the wedge join stays
+    * O(m^1.5) TOTAL regardless of the skew. The toy clique instances
+    * (G10) cannot distinguish the two plans — this one can. */
+  def wikivoteTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val g = wikiVote(spark)
+    Algorithms.triangleCounts(g.nodes, g.edges)
+  }
+
+  /** G15f: k-core on the real graph. k=10 does real peeling work here
+    * (7115 → 2825 survivors over 4 effective rounds), unlike the sparse
+    * bipartite sample where most nodes fall in round one; the cap is a
+    * 2× margin over the measured convergence, and the early exit is what
+    * keeps the run at the fixpoint round count, not the cap. */
+  val WikiKCoreK = 10
+  val WikiKCoreRounds = 10
+
+  def wikivoteKcore(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.kCore(wikiVote(spark).edges, WikiKCoreK, WikiKCoreRounds,
+      numParts = 4)
+
+  /** G15g: bucketed point lookup on the real graph — G2b's layout story
+    * (pay partitioning once at ingest, read 1/N of the files per lookup)
+    * carried onto Wiki-Vote: out-neighbors of the top hub (id 2565,
+    * out-degree 893) from an edge table bucketed+sorted on src. The
+    * timed path is a single-bucket pruned scan
+    * (`SelectedBucketsCount: 1`, pinned in BucketingSpec). */
+  val WikiLookupNode = 2565L
+
+  def wikivoteLookup(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_wikivote_edges_bucketed"
+    val path = s"/tmp/${graft.Reset.ScratchPrefix}bucketed_$table"
+    graft.Reset.writeOnceTable(spark, table, path) {
+      wikiVote(spark).edges.select(col("src"), col("dst"))
+        .write.bucketBy(16, "src").sortBy("src")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    graft.sources.Bucketing.pointLookup(spark, table, "src", WikiLookupNode)
+  }
 
   // --- G16: common-neighbor link scoring ------------------------------------
 
@@ -597,6 +686,9 @@ object GraphOps {
     "g_wikivote_khop" -> wikivoteKhop,
     "g_wikivote_cc" -> wikivoteCC,
     "g_wikivote_pagerank" -> wikivotePagerank,
+    "g_wikivote_triangles" -> wikivoteTriangles,
+    "g_wikivote_kcore" -> wikivoteKcore,
+    "g_wikivote_lookup" -> wikivoteLookup,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -647,6 +739,23 @@ object GraphOps {
     "g_wikivote_khop" ->
       bfsOracle(wikiEdgesSql, undirected = false, WikiKhopSource, WikiKhopHops, 1),
     "g_wikivote_cc" -> ccOracle(wikiEdgesSql, 10),
+    "g_wikivote_triangles" ->
+      s"""WITH base AS ($wikiEdgesSql),
+         |n AS ($wikiNodesSql),
+         |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM base WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+         |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |cnt AS (SELECT id, count(*) AS n_tri FROM (
+         |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT n.id, COALESCE(cnt.n_tri, 0) AS n_tri
+         |FROM n LEFT JOIN cnt ON cnt.id = n.id""".stripMargin,
+    "g_wikivote_kcore" -> kcoreOracle(wikiEdgesSql, WikiKCoreK, WikiKCoreRounds),
+    "g_wikivote_lookup" ->
+      s"""WITH base AS ($wikiEdgesSql)
+         |SELECT src, dst FROM base WHERE src = $WikiLookupNode""".stripMargin,
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

@@ -45,7 +45,14 @@ object Skew {
     // plan (broadcast of a deliberately saltFactor-times-inflated table)
     // is one that can never exist at scale. The hint forces the
     // shuffle-on-(key, salt) plan that IS the operator.
-    salted.join(replicated.hint("shuffle_hash"),
+    //
+    // The hint sits on the SALTED side, making it the hash-join build
+    // side: per (key, salt) slot the salted side holds 1/saltFactor of
+    // the key's left rows while the replicated side holds ALL of the
+    // key's right rows — for a fact⋈fact shape like lineitem⋈orders
+    // (≈4 lines/order × saltFactor=16) building the replicated side
+    // would hash a table ~4× larger per partition than this one.
+    salted.hint("shuffle_hash").join(replicated,
         salted(leftKey) === replicated(rightKey) &&
           salted("__salt") === replicated("__salt"))
       .drop("__salt")

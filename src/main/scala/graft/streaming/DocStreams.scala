@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -14,12 +14,12 @@ import graft.operators.Dedup
 object DocStreams {
 
   /** S5: streaming near-duplicate detection. Incoming docs are SimHashed
-    * with the same 32-bit majority-vote fingerprint as batch D4
+    * with the same 60-bit majority-vote fingerprint as batch D4
     * (stateless per-row expressions — no stream-side shuffle) and probed
-    * against a broadcast byte-band index of the static corpus
-    * fingerprints: a match is any indexed fingerprint within hamming ≤
-    * `hammingMax` (pigeonhole: such a pair agrees on ≥1 of the 4 bytes,
-    * so the probe is a band join, never all-pairs).
+    * against a broadcast band index of the static corpus fingerprints: a
+    * match is any indexed fingerprint within hamming ≤ `hammingMax`
+    * (pigeonhole: such a pair agrees on ≥1 of the 4 15-bit bands, so the
+    * probe is a band join, never all-pairs).
     *
     * `docs` is unbounded with (doc_id, text, ...); `index` is a static
     * (doc_id, simhash) DataFrame (e.g. from `Dedup.simhash`). Returns an
@@ -28,29 +28,65 @@ object DocStreams {
     * band only, so no dedup state is needed.
     *
     * At 100 TB-corpus scale the broadcast index is replaced by a
-    * pre-bucketed fingerprint table on the same band key — the plan shape
+    * pre-bucketed fingerprint table on the same band key
+    * ([[writeBandIndex]] / [[nearDupFlagBucketed]]) — the plan shape
     * (band join, stateless stream side) is unchanged. */
   def nearDupFlag(docs: DataFrame, index: DataFrame,
-                  hammingMax: Int = Dedup.HammingMax): DataFrame = {
-    // banding constants and predicates shared with batch D4b
-    // (Dedup.SimhashBands / bandByteExpr / firstAgreeingBandSql): one
-    // definition, one pigeonhole guarantee
-    val idxBanded = index
+                  hammingMax: Int = Dedup.HammingMax): DataFrame =
+    probe(bandedDocs(docs), broadcast(bandedIndex(index)), hammingMax)
+
+  /** Banded projection of a (doc_id, simhash) corpus index: one row per
+    * band, keyed (band, byte). Banding constants and predicates shared
+    * with batch D4b (Dedup.SimhashBands / bandByteExpr /
+    * firstAgreeingBandSql): one definition, one pigeonhole guarantee. */
+  def bandedIndex(index: DataFrame): DataFrame =
+    index
       .selectExpr("doc_id AS matched_id", "simhash AS isim",
         s"explode(sequence(0, ${Dedup.SimhashBands - 1})) AS band")
       .selectExpr("matched_id", "isim", "band",
         s"${Dedup.bandByteExpr("isim", "band")} AS byte")
-    val hashed = Dedup.withSimhash(docs)
+
+  private def bandedDocs(docs: DataFrame): DataFrame =
+    Dedup.withSimhash(docs)
       .selectExpr("doc_id", "simhash",
         s"explode(sequence(0, ${Dedup.SimhashBands - 1})) AS band")
       .selectExpr("doc_id", "simhash", "band",
         s"${Dedup.bandByteExpr("simhash", "band")} AS byte")
-    hashed.join(broadcast(idxBanded), Seq("band", "byte"))
+
+  private def probe(hashed: DataFrame, idxBanded: DataFrame,
+                    hammingMax: Int): DataFrame =
+    hashed.join(idxBanded, Seq("band", "byte"))
       // first-agreeing-band: each (doc, match) pair emitted exactly once
       .filter(expr(Dedup.firstAgreeingBandSql("simhash", "isim", "band")))
       .selectExpr("doc_id", "matched_id", "bit_count(simhash ^ isim) AS hamming")
       .filter(col("hamming") <= hammingMax)
+
+  /** One-time layout step for S5b: persist the banded index as a table
+    * bucketed (and per-bucket sorted) on the (band, byte) probe key —
+    * the pay-at-ingest trade that lets every micro-batch probe read the
+    * index co-partitioned, with no broadcast and no per-batch index
+    * shuffle. */
+  def writeBandIndex(index: DataFrame, table: String, buckets: Int = 16,
+                     path: Option[String] = None): Unit = {
+    val w = bandedIndex(index).write
+      .bucketBy(buckets, "band", "byte").sortBy("band", "byte")
+      .mode(SaveMode.Overwrite).format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** S5b: the 100 TB-corpus form of [[nearDupFlag]] — probes a
+    * pre-bucketed banded fingerprint table instead of a broadcast index.
+    * Identical match semantics (StreamingSpec proves parity); the plan
+    * trades the broadcast for a co-partitioned join: the bucketed index
+    * side is read in place (zero Exchange — pinned in StreamingSpec),
+    * only the micro-batch's banded rows shuffle to the index's bucketing,
+    * and the SHUFFLE_HASH hint on the stream side builds the (tiny)
+    * batch, streaming the corpus-sized index partition past it. */
+  def nearDupFlagBucketed(docs: DataFrame, spark: SparkSession,
+                          indexTable: String,
+                          hammingMax: Int = Dedup.HammingMax): DataFrame =
+    probe(bandedDocs(docs).hint("shuffle_hash"), spark.table(indexTable),
+      hammingMax)
 
   /** S6: streaming ingest gate — the live-arrival form of the batch
     * curation path: T2 quality scoring → T6 thresholds → T7 split

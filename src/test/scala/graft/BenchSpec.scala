@@ -68,9 +68,9 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("the real suite's line fits the budget with every query listed") {
     // 9.99 = worst realistic per-query width (every suite query is well
     // under 10 s at sf0.1; a 10 s+ query is itself a red flag): after the
-    // precision ladder degrades to 2 decimals, all entries must fit
-    // UNTRIMMED. 999.999-per-query is covered by the pathological test
-    // below, where trimming (not truncation) is the required behavior.
+    // precision ladder degrades (to 1 decimal at the current suite size),
+    // all entries must fit UNTRIMMED. 999.999-per-query is covered by the
+    // pathological test below, where trimming is the required behavior.
     val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 9.99, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")

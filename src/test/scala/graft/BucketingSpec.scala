@@ -68,4 +68,15 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = lookup.collect()
     assert(rows.length == 1 && rows.head.getLong(0) == 42L)
   }
+
+  test("Wiki-Vote bucketed edge lookup (G15g) prunes to a single bucket") {
+    // the real-dataset form of the same layout story: the gated
+    // g_wikivote_lookup query must read 1/16 of the edge files
+    val lookup = graft.operators.GraphOps.wikivoteLookup(spark, "/root/testdata/sf0.001")
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+      s"expected single-bucket scan of the Wiki-Vote edge table, got:\n$plan")
+    // hub 2565's out-degree in Wiki-VoteE.txt
+    assert(lookup.count() == 893)
+  }
 }

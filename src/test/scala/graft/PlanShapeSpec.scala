@@ -30,6 +30,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Run `body` with auto-broadcast disabled, restoring the session's
+    * PRIOR threshold afterwards (not a hard-coded default — the suite
+    * must not silently rewrite a session-level setting). */
+  private def withAutoBroadcastOff[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("scanFilter pushes predicate and projection into the parquet scan") {
     val p = plan(Relational.scanFilter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)
@@ -46,8 +60,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // declaration, while customer/supplier/orders (all grow with SF) carry
     // NO hint and must shuffle. A broadcast hint on an SF-scaled table
     // would be an OOM, not a slow plan, at the 100 TB design point.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastOff {
       val p5 = plan(Relational.localSupplierVolume(spark, dir))
       assert(p5.contains("BroadcastHashJoin"), p5) // nation + region hints
       // the lineitem-orders, customer and supplier joins all shuffle
@@ -58,7 +71,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p3 = plan(Relational.shippingRevenue(spark, dir))
       assert(!p3.contains("BroadcastHashJoin"),
         "Q3 has no fixed-size dim; nothing may broadcast when size info is off\n" + p3)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("decontam joins the corpus against a broadcast eval shingle set") {
@@ -99,14 +112,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("saltedRevenue shuffles on (key, salt): the hot key spreads over reducers") {
     // with auto-broadcast off the join must shuffle, and the exchange key
     // must include the salt — that spread IS the operator's entire point
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastOff {
       val p = plan(Relational.saltedRevenue(spark, dir))
       assert(p.contains("__salt"),
         "join-side exchanges must partition on the salt column\n" + p)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         "salting must stay an equi-join\n" + p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // build side = the SALTED left side: per (key, salt) slot it holds
+      // 1/saltFactor of a key's fact rows while the replicated side holds
+      // all of them — building the deliberately inflated table would hash
+      // the larger side (see Skew.saltedJoin)
+      assert(p.contains("ShuffledHashJoin") && p.contains("BuildLeft"),
+        "salted side must be the shuffled-hash build side\n" + p)
+    }
   }
 
   test("tfidfTop: rank-1 pushes down to WindowGroupLimit; df/N join by broadcast") {

@@ -153,6 +153,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("S5b: pre-bucketed band index — broadcast-free plan, identical matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "an entirely different document about spark query planning and shuffles"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.withSimhash(corpus)
+      .select(col("doc_id"), col("simhash"))
+    val table = "s5b_band_index"
+    val path = s"/tmp/${graft.Reset.ScratchPrefix}s5b_index"
+    graft.streaming.DocStreams.writeBandIndex(index, table, buckets = 8,
+      path = Some(path))
+    try {
+      val docs = Seq(
+        (1L, "again and again the lazy dog jumps today over the quick brown fox"),
+        (2L, "completely unrelated text with nothing matching whatsoever nearby"))
+      // plan shape (the batch form of the identical join): the bucketed
+      // index side must read in place — the ONLY exchange is the probe
+      // side shuffling to the index's bucketing, and nothing broadcasts
+      val batch = graft.streaming.DocStreams.nearDupFlagBucketed(
+        docs.toDF("doc_id", "text"), spark, table)
+      // string match, not TreeNode.collect: under AQE the executedPlan is
+      // an AdaptiveSparkPlanExec wrapper whose inner tree collect() does
+      // not traverse
+      val p = batch.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"expected exactly one (probe-side) exchange, got:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        "the index must never broadcast in the bucketed variant\n" + p)
+      assert(p.contains("Bucketed: true"),
+        "the index side must read its buckets in place\n" + p)
+      assert(p.contains("ShuffledHashJoin") && p.contains("BuildLeft"),
+        "the tiny banded batch must be the build side\n" + p)
+      // match parity with the broadcast probe (S5), batch AND stream
+      val expected = graft.streaming.DocStreams.nearDupFlag(
+          docs.toDF("doc_id", "text"), index)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet == expected, "bucketed batch probe must match the broadcast probe")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStreams.nearDupFlagBucketed(
+          in.toDF().toDF("doc_id", "text"), spark, table)
+        .writeStream.format("memory").queryName("s5b").outputMode("append").start()
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("s5b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      q.stop()
+      assert(got == expected, "stream and broadcast probes must agree")
+      assert(got.exists(m => m._1 == 1L && m._2 == 100L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+  }
+
   test("S6: streaming ingest gate admits exactly what the batch gate admits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
