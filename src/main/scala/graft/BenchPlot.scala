@@ -105,21 +105,56 @@ object BenchPlot {
     sb.toString
   }
 
-  /** Full SVG: small multiples by query family, two panels per row. */
+  /** `@`-suffixed overlay rows (g_khop_grid@h3, g_ssp_pair@d50) carry
+    * their own axis — the reference's bench_traversal/bench_spp iterate
+    * hop count / target depth, not just graph size. Regrouped here: one
+    * panel per (base query, sf), x = the numeric suffix. */
+  private def axisPanels(rows: Seq[Row], value: Row => Double,
+                         startY: Int): (String, Int) = {
+    val ax = rows.flatMap { r =>
+      r.query.split("@") match {
+        case Array(base, suf) if suf.length > 1 && suf.tail.forall(_.isDigit) =>
+          Some((base, suf.head, suf.tail.toInt, r))
+        case _ => None
+      }
+    }
+    val panels = ax.groupBy(t => (t._1, t._2)).toSeq
+      .sortBy { case ((b, a), _) => (b, a) }
+      .map { case ((base, axis), ts) =>
+        // reuse the log-log panel machinery with the suffix as the x axis
+        // (hops/depths are small positive ints, log-x keeps spacing sane);
+        // one series per SF so the axis cost curve is read per graph size
+        val rr = ts.map(t => Row(s"sf=${t._4.sf}", t._3.toDouble,
+          t._4.seconds, t._4.cpuS, t._4.peakMb))
+        (s"$base by $axis", rr)
+      }
+    val cols = 2
+    val body = panels.zipWithIndex.map { case ((title, rr), i) =>
+      panel(title, rr, value, 10 + (i % cols) * PanelW,
+        startY + (i / cols) * PanelH)
+    }.mkString
+    (body, (panels.size + cols - 1) / cols * PanelH)
+  }
+
+  /** Full SVG: small multiples by query family (x = scale factor), plus
+    * one panel per overlay axis (x = hops / target depth). */
   def svg(rows: Seq[Row], metricName: String, value: Row => Double): String = {
+    val (axisRows, sfRows) = rows.partition(_.query.contains("@"))
     // family = leading letters ("q1_pricing_summary" → "q", "g_pagerank" → "g")
-    val fams = rows.groupBy(_.query.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+    val fams = sfRows.groupBy(_.query.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
     val cols = 2
     val nRows = (fams.size + cols - 1) / cols
-    val (totalW, totalH) = (cols * PanelW + 20, nRows * PanelH + 40)
+    val famH = nRows * PanelH
     val body = fams.zipWithIndex.map { case ((fam, fr), i) =>
       panel(s"$fam ($metricName)", fr, value,
         10 + (i % cols) * PanelW, 30 + (i / cols) * PanelH)
     }.mkString
+    val (axBody, axH) = axisPanels(axisRows, value, 30 + famH)
+    val (totalW, totalH) = (cols * PanelW + 20, famH + axH + 40)
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$totalW" height="$totalH" font-family="sans-serif">
        |<rect width="$totalW" height="$totalH" fill="$Surface"/>
        |<text x="10" y="18" fill="$Ink" font-size="13" font-weight="600">graft bench sweep — $metricName vs scale factor (log-log)</text>
-       |$body</svg>""".stripMargin
+       |$body$axBody</svg>""".stripMargin
   }
 
   /** Reads BENCH_SWEEP.csv (or argv(0)) and writes one SVG per metric. */

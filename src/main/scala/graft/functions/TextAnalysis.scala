@@ -685,7 +685,71 @@ object TextAnalysis {
       |  WHERE len(w) >= 2)
       |GROUP BY bigram ORDER BY n_occ DESC, bigram ASC LIMIT 50""".stripMargin
 
+  // --- T18: PII scrubbing ----------------------------------------------------
+
+  /** Patterns scrubbed by T18, applied in this order (order is part of
+    * the contract: emails first — their dotted domains would otherwise
+    * feed the IP pattern — then phones, then IPv4). Regexes restricted
+    * to syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB): char classes, \d, \b, bounded repetition. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** T18: PII scrubbing — redact emails / phone numbers / IPv4 addresses
+    * and count what was removed, the compliance pass every training-data
+    * pipeline runs before release. Pure per-row regex expression work:
+    * one scan, zero shuffles (pinned in PlanShapeSpec), trivially
+    * data-parallel at 100 TB.
+    *
+    * The synthetic corpus contains no digits at all (so raw scrubbing
+    * would be gated on a no-op): the query PLANTS deterministic PII
+    * derived from doc_id — identically on both engines, the same
+    * plant-then-operate pattern the dedup scale specs use — and the
+    * scrubber must find and redact exactly the planted items. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1")).as("text"))
+    val Seq(email, phone, ip) = PiiPatterns.map(_._1)
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(phone)).as("n_phones"),
+      regexp_count(col("text"), lit(ip)).as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
+
+  def piiScrubOracle: String = {
+    val Seq(email, phone, ip) = PiiPatterns.map(_._1)
+    // DuckDB regexp_replace is first-match-only without the 'g' flag
+    val scrub = PiiPatterns.foldLeft("text") {
+      case (s, (pat, tag)) => s"regexp_replace($s, '$pat', '$tag', 'g')"
+    }
+    s"""WITH planted AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or call 555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+       |  $scrub AS scrubbed
+       |FROM planted""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pii_scrub" -> piiScrub,
     "t_seq_pack" -> seqPack,
     "t_seq_pack_sharded" -> seqPackSharded,
     "t_bigrams" -> bigrams,
@@ -706,6 +770,7 @@ object TextAnalysis {
     "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
+    "t_pii_scrub" -> piiScrubOracle,
     "t_seq_pack" -> seqPackOracle,
     "t_seq_pack_sharded" -> seqPackShardedOracle,
     "t_bigrams" -> bigramsOracle,

@@ -39,6 +39,26 @@ class BenchPlotSpec extends AnyFunSuite {
     }
   }
 
+  test("@-suffixed overlay rows get their own axis panels, one series per SF") {
+    val axCsv = csv +
+      """g_khop_grid@h1,sf0.1,0.1,0.1,0,
+        |g_khop_grid@h2,sf0.1,0.2,0.2,0,
+        |g_khop_grid@h4,sf0.1,0.4,0.4,0,
+        |g_khop_grid@h1,sf0.01,0.05,0.05,0,
+        |g_khop_grid@h2,sf0.01,0.1,0.1,0,
+        |g_ssp_pair@d50,sf0.1,0.5,0.5,0,
+        |g_ssp_pair@d100,sf0.1,0.9,0.9,0,
+        |""".stripMargin
+    val out = BenchPlot.svg(BenchPlot.parseCsv(axCsv), "seconds", _.seconds)
+    assert(out.contains("g_khop_grid by h") && out.contains("g_ssp_pair by d"))
+    // one polyline per SF series in the hops panel, one in the depth panel,
+    // plus the two family-panel series from the base csv
+    assert("<polyline".r.findAllIn(out).length == 5)
+    assert(out.contains(">sf=0.1</text>") && out.contains(">sf=0.01</text>"))
+    // overlay rows must not leak into the family panels as SF series
+    assert(!out.contains(">g_khop_grid@h1</text>"))
+  }
+
   test("zero metric values are clamped, not dropped or log-exploded") {
     val rows = BenchPlot.parseCsv(csv)
     val out = BenchPlot.svg(rows, "cpu_seconds", _.cpuS)

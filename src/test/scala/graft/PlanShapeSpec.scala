@@ -101,9 +101,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tercile boundaries must join back via broadcast\n" + p)
   }
 
-  test("stratifiedSample and hashSplit are single-scan, shuffle-free plans") {
+  test("stratifiedSample, hashSplit and piiScrub are single-scan, shuffle-free plans") {
     for (df <- Seq(TextAnalysis.stratifiedSample(spark, dir),
-                   TextAnalysis.hashSplit(spark, dir))) {
+                   TextAnalysis.hashSplit(spark, dir),
+                   TextAnalysis.piiScrub(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), "per-row operators must not shuffle\n" + p)
     }
