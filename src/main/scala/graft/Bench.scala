@@ -91,8 +91,9 @@ object Bench {
     finally println(line)
   }
 
-  /** Run every query at one SF (warmup pass + min of two timed passes per
-    * query, session reset between queries) and return the measurements. */
+  /** Run every query at one SF (warmup pass + min of three timed passes
+    * per query, session reset between queries) and return the
+    * measurements. */
   def runSuite(spark: SparkSession, listener: QueryMetricsListener,
                sfDir: String,
                queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -183,10 +184,20 @@ object Bench {
     val total = ok.map(_.secs).sum
     // trailing zeros carry no information and the budget is bytes: format
     // at `prec`, then drop redundant fraction digits ("10.0" → "10",
-    // "0.40" → "0.4") — still a valid JSON number, same meaning
+    // "0.40" → "0.4") — still a valid JSON number, same meaning. A
+    // SUCCESSFUL timing must never render as bare 0 (that reads like the
+    // silently-timed-as-zero failure mode this line's contract rules out):
+    // when rounding at `prec` erases the value, widen to the first
+    // precision that shows a nonzero digit, floor 0.001.
     def num(d: Double, prec: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      def fmt(p: Int): String = {
+        val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(d))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
+      val s = fmt(prec)
+      if (s == "0" && d > 0)
+        ((prec + 1) to 3).map(fmt).find(_ != "0").getOrElse("0.001")
       else s
     }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int): String = {

@@ -105,19 +105,25 @@ object BenchPlot {
     sb.toString
   }
 
+  /** `name@<axis-letter><int>` parse for overlay rows; None for anything
+    * that does not match EXACTLY that shape ("@foo", "@h", "a@b@c"), so
+    * the caller can route malformed names somewhere visible instead of
+    * this function guessing at them. */
+  private def parseAxis(q: String): Option[(String, Char, Int)] =
+    q.split("@") match {
+      case Array(base, suf) if suf.length > 1 && suf.tail.forall(_.isDigit) =>
+        Some((base, suf.head, suf.tail.toInt))
+      case _ => None
+    }
+
   /** `@`-suffixed overlay rows (g_khop_grid@h3, g_ssp_pair@d50) carry
     * their own axis — the reference's bench_traversal/bench_spp iterate
     * hop count / target depth, not just graph size. Regrouped here: one
-    * panel per (base query, sf), x = the numeric suffix. */
+    * panel per (base query, sf), x = the numeric suffix. Callers must
+    * pre-filter with [[parseAxis]]. */
   private def axisPanels(rows: Seq[Row], value: Row => Double,
                          startY: Int): (String, Int) = {
-    val ax = rows.flatMap { r =>
-      r.query.split("@") match {
-        case Array(base, suf) if suf.length > 1 && suf.tail.forall(_.isDigit) =>
-          Some((base, suf.head, suf.tail.toInt, r))
-        case _ => None
-      }
-    }
+    val ax = rows.flatMap(r => parseAxis(r.query).map { case (b, a, v) => (b, a, v, r) })
     val panels = ax.groupBy(t => (t._1, t._2)).toSeq
       .sortBy { case ((b, a), _) => (b, a) }
       .map { case ((base, axis), ts) =>
@@ -139,7 +145,11 @@ object BenchPlot {
   /** Full SVG: small multiples by query family (x = scale factor), plus
     * one panel per overlay axis (x = hops / target depth). */
   def svg(rows: Seq[Row], metricName: String, value: Row => Double): String = {
-    val (axisRows, sfRows) = rows.partition(_.query.contains("@"))
+    // only rows whose name parses as a real axis overlay go to the axis
+    // panels; a malformed '@' name ("x@foo", "x@h", double '@') falls back
+    // into its family panel and renders under its full name — a bad
+    // overlay name must degrade visibly, never vanish from the plot
+    val (axisRows, sfRows) = rows.partition(r => parseAxis(r.query).isDefined)
     // family = leading letters ("q1_pricing_summary" → "q", "g_pagerank" → "g")
     val fams = sfRows.groupBy(_.query.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
     val cols = 2

@@ -55,15 +55,27 @@ object Reset {
     * JVM whose marker is already claimed (one test suite after another)
     * would otherwise skip the write and then fail to resolve the table.
     * Writes when the table is missing from this session's catalog OR the
-    * marker is free (first claim, or scratch cleared between sweep SFs). */
+    * marker is free (first claim, or scratch cleared between sweep SFs).
+    *
+    * Unlike writeOnce's single atomic `written.add`, this spans two states
+    * (session catalog + per-JVM marker), so the whole check-then-act runs
+    * under one lock — two threads racing on the same table must not both
+    * run the saveAsTable write (today's drivers are single-threaded; the
+    * lock makes the latent race impossible rather than documented-away). */
   def writeOnceTable(spark: SparkSession, table: String, path: String)
                     (write: => Unit): Unit =
-    if (!spark.catalog.tableExists(table)) { written.add(path); write }
-    else writeOnce(path)(write)
+    written.synchronized {
+      if (!spark.catalog.tableExists(table)) { written.add(path); write }
+      else if (written.add(path)) write
+    }
 
-  /** Delete every /tmp/graft_* scratch dir and reset write-once markers. */
+  /** Delete every /tmp/graft_* scratch dir and reset ALL per-JVM
+    * memoization (write-once markers + the grid-size memo) — one path for
+    * every cache keyed on a data dir, so a dir regenerated at a different
+    * scale within one JVM can never serve stale sizes. */
   def clearScratch(): Unit = {
     written.clear()
+    graft.operators.GraphOps.clearGridNCache()
     val tmp = Paths.get("/tmp")
     if (Files.isDirectory(tmp)) {
       val stream = Files.list(tmp)

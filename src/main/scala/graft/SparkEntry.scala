@@ -18,7 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ GraphOps.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      CorpusIO.queries
+      CorpusIO.queries ++ Map(
+        // S7: per-op single-insert bench (reference bench_add_single_*);
+        // rows-only — the timed path is a streaming append, not a SQL
+        // expression over the parquet tables. Independent of sfDir by
+        // design: the reference's insert bench also measures ops, not
+        // data (per-op cost is constant in corpus size).
+        "g_insert_stream" -> ((s: SparkSession, _: String) =>
+          graft.streaming.InsertBench.insertStream(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -691,11 +691,21 @@ object TextAnalysis {
     * the contract: emails first — their dotted domains would otherwise
     * feed the IP pattern — then phones, then IPv4). Regexes restricted
     * to syntax with identical semantics in Java regex (Spark) and RE2
-    * (DuckDB): char classes, \d, \b, bounded repetition. */
+    * (DuckDB): char classes, \d, \b, bounded repetition, alternation.
+    *
+    * Boundary (pinned in TextAnalysisSpec "piiScrub pattern boundary"):
+    * the IP octet alternation admits only 0-255, so `300.1.2.3` is NOT an
+    * IP (a naive \d{1,3} quad would redact it — and \b blocks a partial
+    * match of its valid `00.1.2.3` tail because digit→digit is not a word
+    * boundary); `555-123` is too short for the phone shape; and
+    * `user@localhost` has no dotted TLD, so it stays. Over-redaction is a
+    * real cost in a compliance pass — every false positive destroys
+    * training text — so the misses are contract, not accident. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
     "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>",
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+    ("\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b") -> "<IP>")
 
   /** T18: PII scrubbing — redact emails / phone numbers / IPv4 addresses
     * and count what was removed, the compliance pass every training-data

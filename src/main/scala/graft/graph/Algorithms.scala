@@ -48,16 +48,26 @@ object Algorithms {
     * two shuffle joins + a groupBy-min, no driver-side state (the
     * large-star/small-star family of map-reduce CC, cf. Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * `numParts > 0` sizes the persisted edge closure and each round's
+    * label frontier to the graph instead of `spark.sql.shuffle.partitions`
+    * (same knob as kCore / Traversals.bfs): a ~50-edge verified-pair graph
+    * otherwise pays ~32 near-empty tasks per pointer-jumping round — pure
+    * scheduling noise. Leave 0 for SF-scaled graphs; default shuffle + AQE
+    * is the 100 TB path.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          numParts: Int = 0): DataFrame = {
     val und = {
       val e = edges.select(col("src"), col("dst"))
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("dst"))
+      val u = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      (if (numParts > 0) u.repartition(numParts, col("dst"))
+       else u.repartition(col("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    var labels = nodes.select(col("id").as("node"), col("id").as("comp"))
-      .localCheckpoint()
+    def chk(df: DataFrame): DataFrame =
+      (if (numParts > 0) df.repartition(numParts, col("node")) else df).localCheckpoint()
+    var labels = chk(nodes.select(col("id").as("node"), col("id").as("comp")))
     var changed = 1L
     while (changed > 0) {
       // neighbor-min: for each node the smallest label among its neighbors
@@ -76,7 +86,7 @@ object Algorithms {
           least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("newcomp"))
         .localCheckpoint()
       changed = next.filter(col("newcomp") =!= col("comp")).count()
-      labels = next.select(col("node"), col("newcomp").as("comp")).localCheckpoint()
+      labels = chk(next.select(col("node"), col("newcomp").as("comp")))
     }
     und.unpersist()
     labels

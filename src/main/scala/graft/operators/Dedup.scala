@@ -406,7 +406,11 @@ object Dedup {
     * verification) with the CC algorithm (G8), and the iterative CC runs
     * only on pair *survivors* — a graph many orders of magnitude smaller
     * than the corpus — so the per-round joins never touch the 100 TB
-    * table. */
+    * table. The CC is sized to that survivor graph (`numParts = 4`, the
+    * same knob the GraphX paths use): running a ~50-edge component search
+    * at the session's 32 shuffle partitions costs ~32 near-empty tasks
+    * per pointer-jumping round — the suite's biggest variance amplifier
+    * before this was pinned. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(spark, dir)
       .filter(col("jaccard") >= ClusterJaccard)
@@ -414,7 +418,7 @@ object Dedup {
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    graft.graph.Algorithms.connectedComponents(nodes, edges)
+    graft.graph.Algorithms.connectedComponents(nodes, edges, numParts = 4)
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
   }
 

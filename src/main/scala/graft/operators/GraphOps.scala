@@ -92,6 +92,12 @@ object GraphOps {
     * floor 8 keeps the smallest SF a real graph. */
   private val gridNCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Drop the per-dir grid-size memo — invoked by Reset.clearScratch so
+    * ALL per-JVM memoization resets through one path: if a data dir were
+    * ever regenerated at a different scale within one JVM, the next sweep
+    * pass recounts instead of silently sizing grids off the stale N. */
+  private[graft] def clearGridNCache(): Unit = gridNCache.clear()
+
   def gridNFor(spark: SparkSession, dir: String): Int =
     // memoized per dir: the sweep calls this once per overlay query per
     // pass, and the customer row count for a dir never changes within a
@@ -102,10 +108,20 @@ object GraphOps {
     }).intValue
 
   /** Sweep-only overlays for the fixed-size grid queries (same code paths,
-    * SF-derived N), plus the hops/target-depth axes. Merged over the gated
-    * map by BenchSweep. */
+    * SF-derived N), plus the hops/target-depth/insert-count axes. Merged
+    * over the gated map by BenchSweep. */
   val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
-    sizeSweep ++ khopSweep ++ sspSweep
+    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep
+
+  /** Op-count axis for the per-op insert bench (reference
+    * bench_add_single_node/edge iterates op count via iterate_bench,
+    * benchmark.py:238-264): wall time should be linear in N with a ~zero
+    * data term — per-op cost is the micro-batch floor, constant in SF. */
+  private def insertSweep: Map[String, (SparkSession, String) => DataFrame] =
+    Seq(8, 16, 32, 64).map { n =>
+      s"g_insert_stream@n$n" -> ((s: SparkSession, _: String) =>
+        graft.streaming.InsertBench.insertStream(s, n))
+    }.toMap
 
   private def sizeSweep: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_khop_grid" -> ((s, d) => Traversals.kHop(

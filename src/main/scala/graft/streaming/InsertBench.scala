@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S7: per-op single-insert bench — the Spark re-expression of the
+  * reference's `bench_add_single_node` / `bench_add_single_edge`
+  * (benchmark.py:103-123, driven per-op by iterate_bench :238-264), the
+  * one reference op family that is structurally OLTP: it times N
+  * INDIVIDUAL inserts, not one bulk load.
+  *
+  * Spark has no per-row insert path — the honest analog is the smallest
+  * unit of arrival it does have, the micro-batch: a `rate-micro-batch`
+  * source emits exactly ONE row per batch (`rowsPerBatch = 1`), each row
+  * flows through the S6 ingest gate ([[DocStreams.ingestGate]] — the same
+  * admission expressions as the batch pipeline), and the run completes
+  * after `nOps` singleton batches have committed to the sink. Wall time /
+  * nOps is the per-op insert cost, dominated by the micro-batch planning
+  * floor (tens of ms) exactly as the reference's graph DBs are dominated
+  * by per-call transaction cost (their measured seconds/op at bulk scale,
+  * Results/) — the structural trade both engines make on this family.
+  *
+  * Scale shape: each batch is stateless per-row expression work (no
+  * state store, no watermark, no stream-side shuffle), so per-op cost is
+  * CONSTANT in corpus size — the sweep axis (`g_insert_stream@n8..n64`)
+  * measures ops, not data, and should be linear in N with a ~zero data
+  * term.
+  */
+object InsertBench {
+
+  /** Singleton-batch count for the gated query: large enough that the
+    * per-op mean is stable, small enough that the bench's warmup+3-pass
+    * protocol stays cheap. */
+  val DefaultOps = 32
+
+  private val runId = new AtomicInteger(0)
+
+  /** Deterministic per-op document: ≥20 words, stopword-heavy (clears the
+    * T6 gate: n_words ≥ 20, score ≥ 0.5, punct ≤ 0.2), language cycling
+    * over the four lexicons so the gate's per-language sampling runs. The
+    * op id rides along as doc_id, so results are reproducible per run. */
+  private[graft] val docExpr: Seq[org.apache.spark.sql.Column] = Seq(
+    col("value").as("doc_id"),
+    concat(lit("the a and of to in is that for on " * 2 +
+      "the quick brown fox jumps over the lazy dog op "),
+      col("value").cast("string")).as("text"),
+    element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+      (col("value") % 4 + 1).cast("int")).as("lang"))
+
+  /** Run `nOps` singleton-batch inserts through the ingest gate; returns
+    * the admitted rows for ops 0..nOps-1 as a static (checkpointed)
+    * DataFrame — deterministic row set (rows-only gated: the insert path
+    * is not SQL-expressible), timed end-to-end by the bench harness. */
+  def insertStream(spark: SparkSession, nOps: Int = DefaultOps): DataFrame = {
+    val stream = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 1)
+      .option("numPartitions", 1)
+      .load()
+      .select(docExpr: _*)
+    val sink = s"graft_insert_sink_${runId.incrementAndGet()}"
+    val q = DocStreams.ingestGate(stream)
+      .writeStream.format("memory").queryName(sink)
+      .start()
+    try {
+      // one committed batch == one insert op; poll until op nOps-1's
+      // batch commits (processAllAvailable would never return here — a
+      // rate source always has more data). The default ProcessingTime(0)
+      // trigger fires batches back-to-back, so the poll interval only
+      // bounds stop latency, not per-op cost.
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (Option(q.lastProgress).forall(_.batchId < nOps - 1)) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"insert bench stalled at batch ${Option(q.lastProgress).map(_.batchId)}")
+        Thread.sleep(2)
+      }
+    } finally q.stop()
+    // the trigger loop may commit a few ops past nOps before stop() lands;
+    // restrict to the first nOps so the result set is run-independent
+    val out = spark.table(sink).filter(col("doc_id") < nOps).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    out
+  }
+}

@@ -106,6 +106,27 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "errors must surface as truncated messages or an omitted count")
   }
 
+  test("idle footprint: Reset.clear releases every cached block; heap stays under ceiling") {
+    // B6 exists to measure the cost of keeping the engine up with no query
+    // running; Reset.clear exists so that cost never includes leaked
+    // caches. Pin both halves: (1) the semantic leak check — after running
+    // a query that persists blocks (dedupClusters caches its CC edge
+    // closure and checkpoints frontiers), clear() must leave ZERO
+    // persistent RDDs; (2) a post-GC heap ceiling, so a future leak that
+    // slips past (1) (driver-side references, accumulated broadcast
+    // blocks) fails a test instead of silently inflating the bench's idle
+    // number (362 MB in the round-7 run — the ceiling leaves ~3x headroom
+    // for test-JVM overhead, not for leaks that grow with queries run).
+    graft.operators.Dedup.dedupClusters(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").format("noop").save()
+    val idle = Bench.idleUsage(spark) // calls Reset.clear + System.gc
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"clear() leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val used = (org.json4s.jackson.JsonMethods.parse(idle) \ "heap_used_mb")
+      .asInstanceOf[org.json4s.JDouble].num
+    assert(used < 1024.0, s"post-GC idle heap $used MB exceeds the 1024 MB ceiling")
+  }
+
   test("detail path on the line follows SPARK_GRAFT_DETAIL_OUT") {
     val results = Seq(QueryBench("q", 1.0, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/sf", "/tmp/elsewhere.json")

@@ -32,6 +32,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   // path 1→2→3→4, branch 1→5
   private val pathG = graph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)))
 
+  test("Wiki-Vote PageRank: per-iteration snapping is semantics-preserving (≤1e-6 vs raw)") {
+    // g_wikivote_pagerank stays oracle-matchable by snapping every
+    // iteration's ranks to 9 dp (order-dependent double reduction over
+    // deg-~900 hubs drifts per-engine otherwise). That trick must not
+    // CHANGE the answer: run the production path raw (snap = 0) on the
+    // same power-law graph and require agreement within 1e-6 — three
+    // orders of magnitude under the 6-dp rounding the gated query emits.
+    import org.apache.spark.sql.functions.{abs, col, max}
+    val g = PropertyGraph.fromNodeEdgeLists(spark,
+      graft.operators.GraphOps.WikiVoteNodes, graft.operators.GraphOps.WikiVoteEdges)
+    val snapped = GraphXBridge.pageRank(spark, g, iters = 10, d = 0.85,
+      numParts = 4, snap = 9).withColumnRenamed("rank", "rs")
+    val raw = GraphXBridge.pageRank(spark, g, iters = 10, d = 0.85,
+      numParts = 4, snap = 0).withColumnRenamed("rank", "rr")
+    val joined = snapped.join(raw, Seq("node"), "full").localCheckpoint()
+    assert(joined.filter(col("rs").isNull || col("rr").isNull).count() == 0,
+      "both variants must rank exactly the same node set")
+    val drift = joined.select(max(abs(col("rs") - col("rr")))).first.getDouble(0)
+    assert(drift < 1e-6, s"snapping changed ranks by $drift (> 1e-6)")
+  }
+
   test("kHop: distinct nodes within 1..2 directed hops") {
     val got = Traversals.kHop(pathG.edges, 1L, 2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet

@@ -145,6 +145,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), "no join belongs in this aggregate\n" + p)
   }
 
+  test("dedupClusters CC rounds are sized to the survivor graph, not session width") {
+    // the verified-pair graph is ~50 edges; before the numParts knob the CC
+    // inherited spark.sql.shuffle.partitions and paid ~32 near-empty tasks
+    // per pointer-jumping round (the suite's variance amplifier). Pin that
+    // the final labels — and so each checkpointed round, which uses the
+    // same chk() width — carry at most 8 partitions even when the session
+    // runs at the production width.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "32")
+    try {
+      val labels = graft.operators.Dedup.dedupClusters(spark, dir)
+      assert(labels.rdd.getNumPartitions <= 8,
+        s"survivor CC must run narrow; saw ${labels.rdd.getNumPartitions} partitions")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("commonNeighbors/adamicAdar witness joins stay equi-joins on checkpointed adjacency") {
     import graft.operators.GraphOps
     for (df <- Seq(GraphOps.commonNeighbors(spark, dir),

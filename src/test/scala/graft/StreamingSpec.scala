@@ -242,6 +242,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "stream and batch admission must be bit-identical")
   }
 
+  test("S7: per-op insert bench commits one op per micro-batch; admissions match the batch gate") {
+    import graft.streaming.{DocStreams, InsertBench}
+    val nOps = 12
+    val got = InsertBench.insertStream(spark, nOps)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    // every admitted op is one of the first nOps singleton batches
+    assert(got.forall(_._1 < nOps), s"op ids past the requested count: $got")
+    // parity: the streaming gate must admit exactly the docs the batch
+    // gate admits for the same deterministic per-op documents (the
+    // lambda-architecture consistency claim, per-op edition)
+    val want = DocStreams.ingestGate(
+        spark.range(nOps).toDF("value").select(InsertBench.docExpr: _*))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(got == want, s"stream admitted $got, batch admits $want")
+    assert(want.nonEmpty, "gate admitted nothing — bench would time an empty path")
+  }
+
   test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val decoded = graft.operators.Multimodal.decodeStub(media)

@@ -41,6 +41,36 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.head < counts.last, "deeper traversals must reach more nodes")
   }
 
+  test("sf-extrapolation guard: measured scaling exponents back the 100 TB claims") {
+    // BENCH_SWEEP.csv spans 100× of data (sf0.001 → sf0.1); the log-log
+    // slope of wall time over that span is a measured scaling exponent,
+    // which turns the plan-shape claims into numbers: bucketed /
+    // exchange-free per-row operators must be strongly sub-linear
+    // (their cost is a partition-local scan, mostly hidden under the
+    // fixed scheduling floor at these SFs), full scans and shuffle
+    // aggregations at most ~linear (exponent ≤ 1.15 leaves room for
+    // timing noise but rules out anything super-linear — the shape that
+    // would NOT survive the next 1000×).
+    val csvPath = java.nio.file.Paths.get("BENCH_SWEEP.csv")
+    assume(java.nio.file.Files.exists(csvPath), "sweep CSV not generated yet")
+    val rows = BenchPlot.parseCsv(java.nio.file.Files.readString(csvPath))
+    def exponent(q: String): Double = {
+      val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
+      assert(pts.size >= 2, s"$q missing from the sweep CSV (need ≥2 SFs)")
+      val ((s0, t0), (s1, t1)) = (pts.head, pts.last)
+      // floor at 20 ms: below the scheduling floor a ratio is pure noise
+      math.log(math.max(t1, 0.02) / math.max(t0, 0.02)) / math.log(s1 / s0)
+    }
+    for (q <- Seq("g_node_lookup_fast", "t_hash_split", "t_pii_scrub")) {
+      val e = exponent(q)
+      assert(e < 0.8, f"$q scaling exponent $e%.2f — expected sub-linear (< 0.8)")
+    }
+    for (q <- Seq("q_scan_filter", "q1_pricing_summary", "t_token_count", "d_exact_dedup")) {
+      val e = exponent(q)
+      assert(e <= 1.15, f"$q scaling exponent $e%.2f — expected at most ~linear (≤ 1.15)")
+    }
+  }
+
   test("depth axis: ssp targets sit at increasing distances, all reachable") {
     val n = GraphOps.gridNFor(spark, dir)
     val dists = Seq(25, 50, 75, 100).map { pct =>

@@ -29,6 +29,36 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall { case (_, n) => n > 0 })
   }
 
+  test("piiScrub pattern boundary: adversarial near-misses survive, true PII is redacted") {
+    // the oracle gate proves the planted-PII contract; this pins the OTHER
+    // side of the boundary — what must NOT be redacted. Over-redaction
+    // destroys training text, so each near-miss is contract: octets >255
+    // are not IPs (and \b blocks partial matches of their valid tails),
+    // 555-123 / 555-12345 are not the phone shape, user@localhost has no
+    // dotted TLD.
+    import spark.implicits._
+    val cases = Seq(
+      ("ping 300.1.2.3 now", "ping 300.1.2.3 now"),
+      ("ping 999.999.999.999 now", "ping 999.999.999.999 now"),
+      ("ping 256.0.0.1 now", "ping 256.0.0.1 now"),
+      ("call 555-123 now", "call 555-123 now"),
+      ("call 555-12345 now", "call 555-12345 now"),
+      ("mail user@localhost now", "mail user@localhost now"),
+      // …and the true positives still redact, including the extremes
+      ("ping 255.255.255.255 now", "ping <IP> now"),
+      ("ping 0.0.0.0 now", "ping <IP> now"),
+      ("ping 10.199.0.1 now", "ping <IP> now"),
+      ("call 555-0199 now", "call <PHONE> now"),
+      ("mail a.b+c%d@ex-1.co now", "mail <EMAIL> now"))
+    val scrub = TextAnalysis.PiiPatterns.foldLeft(col("s")) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val got = cases.map(_._1).toDF("s").select(scrub.as("out")).as[String].collect()
+    got.zip(cases).foreach { case (o, (in, want)) =>
+      assert(o == want, s"scrub('$in') = '$o', want '$want'")
+    }
+  }
+
   test("stratifiedSample is deterministic and respects per-language rates") {
     val s1 = TextAnalysis.stratifiedSample(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
