@@ -172,11 +172,13 @@ object Bench {
     * count — a mass-failure round (60+ errors × 200 chars) must still
     * produce a parseable line — then precision drops to 1 decimal
     * (100 ms still separates the multi-second tail from the sub-second
-    * pack), and only as the last resort are the FASTEST queries dropped
-    * (the slow ones carry the performance signal; a `queries_omitted`
-    * count records the cut). Full fidelity always lives in the detail
-    * sidecar (`detail` names the actual file written, honoring
-    * SPARK_GRAFT_DETAIL_OUT). */
+    * pack), then the informational `detail` pointer is dropped (its file
+    * is committed to the repo anyway; a per-query timing beats a
+    * pointer), and only as the last resort are the FASTEST queries
+    * dropped (the slow ones carry the performance signal; a
+    * `queries_omitted` count records the cut). Full fidelity always
+    * lives in the detail sidecar (`detail` names the actual file
+    * written, honoring SPARK_GRAFT_DETAIL_OUT). */
   def benchLine(results: Seq[QueryBench], sfDir: String,
                 detail: String = DetailFile): String = {
     val ok = results.filter(_.err.isEmpty)
@@ -200,7 +202,8 @@ object Bench {
         ((prec + 1) to 3).map(fmt).find(_ != "0").getOrElse("0.001")
       else s
     }
-    def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int): String = {
+    def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
+               withDetail: Boolean = true): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
@@ -209,22 +212,26 @@ object Bench {
           errList.map { case (k, e) => s"\"$k\":\"${e.take(errMaxLen)}\"" }
             .mkString("{", ",", "}") + omittedErrs(0)
         else "{}" + omittedErrs(errList.size)
+      val det = if (withDetail) s""","detail":"$detail"""" else ""
       s"""{"metric":"total","value":${jsonNum3(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs$omitted,"detail":"$detail","sf":"$sfDir"}"""
+        s""""errors":$errs$omitted$det,"sf":"$sfDir"}"""
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
     // degrade ladder, cheapest signal first: 3→2 decimal per-query
     // precision (10 ms resolution still ranks every query), then error
-    // truncation, then error omission, then 1-decimal precision, and only
-    // then drop the FASTEST queries (the slow ones carry the signal)
+    // truncation, then error omission, then 1-decimal precision, then the
+    // detail pointer, and only then drop the FASTEST queries (the slow
+    // ones carry the signal)
     var line = render(bySlowest, 200, 3)
-    for ((prec, errMaxLen) <- Seq((2, 200), (2, 40), (2, 0), (1, 0)) if line.length > LineBudget)
-      line = render(bySlowest, errMaxLen, prec)
+    for ((prec, errMaxLen, withDetail) <-
+           Seq((2, 200, true), (2, 40, true), (2, 0, true), (1, 0, true), (1, 0, false))
+         if line.length > LineBudget)
+      line = render(bySlowest, errMaxLen, prec, withDetail)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
-      line = render(bySlowest.take(n), 0, 1)
+      line = render(bySlowest.take(n), 0, 1, withDetail = false)
     }
     line
   }

@@ -25,7 +25,11 @@ object SparkEntry {
         // design: the reference's insert bench also measures ops, not
         // data (per-op cost is constant in corpus size).
         "g_insert_stream" -> ((s: SparkSession, _: String) =>
-          graft.streaming.InsertBench.insertStream(s)))
+          graft.streaming.InsertBench.insertStream(s)),
+        // S7 edge flavor (reference bench_add_single_edge): bare append,
+        // no gate — times the pure per-op micro-batch floor.
+        "g_insert_edges" -> ((s: SparkSession, _: String) =>
+          graft.streaming.InsertBench.insertEdges(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

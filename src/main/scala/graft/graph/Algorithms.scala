@@ -49,47 +49,55 @@ object Algorithms {
     * large-star/small-star family of map-reduce CC, cf. Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).
     *
-    * `numParts > 0` sizes the persisted edge closure and each round's
-    * label frontier to the graph instead of `spark.sql.shuffle.partitions`
-    * (same knob as kCore / Traversals.bfs): a ~50-edge verified-pair graph
-    * otherwise pays ~32 near-empty tasks per pointer-jumping round — pure
-    * scheduling noise. Leave 0 for SF-scaled graphs; default shuffle + AQE
-    * is the 100 TB path.
+    * `numParts > 0` sizes every round's shuffles to the graph instead of
+    * `spark.sql.shuffle.partitions` (same knob as kCore / Traversals.bfs):
+    * a ~50-edge verified-pair graph otherwise pays ~32 near-empty tasks
+    * per pointer-jumping round — pure scheduling noise. Implemented by
+    * scoping the session's shuffle-partition count around the (eagerly
+    * materializing) round loop rather than appending repartition()s,
+    * which would ADD an exchange per round to remove task count. Single-
+    * threaded-driver assumption as elsewhere (Reset.writeOnceTable).
+    * Leave 0 for SF-scaled graphs; default shuffle + AQE is the 100 TB
+    * path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           numParts: Int = 0): DataFrame = {
-    val und = {
-      val e = edges.select(col("src"), col("dst"))
-      val u = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      (if (numParts > 0) u.repartition(numParts, col("dst"))
-       else u.repartition(col("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    def chk(df: DataFrame): DataFrame =
-      (if (numParts > 0) df.repartition(numParts, col("node")) else df).localCheckpoint()
-    var labels = chk(nodes.select(col("id").as("node"), col("id").as("comp")))
-    var changed = 1L
-    while (changed > 0) {
-      // neighbor-min: for each node the smallest label among its neighbors
-      val nbrMin = und
-        .join(labels.withColumnRenamed("node", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("comp")).as("nmin"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp1"))
-      // pointer jump: comp2 = label(comp1)
-      val jump = labels.select(col("node").as("jnode"), col("comp").as("jcomp"))
-      val next = stepped.join(jump, col("comp1") === col("jnode"), "left")
-        .select(col("node"), col("comp"),
-          least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("newcomp"))
+    val spark = nodes.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (numParts > 0) spark.conf.set(key, numParts.toString)
+    try {
+      val und = {
+        val e = edges.select(col("src"), col("dst"))
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().repartition(col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      var labels = nodes.select(col("id").as("node"), col("id").as("comp"))
         .localCheckpoint()
-      changed = next.filter(col("newcomp") =!= col("comp")).count()
-      labels = chk(next.select(col("node"), col("newcomp").as("comp")))
-    }
-    und.unpersist()
-    labels
+      var changed = 1L
+      while (changed > 0) {
+        // neighbor-min: for each node the smallest label among its neighbors
+        val nbrMin = und
+          .join(labels.withColumnRenamed("node", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("comp")).as("nmin"))
+        val stepped = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp1"))
+        // pointer jump: comp2 = label(comp1)
+        val jump = labels.select(col("node").as("jnode"), col("comp").as("jcomp"))
+        val next = stepped.join(jump, col("comp1") === col("jnode"), "left")
+          .select(col("node"), col("comp"),
+            least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("newcomp"))
+          .localCheckpoint()
+        changed = next.filter(col("newcomp") =!= col("comp")).count()
+        labels = next.select(col("node"), col("newcomp").as("comp")).localCheckpoint()
+      }
+      und.unpersist()
+      labels
+    } finally if (numParts > 0) spark.conf.set(key, prev)
   }
 
   /** PageRank, damping `d`, fixed `iters` iterations, uniform init 1/N.

@@ -49,20 +49,22 @@ object InsertBench {
     element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
       (col("value") % 4 + 1).cast("int")).as("lang"))
 
-  /** Run `nOps` singleton-batch inserts through the ingest gate; returns
-    * the admitted rows for ops 0..nOps-1 as a static (checkpointed)
-    * DataFrame — deterministic row set (rows-only gated: the insert path
-    * is not SQL-expressible), timed end-to-end by the bench harness. */
-  def insertStream(spark: SparkSession, nOps: Int = DefaultOps): DataFrame = {
-    val stream = spark.readStream.format("rate-micro-batch")
+  /** One row per micro-batch: the per-op arrival stream both variants
+    * shape their ops from. */
+  private def opStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", 1)
       .option("numPartitions", 1)
       .load()
-      .select(docExpr: _*)
+
+  /** Run the streamed `ops` until `nOps` singleton batches have
+    * committed, then return the rows whose `idCol` < nOps as a static
+    * (checkpointed) DataFrame — run-independent even though the trigger
+    * loop may commit a few ops past nOps before stop() lands. */
+  private def runOps(spark: SparkSession, ops: DataFrame, nOps: Int,
+                     idCol: String): DataFrame = {
     val sink = s"graft_insert_sink_${runId.incrementAndGet()}"
-    val q = DocStreams.ingestGate(stream)
-      .writeStream.format("memory").queryName(sink)
-      .start()
+    val q = ops.writeStream.format("memory").queryName(sink).start()
     try {
       // one committed batch == one insert op; poll until op nOps-1's
       // batch commits (processAllAvailable would never return here — a
@@ -77,10 +79,33 @@ object InsertBench {
         Thread.sleep(2)
       }
     } finally q.stop()
-    // the trigger loop may commit a few ops past nOps before stop() lands;
-    // restrict to the first nOps so the result set is run-independent
-    val out = spark.table(sink).filter(col("doc_id") < nOps).localCheckpoint()
+    val out = spark.table(sink).filter(col(idCol) < nOps).localCheckpoint()
     spark.catalog.dropTempView(sink)
     out
   }
+
+  /** Node-flavored per-op insert (reference bench_add_single_node): each
+    * op is one document through the full ingest gate, so the timed path
+    * includes the admission expression work a real arrival pays. Returns
+    * the deterministic admitted set for ops 0..nOps-1 (rows-only gated:
+    * the insert path is not SQL-expressible). */
+  def insertStream(spark: SparkSession, nOps: Int = DefaultOps): DataFrame =
+    runOps(spark, DocStreams.ingestGate(opStream(spark).select(docExpr: _*)),
+      nOps, "doc_id")
+
+  /** Node-id space edge inserts land in — the "between existing nodes"
+    * analog of the reference's add_edge(node_a, node_b). */
+  val EdgeNodeSpace = 1000L
+
+  /** Edge-flavored per-op insert (reference bench_add_single_edge): each
+    * op appends one (src, dst) edge between existing node ids, with NO
+    * gate expressions — the bare append, so the measured per-op cost is
+    * the pure micro-batch floor. Deterministic edge set: op k inserts
+    * (k mod K, (31k+7) mod K). */
+  def insertEdges(spark: SparkSession, nOps: Int = DefaultOps): DataFrame =
+    runOps(spark, opStream(spark).select(
+        col("value").as("op_id"),
+        (col("value") % EdgeNodeSpace).as("src"),
+        ((col("value") * 31 + 7) % EdgeNodeSpace).as("dst")),
+      nOps, "op_id")
 }

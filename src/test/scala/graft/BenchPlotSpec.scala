@@ -59,6 +59,23 @@ class BenchPlotSpec extends AnyFunSuite {
     assert(!out.contains(">g_khop_grid@h1</text>"))
   }
 
+  test("malformed @-names degrade into the family panels, never vanish") {
+    // "x@foo" (non-numeric suffix), "x@h" (letter only) and "a@b@c"
+    // (double @) fail the axis parse; they must still render SOMEWHERE —
+    // as full-name series in their family panel — so a typo'd overlay
+    // name shows up as a visibly odd label instead of silently missing
+    val badCsv = csv +
+      """g_khop_grid@foo,sf0.1,0.1,0.1,0,
+        |g_khop_grid@h,sf0.01,0.1,0.1,0,
+        |g_a@b@c,sf0.01,0.1,0.1,0,
+        |""".stripMargin
+    val out = BenchPlot.svg(BenchPlot.parseCsv(badCsv), "seconds", _.seconds)
+    assert(out.contains(">g_khop_grid@foo</text>"), "non-numeric suffix must fall back")
+    assert(out.contains(">g_khop_grid@h</text>"), "letter-only suffix must fall back")
+    assert(out.contains(">g_a@b@c</text>"), "double-@ name must fall back")
+    assert(!out.contains("g_khop_grid by "), "malformed rows must not create axis panels")
+  }
+
   test("zero metric values are clamped, not dropped or log-exploded") {
     val rows = BenchPlot.parseCsv(csv)
     val out = BenchPlot.svg(rows, "cpu_seconds", _.cpuS)

@@ -66,16 +66,23 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the real suite's line fits the budget with every query listed") {
-    // 9.99 = worst realistic per-query width (every suite query is well
-    // under 10 s at sf0.1; a 10 s+ query is itself a red flag): after the
-    // precision ladder degrades (to 1 decimal at the current suite size),
-    // all entries must fit UNTRIMMED. 999.999-per-query is covered by the
-    // pathological test below, where trimming is the required behavior.
-    val results = SparkEntry.queries.keys.toSeq.map(n => QueryBench(n, 9.99, 0.0, 0.0, None))
+    // worst realistic per-query widths: 9.49 s ("9.5", the widest <10 s
+    // value after the ladder lands on 1 decimal — a 10 s+ query is
+    // itself a red flag), with every 10th query at 0.04 s (widened to
+    // "0.04" by the never-render-zero rule, 4 chars; the r8 run had ~8
+    // such sub-50 ms queries out of 82). All entries must fit UNTRIMMED —
+    // the ladder may drop precision and the informational detail pointer,
+    // but never a query. 999.999-per-query is covered by the pathological
+    // test below, where trimming is required behavior.
+    val results = SparkEntry.queries.keys.toSeq.zipWithIndex.map { case (n, i) =>
+      QueryBench(n, if (i % 10 == 9) 0.04 else 9.49, 0.0, 0.0, None)
+    }
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(!line.contains("queries_omitted"),
       "the real suite must fit untrimmed — shorten query names or raise precision policy if this fires")
+    assert(!line.contains("\":0,") && !line.contains("\":0}"),
+      "a successful 0.04 s timing must never render as bare 0\n" + line)
     org.json4s.jackson.JsonMethods.parse(line)
   }
 

@@ -23,11 +23,22 @@ class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** The only queries allowed to ship without a DuckDB oracle: the S7
+    * per-op insert benches, whose timed path is a streaming append (not
+    * SQL-expressible — the driver records a rows-only check, and
+    * StreamingSpec pins the exact admitted/appended row sets). Any OTHER
+    * query missing an oracle is a gate regression and must fail here. */
+  private val rowsOnly = Set("g_insert_stream", "g_insert_edges")
+
   test("every oracle key has a query and every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o).isEmpty, s"queries without oracles (driver downgrades to rows-only): ${q -- o}")
+    assert((q -- o -- rowsOnly).isEmpty,
+      s"queries without oracles (driver downgrades to rows-only): ${q -- o -- rowsOnly}")
+    assert((rowsOnly -- q).isEmpty, s"rows-only allowlist names unknown queries: ${rowsOnly -- q}")
+    assert((rowsOnly & o).isEmpty,
+      s"rows-only queries grew oracles — drop them from the allowlist: ${rowsOnly & o}")
   }
 
   test("all queries EXECUTE on sf0.001 (not just analyze)") {

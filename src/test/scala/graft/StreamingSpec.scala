@@ -259,6 +259,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "gate admitted nothing — bench would time an empty path")
   }
 
+  test("S7b: edge insert bench appends exactly one deterministic edge per op") {
+    import graft.streaming.InsertBench
+    val nOps = 10
+    val got = InsertBench.insertEdges(spark, nOps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k = InsertBench.EdgeNodeSpace
+    val want = (0L until nOps).map(i => (i, i % k, (31 * i + 7) % k)).toSet
+    // no gate on the edge path: every op lands, exactly once
+    assert(got == want, s"edge set mismatch: got $got")
+  }
+
   test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val decoded = graft.operators.Multimodal.decodeStub(media)
