@@ -72,7 +72,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
-    val results = runSuite(spark, listener, sfDir)
+    // Dev-iteration knob: SPARK_GRAFT_ONLY=q1,q2 restricts the suite to
+    // the named queries (exact keys). The round driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.view.filterKeys(ks).toMap)
+    val results = runSuite(spark, listener, sfDir, qs)
     val idle = idleUsage(spark)
     // Full per-query detail (wall + CPU + peak memory + idle footprint) to
     // the sidecar file; best-effort — the stdout line must print regardless.
@@ -172,9 +178,10 @@ object Bench {
     * count — a mass-failure round (60+ errors × 200 chars) must still
     * produce a parseable line — then precision drops to 1 decimal
     * (100 ms still separates the multi-second tail from the sub-second
-    * pack), then the informational `detail` pointer is dropped (its file
-    * is committed to the repo anyway; a per-query timing beats a
-    * pointer), and only as the last resort are the FASTEST queries
+    * pack), then the informational fields go — the `detail` pointer (its
+    * file is committed to the repo anyway; a per-query timing beats a
+    * pointer), the constant `unit`, the sf dir's leading path — and only
+    * as the last resort are the FASTEST queries
     * dropped (the slow ones carry the performance signal; a
     * `queries_omitted` count records the cut). Full fidelity always
     * lives in the detail sidecar (`detail` names the actual file
@@ -203,7 +210,8 @@ object Bench {
       else s
     }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
-               withDetail: Boolean = true): String = {
+               withDetail: Boolean = true, withUnit: Boolean = true,
+               sfFull: Boolean = true): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
@@ -213,25 +221,35 @@ object Bench {
             .mkString("{", ",", "}") + omittedErrs(0)
         else "{}" + omittedErrs(errList.size)
       val det = if (withDetail) s""","detail":"$detail"""" else ""
-      s"""{"metric":"total","value":${jsonNum3(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs$omitted$det,"sf":"$sfDir"}"""
+      val unit = if (withUnit) s""","unit":"sec"""" else ""
+      // the sf dir's basename identifies the scale factor on its own —
+      // the leading path is decoration the degraded line can shed
+      val sf = if (sfFull) sfDir
+               else sfDir.reverse.takeWhile(_ != '/').reverse
+      s"""{"metric":"total","value":${jsonNum3(total)}$unit,"queries":$qs,""" +
+        s""""errors":$errs$omitted$det,"sf":"$sf"}"""
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
     // degrade ladder, cheapest signal first: 3→2 decimal per-query
     // precision (10 ms resolution still ranks every query), then error
     // truncation, then error omission, then 1-decimal precision, then the
-    // detail pointer, and only then drop the FASTEST queries (the slow
-    // ones carry the signal)
+    // informational fields (detail pointer, unit, the sf dir's leading
+    // path), and only then drop the FASTEST queries (the slow ones carry
+    // the signal)
     var line = render(bySlowest, 200, 3)
-    for ((prec, errMaxLen, withDetail) <-
-           Seq((2, 200, true), (2, 40, true), (2, 0, true), (1, 0, true), (1, 0, false))
+    for ((prec, errMaxLen, withDetail, withUnit, sfFull) <-
+           Seq((2, 200, true, true, true), (2, 40, true, true, true),
+               (2, 0, true, true, true), (1, 0, true, true, true),
+               (1, 0, false, true, true), (1, 0, false, false, true),
+               (1, 0, false, false, false))
          if line.length > LineBudget)
-      line = render(bySlowest, errMaxLen, prec, withDetail)
+      line = render(bySlowest, errMaxLen, prec, withDetail, withUnit, sfFull)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
-      line = render(bySlowest.take(n), 0, 1, withDetail = false)
+      line = render(bySlowest.take(n), 0, 1, withDetail = false,
+        withUnit = false, sfFull = false)
     }
     line
   }

@@ -291,6 +291,28 @@ object GraftFunctions {
       SimhashFingerprint(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
     })
 
+  val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"graft_bloom_agg takes (hash, numBits, numHashes), got ${exprs.length} args")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "graft_bloom_agg's numBits/numHashes must be constants")
+      BloomFilterAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue,
+        exprs(2).eval(null).asInstanceOf[Number].intValue)
+    })
+
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_bloom_contains takes (filter, hash), got ${exprs.length} args")
+      BloomMightContain(exprs.head, exprs(1))
+    })
+
   /** Idempotent in-session registration (used by the operator builders so
     * `selectExpr("graft_dot(a, b)")` resolves without extensions config). */
   def register(spark: SparkSession): Unit = {
@@ -302,6 +324,10 @@ object GraftFunctions {
       simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       md5hDescriptor._1, md5hDescriptor._2, md5hDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bloomAggDescriptor._1, bloomAggDescriptor._2, bloomAggDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
   }
 }
 
@@ -313,5 +339,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bottomkDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.md5hDescriptor)
+    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
   }
 }

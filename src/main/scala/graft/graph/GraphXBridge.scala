@@ -67,48 +67,79 @@ object GraphXBridge {
 
   /** Point-to-point shortest-path LENGTH (the reference's src→dst `ssp`,
     * databases.py:46); -1 if unreachable. Pregel's built-in loop cannot
-    * stop on a predicate, so the superstep loop is explicit: one
-    * aggregateMessages per BFS level, with a single probe job per level
-    * that reads both the frontier size and the target's message — the
-    * loop exits the level the target is reached, doing depth(target)
-    * supersteps instead of the graph's full eccentricity. Per-level cost
-    * is the RDD superstep floor (no SQL planning), which is what makes a
-    * deep traversal affordable on a small graph and shuffle-bounded on a
+    * stop on a predicate, so the superstep loop is explicit — and
+    * BIDIRECTIONAL: each superstep advances a forward BFS frontier from
+    * the source (along edges, `sendToDst`) AND a backward frontier from
+    * the target (against edges, `sendToSrc`) in ONE aggregateMessages.
+    * Every vertex carries (ds, dt); the answer is read off the first
+    * round any vertex holds both: ds+dt ≥ d always (path concatenation),
+    * and a meet needs ds,dt ≤ r so 2r ≥ d, while the shortest path's own
+    * vertex at forward position ceil(d/2) has (ds, dt) =
+    * (ceil(d/2), floor(d/2)) and meets exactly at round ceil(d/2) with
+    * sum d — so min(ds+dt) over the first round's meets IS d, after
+    * ceil(d/2) supersteps instead of d. The meet/frontier probe is folded
+    * into the round's vertex materialization (one aggregate), so a
+    * depth-d query costs ~d scheduled jobs, not 3d. Per-level cost is the
+    * RDD superstep floor (no SQL planning), which is what makes a deep
+    * traversal affordable on a small graph and shuffle-bounded on a
     * large one. */
   def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
                          target: Long, numParts: Int = 0): Long = {
-    var cur = toGraphX(g, numParts).mapVertices((id, _) =>
-      if (id == source) 0L else Long.MaxValue).cache()
+    val Unset = Long.MaxValue
+    var cur = toGraphX(g, numParts).mapVertices((id, _) => (
+      if (id == source) 0L else Unset,
+      if (id == target) 0L else Unset)).cache()
     var result = if (source == target) 0L else -1L
     var done = result == 0L
+    // reached-vertex count (both sides summed) is monotone: a round that
+    // does not grow it expanded no frontier — the sides are exhausted
+    // without meeting, i.e. the target is unreachable
+    var prevReached = -1L
     while (!done) {
-      // messages only to UNVISITED vertices: the frontier is exactly the
-      // newly reached level, so counting it doubles as the termination test
-      val msgs = cur.aggregateMessages[Long](
-        t => if (t.srcAttr != Long.MaxValue && t.dstAttr == Long.MaxValue)
-          t.sendToDst(t.srcAttr + 1L),
-        math.min).cache()
-      val (n, tHit) = msgs.aggregate((0L, -1L))(
-        { case ((c, t0), (v, d)) => (c + 1, if (v == target) d else t0) },
-        { case ((c1, t1), (c2, t2)) => (c1 + c2, math.max(t1, t2)) })
-      if (tHit >= 0L) { result = tHit; done = true }
-      else if (n == 0L) done = true
-      else {
-        // same materialize-then-unpersist discipline as pageRank — BOTH
-        // edges and vertices, in that order: the new graph's edge view
-        // ships vertex attributes lazily, so unpersisting the previous
-        // round before the edges materialize chains every round's
-        // recompute into one deeply nested lineage (observed: a single
-        // task stuck for minutes re-zipping 30 rounds of joins)
-        val next = cur.outerJoinVertices(msgs)((_, old, m) =>
-          m.map(math.min(old, _)).getOrElse(old)).cache()
-        next.edges.foreachPartition(_ => ())
-        next.vertices.foreachPartition(_ => ())
-        cur.unpersistVertices(blocking = false)
-        cur.edges.unpersist(blocking = false)
-        msgs.unpersist(blocking = false)
-        cur = next
-      }
+      // messages only to vertices UNVISITED on that side: each frontier
+      // is exactly its newly reached level
+      val msgs = cur.aggregateMessages[(Long, Long)](
+        t => {
+          if (t.srcAttr._1 != Unset && t.dstAttr._1 == Unset)
+            t.sendToDst((t.srcAttr._1 + 1L, Unset))
+          if (t.dstAttr._2 != Unset && t.srcAttr._2 == Unset)
+            t.sendToSrc((Unset, t.dstAttr._2 + 1L))
+        },
+        (a, b) => (math.min(a._1, b._1), math.min(a._2, b._2))).cache()
+      // same materialize-then-unpersist discipline as pageRank — BOTH
+      // edges and vertices, in that order: the new graph's edge view
+      // ships vertex attributes lazily, so unpersisting the previous
+      // round before the edges materialize chains every round's
+      // recompute into one deeply nested lineage (observed: a single
+      // task stuck for minutes re-zipping 30 rounds of joins)
+      val next = cur.outerJoinVertices(msgs)((_, old, m) => m match {
+        case Some((fwd, bwd)) =>
+          (math.min(old._1, fwd), math.min(old._2, bwd))
+        case None => old
+      }).cache()
+      next.edges.foreachPartition(_ => ())
+      // ONE probe job, doubling as the vertex materializer: total reached
+      // count (progress test) and the round's best meet sum
+      val (reached, meet) = next.vertices.aggregate((0L, -1L))(
+        { case ((c, m0), (_, (ds, dt))) =>
+          val c1 = c + (if (ds != Unset) 1L else 0L) + (if (dt != Unset) 1L else 0L)
+          val m1 = if (ds != Unset && dt != Unset) {
+            val s = ds + dt
+            if (m0 < 0L || s < m0) s else m0
+          } else m0
+          (c1, m1)
+        },
+        { case ((c1, m1), (c2, m2)) =>
+          (c1 + c2,
+           if (m1 < 0L) m2 else if (m2 < 0L) m1 else math.min(m1, m2))
+        })
+      cur.unpersistVertices(blocking = false)
+      cur.edges.unpersist(blocking = false)
+      msgs.unpersist(blocking = false)
+      cur = next
+      if (meet >= 0L) { result = meet; done = true }
+      else if (reached == prevReached) done = true
+      prevReached = reached
     }
     cur.unpersistVertices(blocking = false)
     cur.edges.unpersist(blocking = false)

@@ -225,7 +225,11 @@ object Dedup {
 
   /** Length-difference cut for the edit-distance verify: |len(a)-len(b)|
     * is a lower bound on Levenshtein distance, so pairs further apart
-    * than this can be skipped without running the DP at all. */
+    * than this can be skipped without running the DP at all. The same
+    * value bounds the DP itself (see [[editPairs]]): a near-dup verify
+    * only needs the exact distance when it is small — beyond the
+    * threshold the pair is a verified non-dup and the sentinel -1 is
+    * returned instead of the (expensive, useless) exact count. */
   val EditMaxLenDiff = 64
 
   /** D10: exact Levenshtein distance for every LSH candidate pair, over
@@ -233,13 +237,17 @@ object Dedup {
     * by single spaces — so whitespace/punctuation noise never inflates
     * the distance).
     *
-    * Scale shape: the DP is O(len_a·len_b) PER PAIR — affordable only
-    * because it runs strictly on the LSH candidate set, never all-pairs
-    * (same blocking discipline as [[jaccardPairs]]). The length-diff
-    * prune ([[EditMaxLenDiff]]) is the standard lower-bound cut: it
-    * rejects pairs before the quadratic DP, on two already-carried
-    * integers. At corpus scale the candidate join dominates and this
-    * stage stays embarrassingly parallel (per-row expression work only —
+    * Scale shape: the DP runs strictly on the LSH candidate set, never
+    * all-pairs (same blocking discipline as [[jaccardPairs]]), and it is
+    * BANDED: `levenshtein(na, nb, k)` (Spark's thresholded form) walks
+    * only the 2k+1-wide diagonal band, O(len·k) per pair instead of
+    * O(len_a·len_b), returning -1 the moment the distance provably
+    * exceeds k — which for a near-dup verify is the only regime that
+    * matters (a candidate 65+ edits away is a non-dup; its exact count
+    * is useless). The length-diff prune ([[EditMaxLenDiff]]) still
+    * rejects pairs before any DP, on two already-carried integers. At
+    * corpus scale the candidate join dominates and this stage stays
+    * embarrassingly parallel (per-row expression work only —
     * `levenshtein` is a codegen'd Catalyst expression, not a UDF). */
   def editPairs(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables.documents(spark, dir)
@@ -249,7 +257,8 @@ object Dedup {
       .join(norm.select(col("doc_id").as("a"), col("norm").as("na")), Seq("a"))
       .join(norm.select(col("doc_id").as("b"), col("norm").as("nb")), Seq("b"))
       .filter(abs(length(col("na")) - length(col("nb"))) <= EditMaxLenDiff)
-      .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("edit_dist"))
+      .select(col("a"), col("b"),
+        levenshtein(col("na"), col("nb"), EditMaxLenDiff).as("edit_dist"))
   }
 
   val editPairsOracle: String =
@@ -258,7 +267,9 @@ object Dedup {
        |  FROM banded x JOIN banded y
        |  ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id),
        |norm AS (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm FROM documents)
-       |SELECT a, b, levenshtein(na.norm, nb.norm) AS edit_dist
+       |SELECT a, b,
+       |  CASE WHEN levenshtein(na.norm, nb.norm) > $EditMaxLenDiff THEN -1
+       |       ELSE levenshtein(na.norm, nb.norm) END AS edit_dist
        |FROM pairs JOIN norm na ON na.doc_id = a JOIN norm nb ON nb.doc_id = b
        |WHERE abs(len(na.norm) - len(nb.norm)) <= $EditMaxLenDiff""".stripMargin
 
@@ -486,6 +497,86 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"), min(col("match_id")).as("canonical_id"))
   }
 
+  // --- D11: Bloom-prefiltered shingle membership ----------------------------
+
+  /** Bloom sizing for [[bloomSeenShingles]]. 2^22 bits = 512 KB — ~10
+    * bits per corpus shingle at the gate SFs (sub-1% fpp). At 100 TB the
+    * same two knobs scale the filter to the corpus: m ≈ 10 × distinct
+    * shingles for ~0.8% fpp at k=5, still MBs (broadcastable) per
+    * billion shingles — the whole point: the raw shingle SET cannot be
+    * broadcast, its Bloom filter can. */
+  val BloomSeenBits: Int = 1 << 22
+  val BloomSeenHashes = 5
+
+  /** D11: which of an incoming batch's shingles has the indexed corpus
+    * already seen — the membership primitive behind incremental dedup
+    * and decontamination at corpus scale. Three stages, none touching
+    * corpus-side data more than once:
+    *
+    *  1. BUILD: `graft_bloom_agg` folds every corpus shingle hash into a
+    *     fixed-size bit array (no DISTINCT first — insertion is
+    *     idempotent, so the build is one scan with map-side partial
+    *     merges and a single-row final OR).
+    *  2. PROBE: the built filter — ONE row, ~BloomSeenBits/8 bytes — is
+    *     fetched to the driver (a scalar reduction, same benign shape as
+    *     the 1-row frontier probes in Traversals) and embedded as a
+    *     binary literal, so codegen references the array once per task
+    *     and the batch drops definitely-unseen shingles with per-row bit
+    *     tests — zero shuffle, zero corpus access, zero per-row copies.
+    *     (NOT a crossJoin carrying the filter as a column: a joined-in
+    *     512 KB binary is copied into EVERY probe row by the join's row
+    *     writer — measured 16 s of pure memcpy at sf0.1.)
+    *  3. VERIFY: only possible members (true hits + the fpp sliver) join
+    *     the distinct corpus shingles exactly. A Bloom filter has no
+    *     false negatives, so prefilter + exact verify ≡ the exact join —
+    *     the filter can only shrink the join input, never change the
+    *     answer, which is why a probabilistic operator is oracle-gated
+    *     (the DuckDB oracle runs the plain exact join).
+    *
+    * Output: per batch doc with ≥1 seen shingle, the seen count and its
+    * total shingle count. */
+  def bloomSeenShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // one shingling pass shared by build, probe, and verify sides
+    val sh = shingleSets(spark, dir, Seq("source")).localCheckpoint()
+    val corpus = sh.filter(col("source") =!= IncrNewSource)
+      .select(explode(col("shingles")).as("s"))
+    val bf: Array[Byte] = corpus.selectExpr(
+        s"graft_bloom_agg(xxhash64(s), $BloomSeenBits, $BloomSeenHashes) AS bf")
+      .collect()(0).getAs[Array[Byte]](0)
+    val batch = sh.filter(col("source") === IncrNewSource)
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("s"))
+    batch.filter(call_function("graft_bloom_contains", lit(bf), xxhash64(col("s"))))
+      .join(corpus.distinct(), Seq("s"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_seen"))
+      .select(col("doc_id"), col("n_seen"), col("n_shingles"))
+  }
+
+  /** The exact join the Bloom path must equal (no filter, no prefilter);
+    * also the Spark-side twin of the DuckDB oracle. Test-only. */
+  private[graft] def seenShinglesExact(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir, Seq("source"))
+    sh.filter(col("source") === IncrNewSource)
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("s"))
+      .join(sh.filter(col("source") =!= IncrNewSource)
+        .select(explode(col("shingles")).as("s")).distinct(), Seq("s"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_seen"))
+      .select(col("doc_id"), col("n_seen"), col("n_shingles"))
+  }
+
+  val bloomSeenShinglesOracle: String =
+    s"""WITH docs AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+       |sh AS (SELECT doc_id, source, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
+       |corpus AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source <> '$IncrNewSource'),
+       |batch AS (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s FROM sh WHERE source = '$IncrNewSource')
+       |SELECT b.doc_id, count(*) AS n_seen, min(b.n_shingles) AS n_shingles
+       |FROM batch b JOIN corpus c ON b.s = c.s
+       |GROUP BY b.doc_id""".stripMargin
+
   val incrementalDedupOracle: String =
     s"""WITH $bandedDuckSql,
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id
@@ -497,6 +588,7 @@ object Dedup {
        |FROM pairs GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_bloom_seen" -> bloomSeenShingles,
     "d_incr_dedup" -> incrementalDedup,
     "d_exact_dedup" -> exactDedup,
     "d_minhash_pairs" -> minhashPairs,
@@ -507,6 +599,7 @@ object Dedup {
     "d_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "d_bloom_seen" -> bloomSeenShinglesOracle,
     "d_incr_dedup" -> incrementalDedupOracle,
     "d_exact_dedup" -> exactDedupOracle,
     "d_minhash_pairs" -> minhashPairsOracle,

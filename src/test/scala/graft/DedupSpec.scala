@@ -51,10 +51,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(edits.keySet.subsetOf(cand),
       "edit distances must only be computed on LSH candidates")
-    assert(edits.values.forall(_ >= 0))
+    // banded DP contract: exact distance in [0, EditMaxLenDiff], or the
+    // -1 sentinel when the distance provably exceeds the threshold
+    assert(edits.values.forall(d => d == -1 || (d >= 0 && d <= Dedup.EditMaxLenDiff)))
     // planted near-dups differ by a handful of word mutations — some
     // candidate must sit within a few edits
-    assert(edits.values.min <= 10, "planted near-dups must surface with small distances")
+    assert(edits.values.filter(_ >= 0).min <= 10,
+      "planted near-dups must surface with small distances")
     // zero edit distance = identical normalized content ⇒ identical
     // shingle sets ⇒ jaccard exactly 1.0 (the converse need not hold)
     val jac = Dedup.jaccardPairs(spark, dir).collect()
