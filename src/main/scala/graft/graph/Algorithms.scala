@@ -93,7 +93,10 @@ object Algorithms {
             least(col("comp1"), coalesce(col("jcomp"), col("comp1"))).as("newcomp"))
           .localCheckpoint()
         changed = next.filter(col("newcomp") =!= col("comp")).count()
-        labels = next.select(col("node"), col("newcomp").as("comp")).localCheckpoint()
+        // a plain projection off the already-checkpointed `next`: its
+        // lineage is one node deep, so a second checkpoint would only buy
+        // a redundant materialization job per round
+        labels = next.select(col("node"), col("newcomp").as("comp"))
       }
       und.unpersist()
       labels

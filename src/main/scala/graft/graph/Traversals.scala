@@ -78,20 +78,32 @@ object Traversals {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint() // the one materializing job this round
-      // one probe job per round on the (tiny, checkpointed) frontier:
-      // emptiness and target-hit together — a separate filter+count for
-      // stopAt would double the per-round job overhead that dominates
-      // deep traversals on small graphs
-      val probe = next.agg(count(lit(1)).as("n"),
-        sum(when(col("node") === lit(stopAt.getOrElse(-1L)), 1L).otherwise(0L)).as("hit"))
-        .collect()(0)
-      if (probe.getLong(0) == 0L) done = true
-      else {
+      if (stopAt.isEmpty && maxHops.isDefined) {
+        // bounded hop count and no target: termination is the hop cap
+        // alone, so the per-round probe job is pure overhead — skip it
+        // (an empty frontier rides the remaining ≤maxHops rounds as
+        // near-free jobs over zero rows). Halves the per-hop job count
+        // in the floor-dominated small-graph regime.
         parts ::= next.withColumn("dist", lit(hop))
         frontier = next
         hop += 1
-        if (maxHops.exists(hop > _)) done = true
-        else if (stopAt.isDefined && probe.getLong(1) > 0L) done = true
+        done = maxHops.exists(hop > _)
+      } else {
+        // one probe job per round on the (tiny, checkpointed) frontier:
+        // emptiness (the unbounded loop's only exit) and target-hit
+        // together — a separate filter+count for stopAt would double the
+        // per-round job overhead that dominates deep traversals
+        val probe = next.agg(count(lit(1)).as("n"),
+          sum(when(col("node") === lit(stopAt.getOrElse(-1L)), 1L).otherwise(0L)).as("hit"))
+          .collect()(0)
+        if (probe.getLong(0) == 0L) done = true
+        else {
+          parts ::= next.withColumn("dist", lit(hop))
+          frontier = next
+          hop += 1
+          if (maxHops.exists(hop > _)) done = true
+          else if (stopAt.isDefined && probe.getLong(1) > 0L) done = true
+        }
       }
     }
     e.unpersist()

@@ -110,6 +110,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloomSeenShingles probes in-plan via the embedded filter, pre-shuffle") {
+    withAutoBroadcastOff {
+      val p = plan(graft.operators.Dedup.bloomSeenShingles(spark, dir))
+      // the probe is per-row expression work in the batch scan stage (an
+      // embedded literal filter — NOT a join carrying filter bytes into
+      // every row, and NOT a pre-collected driver-side filter pass)
+      assert(p.contains("graft_bloom_contains("), "probe must run in-plan")
+      // the only shuffles are the verify join's two sides and the final
+      // per-doc aggregation — the prefilter itself must add none
+      val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges <= 4, s"bloom path grew extra shuffles ($exchanges)\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+  }
+
   test("saltedRevenue shuffles on (key, salt): the hot key spreads over reducers") {
     // with auto-broadcast off the join must shuffle, and the exchange key
     // must include the salt — that spread IS the operator's entire point
