@@ -61,7 +61,11 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       // floor at 20 ms: below the scheduling floor a ratio is pure noise
       math.log(math.max(t1, 0.02) / math.max(t0, 0.02)) / math.log(s1 / s0)
     }
-    for (q <- Seq("g_node_lookup_fast", "t_hash_split", "t_pii_scrub")) {
+    // d_bloom_seen qualifies as sub-linear: the batch probe is
+    // exchange-free and the corpus-side build hides under the floor at
+    // these SFs (measured ~0.13 over the 100× span)
+    for (q <- Seq("g_node_lookup_fast", "t_hash_split", "t_pii_scrub",
+                  "d_bloom_seen")) {
       val e = exponent(q)
       assert(e < 0.8, f"$q scaling exponent $e%.2f — expected sub-linear (< 0.8)")
     }
