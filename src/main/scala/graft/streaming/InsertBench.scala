@@ -57,6 +57,35 @@ object InsertBench {
       .option("numPartitions", 1)
       .load()
 
+  /** Checkpoint root for the per-op WAL. Every micro-batch commits two
+    * metadata-log files (offsets/N, commits/N); tmpfs (/dev/shm) makes
+    * those writes memory-speed while keeping the commit protocol intact.
+    * On a real cluster the analog is a fast DFS / local-SSD checkpoint
+    * volume — per-op insert latency is WAL-bound before it is compute-
+    * bound, same as the reference DBs' fsync-bound transaction floor. */
+  private val CheckpointRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** With no libhadoop native loaded, both built-in checkpoint managers
+    * fork a shell per WAL file (`readlink` in the FileContext manager's
+    * rename, `chmod` in the FileSystem manager's create) — stack-sampled
+    * at ~35 ms and ~10 ms per fork, the dominant slice of a singleton
+    * batch (and why moving the checkpoint to tmpfs alone changed
+    * nothing). [[NioCheckpointFileManager]] keeps the same atomic-rename
+    * protocol on pure java.nio — zero forks. */
+  private val NioCheckpointManager = classOf[NioCheckpointFileManager].getName
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+    }
+  }
+
   /** Run the streamed `ops` until `nOps` singleton batches have
     * committed, then return the rows whose `idCol` < nOps as a static
     * (checkpointed) DataFrame — run-independent even though the trigger
@@ -64,7 +93,18 @@ object InsertBench {
   private def runOps(spark: SparkSession, ops: DataFrame, nOps: Int,
                      idCol: String): DataFrame = {
     val sink = s"graft_insert_sink_${runId.incrementAndGet()}"
-    val q = ops.writeStream.format("memory").queryName(sink).start()
+    val ckpt = java.nio.file.Files.createTempDirectory(CheckpointRoot, "graft_insert_")
+    // Scoped conf flip: streaming clones the session conf at start(), so
+    // setting before and restoring right after start() confines the
+    // checkpoint-manager choice to this query (single-threaded driver,
+    // same assumption the bench harness itself runs under).
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevFm = spark.conf.getOption(fmKey)
+    spark.conf.set(fmKey, NioCheckpointManager)
+    val q =
+      try ops.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString).start()
+      finally prevFm.fold(spark.conf.unset(fmKey))(spark.conf.set(fmKey, _))
     try {
       // one committed batch == one insert op; poll until op nOps-1's
       // batch commits (processAllAvailable would never return here — a
@@ -78,7 +118,10 @@ object InsertBench {
             s"insert bench stalled at batch ${Option(q.lastProgress).map(_.batchId)}")
         Thread.sleep(2)
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     val out = spark.table(sink).filter(col(idCol) < nOps).localCheckpoint()
     spark.catalog.dropTempView(sink)
     out

@@ -259,6 +259,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "gate admitted nothing — bench would time an empty path")
   }
 
+  test("S7c: insert bench row sets are identical across independent runs") {
+    // The rows-only correctness gate for the insert family leans on the
+    // admitted set being a pure function of the op id — nothing from the
+    // rate source's wall-clock timestamps may leak into the gate or the
+    // output. Two fully independent runs (separate queries, separate
+    // checkpoints) must produce the same rows.
+    import graft.streaming.InsertBench
+    val a = InsertBench.insertStream(spark, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    val b = InsertBench.insertStream(spark, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(a == b, s"insertStream not run-deterministic: $a vs $b")
+    val ea = InsertBench.insertEdges(spark, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val eb = InsertBench.insertEdges(spark, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ea == eb, s"insertEdges not run-deterministic: $ea vs $eb")
+  }
+
   test("S7b: edge insert bench appends exactly one deterministic edge per op") {
     import graft.streaming.InsertBench
     val nOps = 10
