@@ -97,6 +97,26 @@ object Bench {
     finally println(line)
   }
 
+  /** Queries whose cost is a fixed number of tiny per-superstep jobs (the
+    * GraphX Pregel trio): their floor sits at job-schedule scale, so a
+    * major GC or a backed-up ContextCleaner — accumulated from the ~200
+    * queries a full sweep runs first — lands IN the timed window and
+    * reads as a 2× regression that isolated re-runs never reproduce (the
+    * r7/r8 sweep-vs-detail artifact). The fix is harness hygiene, not a
+    * footnote: take the collection BEFORE the pass. */
+  private val GcSensitive = Seq("g_ssp_pair", "g_sssp_grid", "g_wsssp_grid")
+
+  /** Drain accumulated JVM debt outside the timed window: force the GC
+    * (moves dead RDD/broadcast refs onto the ContextCleaner's queue),
+    * give the cleaner thread a beat to process them, then flush the
+    * listener bus so none of that work interleaves with the next pass. */
+  private def quiesce(spark: org.apache.spark.sql.SparkSession): Unit = {
+    System.gc()
+    Thread.sleep(120)
+    try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+    catch { case _: Throwable => () }
+  }
+
   /** Run every query at one SF (warmup pass + min of three timed passes
     * per query, session reset between queries) and return the
     * measurements. */
@@ -138,6 +158,7 @@ object Bench {
       // passes' valid measurements nor let the aborted pass's (fast) wall
       // time win the min.
       val passes = (1 to 3).map { _ =>
+        if (GcSensitive.exists(name.startsWith)) quiesce(spark)
         var err: Option[String] = None
         val t0 = System.nanoTime()
         try run(fn) catch {

@@ -39,6 +39,17 @@ object Reset {
     if (scratch) clearScratch()
   }
 
+  /** Serializes SCOPED session-conf flips (the shuffle-width scope in
+    * Algorithms.connectedComponents, the checkpoint-manager scope in
+    * InsertBench): two concurrent flips on one session could otherwise
+    * interleave set/restore and strand the wrong value. Same stance as
+    * [[writeOnceTable]] — today's drivers are single-threaded, the lock
+    * makes the latent race impossible rather than documented-away. (A
+    * concurrent UNRELATED query on the same session still plans under an
+    * active scope's value; operators that must never do that take the
+    * repartition-per-stage path instead.) */
+  private[graft] val confFlip = new Object
+
   /** Scratch paths already produced this JVM. Derived outputs (edge-list
     * dumps, JSONL exports, curated sinks) are SETUP for the source/sink
     * under test: repeated invocations (bench warmup + timed passes) write

@@ -20,10 +20,11 @@ object SparkEntry {
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       CorpusIO.queries ++ Map(
         // S7: per-op single-insert bench (reference bench_add_single_*);
-        // rows-only — the timed path is a streaming append, not a SQL
-        // expression over the parquet tables. Independent of sfDir by
-        // design: the reference's insert bench also measures ops, not
-        // data (per-op cost is constant in corpus size).
+        // the timed path is a streaming append, but the admitted row set
+        // is a pure function of the op id (S7c pins it), so both flavors
+        // carry full DuckDB oracles. Independent of sfDir by design: the
+        // reference's insert bench also measures ops, not data (per-op
+        // cost is constant in corpus size).
         "g_insert_stream" -> ((s: SparkSession, _: String) =>
           graft.streaming.InsertBench.insertStream(s)),
         // S7 edge flavor (reference bench_add_single_edge): bare append,
@@ -36,5 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ GraphOps.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      CorpusIO.oracles
+      CorpusIO.oracles ++ Map(
+        "g_insert_stream" -> graft.streaming.InsertBench.insertStreamOracle(),
+        "g_insert_edges" -> graft.streaming.InsertBench.insertEdgesOracle())
 }

@@ -54,10 +54,20 @@ object BloomBits {
     }
   }
 
-  /** Probe an encoded filter (header + bit array) for `v`. */
+  /** Probe an encoded filter (header + bit array) for `v`. Validates the
+    * encoding up front: `graft_bloom_contains` is registered as a general
+    * SQL function, so arbitrary user binary reaches this path — without
+    * the guard a 4-byte input floorMods by zero and a truncated array
+    * indexes out of bounds, both surfacing as opaque task crashes. */
   def mightContain(enc: Array[Byte], v: Long): Boolean = {
     val numHashes = ((enc(0) & 0xff) << 24) | ((enc(1) & 0xff) << 16) |
       ((enc(2) & 0xff) << 8) | (enc(3) & 0xff)
+    if (enc.length < 12 || (enc.length - 4) % 8 != 0 ||
+        numHashes < 1 || numHashes > 16)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: malformed filter (len=${enc.length}, " +
+          s"k=$numHashes); expected 4-byte k in 1..16 then >=1 big-endian " +
+          "longs of bit array, as produced by graft_bloom_agg")
     val numBits = (enc.length - 4) * 8
     val h2 = mix64(v) | 1L
     var i = 0
@@ -185,4 +195,37 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** A broadcast byte array as a BINARY leaf expression — how a built Bloom
+  * filter reaches [[BloomMightContain]] at scale. A `lit(bytes)` literal
+  * rides the serialized plan of every task set of every stage that uses
+  * it; at D11's own 100 TB sizing (~1.25 GB for 10⁹ distinct shingles at
+  * 10 bits/key) that is a per-stage GB ship and a GB resident in every
+  * plan copy the optimizer makes. A torrent broadcast ships the bytes to
+  * each executor once, and the plan carries only this handle. Codegen
+  * dereferences the broadcast once per task into a local field, so the
+  * per-row probe cost is identical to the literal path. */
+case class BroadcastBinary(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_broadcast_binary"
+  // toString must NOT print the payload (plan strings would balloon);
+  // the broadcast id identifies it
+  override def toString: String = s"graft_broadcast_binary(#${bc.id})"
+
+  override def eval(input: InternalRow): Any = bc.value
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bytes = ctx.addMutableState("byte[]", "graftBloomBytes",
+      v => s"$v = (byte[]) $bcRef.value();")
+    ev.copy(code = code"", isNull = FalseLiteral,
+      value = JavaCode.variable(bytes, BinaryType))
+  }
 }

@@ -30,8 +30,11 @@ object TextAnalysis {
     * struct ordering on (hits, lang)). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val cands = lexicons.map { case (lang, stops) =>
-      val hits = size(filter(words, w => array_contains(
-        array(stops.map(lit): _*), w)))
+      // typedLit: ONE ArrayType literal node, not 10 lit children under an
+      // array() — per-batch plan cost (analysis/optimizer walks, task
+      // serialization) scales with node count, and the streaming ingest
+      // gate re-plans this tree every micro-batch
+      val hits = size(filter(words, w => array_contains(typedLit(stops), w)))
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
     Tables.documents(spark, dir).select(
@@ -80,7 +83,7 @@ object TextAnalysis {
     // scale one degenerate row must never fail the pipeline. The driver
     // corpus has no such rows, so oracle results are unaffected.
     val nWords = when(size(words) === 0, lit(null)).otherwise(size(words).cast("double"))
-    val stopHits = size(filter(words, w => array_contains(array(en.map(lit): _*), w))).cast("double")
+    val stopHits = size(filter(words, w => array_contains(typedLit(en), w))).cast("double")
     val nChars = when(length(col("text")) === 0, lit(null)).otherwise(length(col("text")).cast("double"))
     // strip letters/digits/spaces → what remains IS the punctuation
     val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))

@@ -313,6 +313,23 @@ object GraftFunctions {
       BloomMightContain(exprs.head, exprs(1))
     })
 
+  /** Register (overwriting any prior registration) a session function
+    * `name(hash)` that probes ONE specific broadcast Bloom filter:
+    * resolves to `BloomMightContain(BroadcastBinary(bc), hash)`. The
+    * broadcast handle can't be spelled in SQL, so the builder closure
+    * carries it; Datasets analyze eagerly, so each caller's plan binds
+    * the broadcast that was registered when the Dataset was built —
+    * later re-registrations don't retroactively rebind existing plans. */
+  def registerBloomProbe(spark: SparkSession, name: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[BloomMightContain].getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$name takes (hash), got ${exprs.length} args")
+        BloomMightContain(BroadcastBinary(bc), exprs.head)
+      })
+
   /** Idempotent in-session registration (used by the operator builders so
     * `selectExpr("graft_dot(a, b)")` resolves without extensions config). */
   def register(spark: SparkSession): Unit = {

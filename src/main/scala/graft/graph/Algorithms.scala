@@ -61,12 +61,18 @@ object Algorithms {
     * path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          numParts: Int = 0): DataFrame = {
-    val spark = nodes.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (numParts > 0) spark.conf.set(key, numParts.toString)
-    try {
+                          numParts: Int = 0): DataFrame =
+    if (numParts <= 0) ccLoop(nodes, edges)
+    else graft.Reset.confFlip.synchronized {
+      // conf flip held under the shared scope lock (see Reset.confFlip)
+      val spark = nodes.sparkSession
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, numParts.toString)
+      try ccLoop(nodes, edges) finally spark.conf.set(key, prev)
+    }
+
+  private def ccLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
       val und = {
         val e = edges.select(col("src"), col("dst"))
         e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -100,7 +106,6 @@ object Algorithms {
       }
       und.unpersist()
       labels
-    } finally if (numParts > 0) spark.conf.set(key, prev)
   }
 
   /** PageRank, damping `d`, fixed `iters` iterations, uniform init 1/N.

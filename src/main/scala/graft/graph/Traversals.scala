@@ -79,15 +79,22 @@ object Traversals {
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint() // the one materializing job this round
       if (stopAt.isEmpty && maxHops.isDefined) {
-        // bounded hop count and no target: termination is the hop cap
-        // alone, so the per-round probe job is pure overhead — skip it
-        // (an empty frontier rides the remaining ≤maxHops rounds as
-        // near-free jobs over zero rows). Halves the per-hop job count
-        // in the floor-dominated small-graph regime.
-        parts ::= next.withColumn("dist", lit(hop))
-        frontier = next
-        hop += 1
-        done = maxHops.exists(hop > _)
+        // bounded hop count and no target: termination is the hop cap,
+        // so the full aggregate probe is skipped — but exhaustion still
+        // short-circuits via take(1) on the just-checkpointed frontier
+        // (near-free: no re-computation, stops at the first row). A
+        // shallow graph under a large hop cap must not ride the
+        // remaining rounds as pure job-floor padding.
+        if (maxHops.exists(hop >= _)) {
+          // final permitted hop — the probe would buy nothing
+          parts ::= next.withColumn("dist", lit(hop))
+          done = true
+        } else if (next.isEmpty) done = true
+        else {
+          parts ::= next.withColumn("dist", lit(hop))
+          frontier = next
+          hop += 1
+        }
       } else {
         // one probe job per round on the (tiny, checkpointed) frontier:
         // emptiness (the unbounded loop's only exit) and target-hit

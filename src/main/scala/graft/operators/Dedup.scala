@@ -502,9 +502,11 @@ object Dedup {
   /** Bloom sizing for [[bloomSeenShingles]]. 2^22 bits = 512 KB — ~10
     * bits per corpus shingle at the gate SFs (sub-1% fpp). At 100 TB the
     * same two knobs scale the filter to the corpus: m ≈ 10 × distinct
-    * shingles for ~0.8% fpp at k=5, still MBs (broadcastable) per
-    * billion shingles — the whole point: the raw shingle SET cannot be
-    * broadcast, its Bloom filter can. */
+    * shingles for ~0.8% fpp at k=5 — ~1.25 GB per 10⁹ distinct shingles,
+    * which is exactly why the probe side ships it as a torrent broadcast
+    * (once per executor, memory-managed) and not a plan literal (re-sent
+    * with every stage's task set): the raw shingle SET cannot be
+    * broadcast at any price, its Bloom filter can. */
   val BloomSeenBits: Int = 1 << 22
   val BloomSeenHashes = 5
 
@@ -519,13 +521,16 @@ object Dedup {
     *     merges and a single-row final OR).
     *  2. PROBE: the built filter — ONE row, ~BloomSeenBits/8 bytes — is
     *     fetched to the driver (a scalar reduction, same benign shape as
-    *     the 1-row frontier probes in Traversals) and embedded as a
-    *     binary literal, so codegen references the array once per task
-    *     and the batch drops definitely-unseen shingles with per-row bit
-    *     tests — zero shuffle, zero corpus access, zero per-row copies.
+    *     the 1-row frontier probes in Traversals), broadcast, and probed
+    *     through [[graft.functions.BroadcastBinary]]: the plan carries a
+    *     handle, executors fetch the bytes once, and the batch drops
+    *     definitely-unseen shingles with per-row bit tests — zero
+    *     shuffle, zero corpus access, zero per-row copies.
     *     (NOT a crossJoin carrying the filter as a column: a joined-in
     *     512 KB binary is copied into EVERY probe row by the join's row
-    *     writer — measured 16 s of pure memcpy at sf0.1.)
+    *     writer — measured 16 s of pure memcpy at sf0.1. NOT a `lit`
+    *     literal either: a GB-scale filter embedded in the plan rides
+    *     every stage's serialized task set.)
     *  3. VERIFY: only possible members (true hits + the fpp sliver) join
     *     the distinct corpus shingles exactly. A Bloom filter has no
     *     false negatives, so prefilter + exact verify ≡ the exact join —
@@ -544,10 +549,12 @@ object Dedup {
     val bf: Array[Byte] = corpus.selectExpr(
         s"graft_bloom_agg(xxhash64(s), $BloomSeenBits, $BloomSeenHashes) AS bf")
       .collect()(0).getAs[Array[Byte]](0)
+    val bcast = spark.sparkContext.broadcast(bf)
+    graft.functions.GraftFunctions.registerBloomProbe(spark, "graft_bloom_probe", bcast)
     val batch = sh.filter(col("source") === IncrNewSource)
       .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
         explode(col("shingles")).as("s"))
-    batch.filter(call_function("graft_bloom_contains", lit(bf), xxhash64(col("s"))))
+    batch.filter(call_function("graft_bloom_probe", xxhash64(col("s"))))
       .join(corpus.distinct(), Seq("s"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_seen"))

@@ -96,15 +96,17 @@ object InsertBench {
     val ckpt = java.nio.file.Files.createTempDirectory(CheckpointRoot, "graft_insert_")
     // Scoped conf flip: streaming clones the session conf at start(), so
     // setting before and restoring right after start() confines the
-    // checkpoint-manager choice to this query (single-threaded driver,
-    // same assumption the bench harness itself runs under).
-    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
-    val prevFm = spark.conf.getOption(fmKey)
-    spark.conf.set(fmKey, NioCheckpointManager)
-    val q =
+    // checkpoint-manager choice to this query. Held under the shared
+    // scope lock (Reset.confFlip) so two flips can't interleave their
+    // set/restore.
+    val q = graft.Reset.confFlip.synchronized {
+      val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+      val prevFm = spark.conf.getOption(fmKey)
+      spark.conf.set(fmKey, NioCheckpointManager)
       try ops.writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", ckpt.toString).start()
       finally prevFm.fold(spark.conf.unset(fmKey))(spark.conf.set(fmKey, _))
+    }
     try {
       // one committed batch == one insert op; poll until op nOps-1's
       // batch commits (processAllAvailable would never return here — a
@@ -151,4 +153,51 @@ object InsertBench {
         (col("value") % EdgeNodeSpace).as("src"),
         ((col("value") * 31 + 7) % EdgeNodeSpace).as("dst")),
       nOps, "op_id")
+
+  // --- DuckDB oracles -------------------------------------------------------
+  // Both flavors' outputs are pure functions of the op id (S7c pins this:
+  // nothing from the rate source's wall clock reaches the rows), so even
+  // though the timed path is a streaming append, the RESULT is
+  // SQL-expressible: regenerate op ids with range(nOps) and re-apply the
+  // same arithmetic / admission expressions. This upgrades the family
+  // from rows-only to full rows+schema+hash gating.
+
+  /** Oracle for [[insertEdges]]: op k appends (k mod K, (31k+7) mod K). */
+  def insertEdgesOracle(nOps: Int = DefaultOps): String =
+    s"""SELECT range AS op_id, range % $EdgeNodeSpace AS src,
+       |  (range * 31 + 7) % $EdgeNodeSpace AS dst
+       |FROM range($nOps)""".stripMargin
+
+  /** Oracle for [[insertStream]]: rebuild each op's deterministic doc,
+    * then mirror the S6 ingest gate — T2 quality score + threshold gate,
+    * T7 split assignment, T10 per-language stratified admission — with
+    * the same DuckDB expression mirrors the batch oracles use. */
+  def insertStreamOracle(nOps: Int = DefaultOps): String = {
+    import graft.functions.TextAnalysis.{lexicons, duckPermille, duckSplitCaseExpr, SampleRates}
+    val en = lexicons.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
+    val prefix = "the a and of to in is that for on " * 2 +
+      "the quick brown fox jumps over the lazy dog op "
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 1000 END")
+    s"""WITH docs AS (
+       |  SELECT range AS doc_id,
+       |    '$prefix' || CAST(range AS VARCHAR) AS text,
+       |    (['en','de','fr','es'])[CAST(range % 4 AS INTEGER) + 1] AS lang
+       |  FROM range($nOps)
+       |), q AS (
+       |  SELECT doc_id, lang, len(w) AS n_words,
+       |    CAST(round(CAST(least(1.0, nw / 100.0) * 0.5 + (hits / nw) * 0.3 + (1.0 - pr) * 0.2 AS DECIMAL(18,10)), 4) AS DOUBLE) AS score,
+       |    CAST(round(CAST(pr AS DECIMAL(18,10)), 4) AS DOUBLE) AS punct_ratio
+       |  FROM (SELECT doc_id, lang,
+       |      CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) AS hits,
+       |      CAST(len(w) AS DOUBLE) AS nw,
+       |      CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr,
+       |      w
+       |    FROM (SELECT *, regexp_extract_all(lower(text), '[a-z]+') AS w FROM docs))
+       |)
+       |SELECT doc_id, lang, score, ${duckSplitCaseExpr("doc_id")} AS split
+       |FROM q
+       |WHERE n_words >= 20 AND score >= 0.5 AND punct_ratio <= 0.2
+       |  AND ${duckPermille("concat('sample:', CAST(doc_id AS VARCHAR))")} < ($rateCase)""".stripMargin
+  }
 }

@@ -77,6 +77,11 @@ object InsertProbe {
     // (b) the full ingest gate, written to noop. Times the pure
     // plan+schedule+job cost per "op" for comparison.
     import org.apache.spark.sql.functions._
+    def gateDf(i: Int) = {
+      val one = spark.range(i, i + 1, 1, 1).select(col("id").as("value"))
+      graft.streaming.DocStreams.ingestGate(
+        one.select(graft.streaming.InsertBench.docExpr: _*))
+    }
     for (flavor <- Seq("batch-bare", "batch-gate")) {
       for (pass <- 1 to 2) {
         val t0 = System.nanoTime()
@@ -85,12 +90,57 @@ object InsertProbe {
           val df = if (flavor == "batch-bare")
             one.select(col("value").as("op_id"), (col("value") % 1000).as("src"),
               ((col("value") * 31 + 7) % 1000).as("dst"))
-          else graft.streaming.DocStreams.ingestGate(
-            one.select(graft.streaming.InsertBench.docExpr: _*))
+          else gateDf(i)
           df.write.mode("overwrite").format("noop").save()
         }
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[$flavor pass $pass] ${secs / 32 * 1000}%.1f ms/op")
+      }
+    }
+    // decomposition: cached-QueryExecution count (pure job schedule+exec)
+    // vs fresh-plan count (adds analyze+optimize+plan+codegen-source)
+    for (pass <- 1 to 2) {
+      val cached = gateDf(0); cached.count()
+      var t0 = System.nanoTime()
+      (0 until 32).foreach(_ => cached.count())
+      println(f"[gate-cached-count pass $pass] ${(System.nanoTime() - t0) / 32e6}%.1f ms/op")
+      t0 = System.nanoTime()
+      (0 until 32).foreach(i => gateDf(i).count())
+      println(f"[gate-fresh-count pass $pass] ${(System.nanoTime() - t0) / 32e6}%.1f ms/op")
+    }
+    // poor-man's stack sampler over the fresh-plan loop: aggregate the
+    // top interesting frame of every thread every ~3 ms
+    {
+      val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val stacks = Thread.getAllStackTraces
+          stacks.forEach { (t, frames) =>
+            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty &&
+                !t.getName.contains("sampler")) {
+              val interesting = frames.find { f =>
+                val c = f.getClassName
+                c.startsWith("org.apache.spark") || c.startsWith("org.apache.hadoop") ||
+                c.startsWith("graft") || c.startsWith("org.codehaus")
+              }
+              interesting.foreach { f =>
+                val key = s"${f.getClassName}.${f.getMethodName}"
+                hits.merge(key, 1, (a, b) => a + b)
+              }
+            }
+          }
+          Thread.sleep(3)
+        }
+      }, "probe-sampler")
+      sampler.start()
+      (0 until 64).foreach(i => gateDf(i).count())
+      sampling = false
+      sampler.join()
+      import scala.jdk.CollectionConverters._
+      println("[sampler] top frames over 64 fresh-plan gate counts:")
+      hits.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, v) =>
+        println(f"  $v%5d  $k")
       }
     }
     spark.stop()

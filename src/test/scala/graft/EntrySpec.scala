@@ -27,8 +27,10 @@ class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     * per-op insert benches, whose timed path is a streaming append (not
     * SQL-expressible — the driver records a rows-only check, and
     * StreamingSpec pins the exact admitted/appended row sets). Any OTHER
-    * query missing an oracle is a gate regression and must fail here. */
-  private val rowsOnly = Set("g_insert_stream", "g_insert_edges")
+    * query missing an oracle is a gate regression and must fail here.
+    * Empty since round 9: the insert family's row sets are deterministic
+    * functions of the op id, so even those carry range()-based oracles. */
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle key has a query and every query has an oracle") {
     val q = SparkEntry.queries.keySet

@@ -110,13 +110,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("bloomSeenShingles probes in-plan via the embedded filter, pre-shuffle") {
+  test("bloomSeenShingles probes in-plan via the broadcast filter, pre-shuffle") {
     withAutoBroadcastOff {
-      val p = plan(graft.operators.Dedup.bloomSeenShingles(spark, dir))
-      // the probe is per-row expression work in the batch scan stage (an
-      // embedded literal filter — NOT a join carrying filter bytes into
-      // every row, and NOT a pre-collected driver-side filter pass)
+      val df = graft.operators.Dedup.bloomSeenShingles(spark, dir)
+      val p = plan(df)
+      // the probe is per-row expression work in the batch scan stage (the
+      // filter arrives via torrent broadcast — NOT a join carrying filter
+      // bytes into every row, and NOT a plan literal that rides every
+      // stage's serialized task set at GB scale)
       assert(p.contains("graft_bloom_contains("), "probe must run in-plan")
+      assert(p.contains("graft_broadcast_binary("),
+        "filter must reach the probe as a broadcast handle\n" + p)
+      // no large binary may be embedded in the plan itself: walk the
+      // analyzed plan's expression trees (the executed plan hides under
+      // AdaptiveSparkPlanExec) and bound every BinaryType literal
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.BinaryType
+      var maxLit = 0
+      df.queryExecution.analyzed.foreach(_.expressions.foreach(_.foreach {
+        case Literal(v: Array[Byte], BinaryType) => maxLit = math.max(maxLit, v.length)
+        case _ => ()
+      }))
+      assert(maxLit <= (1 << 20),
+        s"plan embeds a ${maxLit}-byte binary literal; filters must broadcast")
       // the only shuffles are the verify join's two sides and the final
       // per-doc aggregation — the prefilter itself must add none
       val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size

@@ -48,4 +48,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally walk.close()
     }
   }
+
+  test("bloom soak: measured fpp tracks the design point; size constant in rows") {
+    // D11 at soak scale: the filter built over a corpus 4x the sf0.1 gate
+    // load must (a) stay the fixed design size no matter how many rows
+    // feed it — the property that makes it broadcastable at 100 TB — and
+    // (b) show a measured false-positive rate within 2x of the analytic
+    // design point for its actual distinct-key load (fpp = (1-e^{-kn/m})^k)
+    val dir = s"/tmp/${Reset.ScratchPrefix}scale_bloom"
+    try {
+      Scale.synthesize(spark, 20000L, dir)
+      graft.functions.GraftFunctions.register(spark)
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.documents(spark, dir)
+      def filterOver(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+        Dedup.shingleSetsOf(d)
+          .select(explode(col("shingles")).as("s"))
+          .selectExpr(s"graft_bloom_agg(xxhash64(s), ${Dedup.BloomSeenBits}, " +
+            s"${Dedup.BloomSeenHashes}) AS bf")
+          .collect()(0).getAs[Array[Byte]](0)
+      val full = filterOver(docs)
+      val half = filterOver(docs.filter(col("doc_id") < 10000))
+      assert(full.length == 4 + Dedup.BloomSeenBits / 8,
+        "encoded size must be the design constant")
+      assert(half.length == full.length,
+        "filter size must not scale with corpus rows")
+      val nDistinct = Dedup.shingleSetsOf(docs)
+        .select(explode(col("shingles")).as("s")).distinct().count()
+      val k = Dedup.BloomSeenHashes
+      val design = math.pow(1 - math.exp(-k * nDistinct / Dedup.BloomSeenBits.toDouble), k)
+      // uniform synthetic hashes stand in for definitely-absent keys (the
+      // chance a draw collides with an inserted hash is ~n/2^64)
+      val probes = 200000L
+      val hits = spark.range(probes)
+        .selectExpr("xxhash64(concat('absent:', CAST(id AS STRING))) AS h")
+        .filter(call_function("graft_bloom_contains", lit(full), col("h")))
+        .count()
+      val measured = hits.toDouble / probes
+      assert(measured <= 2 * design + 0.001,
+        s"measured fpp $measured exceeds 2x design point $design (n=$nDistinct)")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
