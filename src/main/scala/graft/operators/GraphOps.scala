@@ -48,11 +48,44 @@ object GraphOps {
 
   // --- G2: node lookup ------------------------------------------------------
 
+  /** G2: label+property node lookup, routed through the bucketed+sorted
+    * node-property layout (the same pay-at-ingest trade as G2b — the
+    * reference's stores answer this from their property indexes, so the
+    * graft analog is the indexed layout, not a rebuild of the property
+    * graph per query). Buckets hash on id; the id range rides parquet
+    * min/max row-group pruning of the per-bucket sorted files, and the
+    * segment predicate pushes into the scan. [[nodeLookupScan]] keeps the
+    * index-free full-scan semantics and GraphSpec pins result equality. */
   def nodeLookup(spark: SparkSession, dir: String): DataFrame =
+    custNodeTable(spark, dir)
+      .filter(col("mktsegment") === "BUILDING" && col("id") <= 100)
+      .select(col("id"), col("name"))
+
+  /** The unbucketed variant: same predicate over the property graph built
+    * inline — what a cold ad-hoc lookup (no prepared layout) pays. */
+  private[graft] def nodeLookupScan(spark: SparkSession, dir: String): DataFrame =
     PropertyGraph.bipartiteOrders(spark, dir).nodes
       .filter(col("label") === "customer" &&
         col("props")("mktsegment") === "BUILDING" && col("id") <= 100)
       .select(col("id"), col("props")("name").as("name"))
+
+  /** Write-once bucketed customer-node layout shared by the lookup
+    * family: id (bucket+sort key), name, mktsegment. */
+  private def custNodeTable(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_custnodes_bucketed_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/${graft.Reset.ScratchPrefix}bucketed_$table"
+    graft.Reset.writeOnceTable(spark, table, path) {
+      graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("mktsegment"))
+        .write.bucketBy(16, "id").sortBy("id")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
 
   /** G2b: the same node lookup against a bucketed+sorted layout — the
     * fast path the reference gets from its stores' indexes. Setup (the

@@ -224,6 +224,18 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(aa((1L, 2L)) - (1.0 / math.log(3) + 1.0 / math.log(4))) < 1e-5)
   }
 
+  test("nodeLookup: bucketed route equals the index-free property-graph scan") {
+    // G2 is gated through the bucketed node-property layout; the layout
+    // is an access-path choice and must be invisible in the result
+    val dir = "/root/testdata/sf0.001"
+    val fast = graft.operators.GraphOps.nodeLookup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val scan = graft.operators.GraphOps.nodeLookupScan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == scan, "bucketed lookup diverged from the full scan")
+    assert(fast.nonEmpty)
+  }
+
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
     // per-JVM scratch namespace: a concurrent test/bench JVM must not
