@@ -60,10 +60,17 @@ object BloomBits {
     * the guard a 4-byte input floorMods by zero and a truncated array
     * indexes out of bounds, both surfacing as opaque task crashes. */
   def mightContain(enc: Array[Byte], v: Long): Boolean = {
+    // length check FIRST: decoding the k header from a <4-byte input would
+    // itself index out of bounds — the exact opaque crash this guard exists
+    // to replace with a diagnosable error
+    if (enc.length < 12 || (enc.length - 4) % 8 != 0)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: malformed filter (len=${enc.length}); " +
+          "expected 4-byte k in 1..16 then >=1 big-endian longs of bit " +
+          "array, as produced by graft_bloom_agg")
     val numHashes = ((enc(0) & 0xff) << 24) | ((enc(1) & 0xff) << 16) |
       ((enc(2) & 0xff) << 8) | (enc(3) & 0xff)
-    if (enc.length < 12 || (enc.length - 4) % 8 != 0 ||
-        numHashes < 1 || numHashes > 16)
+    if (numHashes < 1 || numHashes > 16)
       throw new IllegalArgumentException(
         s"graft_bloom_contains: malformed filter (len=${enc.length}, " +
           s"k=$numHashes); expected 4-byte k in 1..16 then >=1 big-endian " +

@@ -320,8 +320,22 @@ object GraftFunctions {
     * carries it; Datasets analyze eagerly, so each caller's plan binds
     * the broadcast that was registered when the Dataset was built —
     * later re-registrations don't retroactively rebind existing plans. */
+  /** Last broadcast registered per (session, function name): re-registering
+    * under a fixed name (every bench pass rebuilds the filter) would
+    * otherwise strand the prior 512 KB broadcast until GC + ContextCleaner
+    * happen to notice the dropped reference. Datasets analyze eagerly, so
+    * any plan built against the old registration has already captured its
+    * handle and been executed by the time the operator re-registers. */
+  private val liveProbeBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String), org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
   def registerBloomProbe(spark: SparkSession, name: String,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Unit =
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Unit = {
+    val prev = liveProbeBroadcasts.put(
+      (System.identityHashCode(spark.sparkContext), name), bc)
+    if (prev != null && (prev ne bc))
+      try prev.destroy() catch { case _: Throwable => () }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[BloomMightContain].getName, name),
@@ -329,6 +343,7 @@ object GraftFunctions {
         require(exprs.length == 1, s"$name takes (hash), got ${exprs.length} args")
         BloomMightContain(BroadcastBinary(bc), exprs.head)
       })
+  }
 
   /** Idempotent in-session registration (used by the operator builders so
     * `selectExpr("graft_dot(a, b)")` resolves without extensions config). */

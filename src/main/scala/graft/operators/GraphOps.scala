@@ -146,6 +146,21 @@ object GraphOps {
   val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
     sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep
 
+  /** The overlays that are the gated fixed-size grid queries re-run at the
+    * SF-scaled N. BenchSweep renames their rows to `name@n<N>` (the actual
+    * grid side) instead of letting them SHADOW the gated rows: an
+    * identically-named row would measure a ~2.6× different superstep count
+    * at sf0.1 (N=39 vs the gated 16) — exactly the r7-r9 "sweep-vs-detail
+    * gap" that was misread as GC debt. With the rename, the gated
+    * fixed-size row runs in the sweep too and stays directly comparable to
+    * BENCH_DETAIL, and the workload difference is visible in the name. */
+  val scaledGridNames: Set[String] = sizeSweep.keySet
+
+  /** Base names of every sweep overlay that runs on the SF-scaled grid
+    * (the scaled twins plus the @h hops / @d depth axes ride the same
+    * grid) — the sweep CSV fills its grid_n column for exactly these. */
+  val gridOverlayNames: Set[String] = scaledGridNames
+
   /** Op-count axis for the per-op insert bench (reference
     * bench_add_single_node/edge iterates op count via iterate_bench,
     * benchmark.py:238-264): wall time should be linear in N with a ~zero

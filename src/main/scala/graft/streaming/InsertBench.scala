@@ -81,7 +81,9 @@ object InsertBench {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val w = java.nio.file.Files.walk(p)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse
         .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
     }
   }

@@ -89,10 +89,15 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
     val dir = nio(path)
     if (!Files.exists(dir)) throw new FileNotFoundException(path.toString)
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    // Files.list holds a directory fd until closed — the iterator alone
+    // never releases it, and the metadata log lists on every batch purge,
+    // so a leak here walks a long bench JVM into 'Too many open files'
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .map(p => toStatus(p.toFile))
-      .filter(s => filter.accept(s.getPath))
+      .filter(st => filter.accept(st.getPath))
       .toArray
+    finally s.close()
   }
 
   private def toStatus(f: File): FileStatus =
@@ -106,9 +111,12 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
   override def delete(path: Path): Unit = {
     import scala.jdk.CollectionConverters._
     val p = nio(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse
         .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+    }
   }
 
   override def isLocal: Boolean = true

@@ -35,7 +35,7 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("detail JSON carries the cpu/mem metrics the stdout line no longer does") {
     val results = Seq(
-      QueryBench("ok_count", 1.5, 3.0, 64.0, None),
+      QueryBench("ok_count", 1.5, 3.0, 64.0, None, Seq(1.6, 1.5, 1.55)),
       QueryBench("boom", 0.1, 0.0, 0.0, Some("forced failure")))
     val detail = Bench.detailJson(results, """{"heap_used_mb":1.0,"heap_max_mb":2.0}""", "/unused")
     assert(detail.contains(""""cpu_s":{"ok_count":3.0000}"""))
@@ -43,6 +43,28 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(detail.contains(""""errors":{"boom":"forced failure"}"""))
     assert(detail.contains(""""idle":{"heap_used_mb":1.0"""))
     org.json4s.jackson.JsonMethods.parse(detail) // must be valid JSON
+  }
+
+  test("detail JSON is self-auditing: every pass published, unstable queries flagged") {
+    val results = Seq(
+      QueryBench("steady", 1.0, 0.0, 0.0, None, Seq(1.05, 1.0, 1.02)),
+      // one contaminated pass, outvoted by three clean re-runs: the
+      // fastest-three window is stable, so the query is NOT flagged
+      QueryBench("recovered", 1.0, 0.0, 0.0, None, Seq(4.0, 1.0, 1.05, 1.02)),
+      // still dirty after MaxPasses: must be flagged
+      QueryBench("dirty", 1.0, 0.0, 0.0, None, Seq(1.0, 2.5, 3.0, 2.8, 2.9, 2.7)))
+    val detail = Bench.detailJson(results, "{}", "/unused")
+    assert(detail.contains(""""passes":{"steady":[1.0500,1.0000,1.0200]"""))
+    assert(detail.contains(""""unstable":["dirty"]"""))
+    org.json4s.jackson.JsonMethods.parse(detail)
+  }
+
+  test("passSpread judges the fastest three passes so re-runs age out a dirty pass") {
+    assert(Bench.passSpread(Seq(1.0, 1.1, 1.05)) < Bench.SpreadBar)
+    assert(Bench.passSpread(Seq(8.0, 1.0, 1.1)) > Bench.SpreadBar)
+    // a re-run pass restores stability: fastest three exclude the stall
+    assert(Bench.passSpread(Seq(8.0, 1.0, 1.1, 1.05)) < Bench.SpreadBar)
+    assert(Bench.passSpread(Nil) == 1.0 && Bench.passSpread(Seq(3.0)) == 1.0)
   }
 
   test("stdout line never exceeds the driver's 2000-char tail window") {

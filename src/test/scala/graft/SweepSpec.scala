@@ -75,6 +75,44 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("artifact agreement: sweep sf0.1 and BENCH_DETAIL concur on every shared query") {
+    // The r7-r9 artifact confusion (sweep rows silently running SF-scaled
+    // grids under the gated names; one contaminated DETAIL run) is pinned
+    // here as a regression guard: every query named WITHOUT an @-axis
+    // suffix runs the identical workload in both artifacts, so the two
+    // published numbers must agree within the harness's own stability bar.
+    // Gated on the round-10 artifact format (passes column / passes key):
+    // pre-round-10 artifacts, which still shadow the gated rows, are
+    // skipped rather than failed.
+    val csvPath = java.nio.file.Paths.get("BENCH_SWEEP.csv")
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    assume(java.nio.file.Files.exists(csvPath) &&
+      java.nio.file.Files.exists(detailPath), "bench artifacts not generated yet")
+    val csv = java.nio.file.Files.readString(csvPath)
+    val detail = java.nio.file.Files.readString(detailPath)
+    assume(csv.linesIterator.next().contains("passes") &&
+      detail.contains("\"passes\""), "pre-round-10 artifact format")
+    val sweep = BenchPlot.parseCsv(csv)
+      .filter(r => r.sf == 0.1 && !r.query.contains("@"))
+      .map(r => r.query -> r.seconds).toMap
+    val detailQs = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(detail).map(_.group(1)).getOrElse(fail("no queries object"))
+    val detailTimes = """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(detailQs)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val shared = sweep.keySet intersect detailTimes.keySet
+    assert(shared.size > 50, s"artifacts share only ${shared.size} queries")
+    val disagree = shared.toSeq.sorted.flatMap { q =>
+      // floor both sides at 100 ms: below the scheduling floor a ratio is
+      // noise, not a contamination signal
+      val (a, b) = (math.max(sweep(q), 0.1), math.max(detailTimes(q), 0.1))
+      val ratio = math.max(a, b) / math.min(a, b)
+      if (ratio > 1.5) Some(f"$q sweep=${sweep(q)}%.2f detail=${detailTimes(q)}%.2f (${ratio}%.2fx)")
+      else None
+    }
+    assert(disagree.isEmpty,
+      s"sweep and DETAIL disagree on:\n  ${disagree.mkString("\n  ")}")
+  }
+
   test("depth axis: ssp targets sit at increasing distances, all reachable") {
     val n = GraphOps.gridNFor(spark, dir)
     val dists = Seq(25, 50, 75, 100).map { pct =>
