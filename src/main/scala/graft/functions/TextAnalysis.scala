@@ -203,14 +203,17 @@ object TextAnalysis {
     * — the property a training-data pipeline needs so re-runs never leak
     * val/test docs into train. */
   /** Per-mille uniform draw from the md5 of `arg` — first 4 hex digits as
-    * an integer mod 1000, via explicit digit arithmetic identical on both
-    * engines. The shared basis of T7 splitting and T10 sampling. */
-  def sparkPermille(arg: String): String = {
-    val hv = (0 until 4).map(k =>
-      s"(instr('0123456789abcdef', substring(md5($arg), ${k + 1}, 1)) - 1) * ${1 << (4 * (3 - k))}")
-      .mkString(" + ")
-    s"($hv) % 1000"
-  }
+    * an integer mod 1000. Spelled as one hex parse (`conv(..., 16, 10)`),
+    * which is exactly the digit arithmetic the DuckDB mirror
+    * ([[duckPermille]]) spells out (d1*4096 + d2*256 + d3*16 + d4): same
+    * integers, no floats, so the two engines agree bit-for-bit. The
+    * compact form matters beyond taste: this draw appears three times in
+    * the streaming ingest gate, whose analyzed tree is re-planned every
+    * micro-batch — the per-op insert bench pays the gate's node count as
+    * planning latency, and one conv node replaces ~28 arithmetic nodes
+    * per draw. The shared basis of T7 splitting and T10 sampling. */
+  def sparkPermille(arg: String): String =
+    s"(CAST(conv(substring(md5($arg), 1, 4), 16, 10) AS INT) % 1000)"
 
   /** T7's split verdict as a reusable SQL expression over `doc_id`. */
   def splitCaseExpr: String =

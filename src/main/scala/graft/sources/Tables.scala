@@ -33,7 +33,25 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(eventsRaw(s, d))
+  }
+
+  /** Normalize the generator's `ts` column to a session-TZ (UTC)
+    * TimestampType whatever physical type the parquet carries — the
+    * driver has shipped both int64 NANOS (read as long under the legacy
+    * conf, truncated to micros like DuckDB's epoch_us) and plain
+    * TIMESTAMP[us] (NTZ under Spark's reader; the UTC-session cast keeps
+    * the same instant). Downstream operators and the DuckDB oracles
+    * (`epoch_us(ts)`) see identical microsecond values either way. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

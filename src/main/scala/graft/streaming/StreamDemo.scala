@@ -27,9 +27,8 @@ object StreamDemo {
       inDir.resolve("events.parquet"))
 
     val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(inDir.toString))
 
     val q1 = EventStreams.windowedCounts(stream)
       .writeStream.format("memory").queryName("demo_s1").outputMode("append").start()
