@@ -328,14 +328,19 @@ object GraftFunctions {
     * handle and been executed by the time the operator re-registers. */
   private val liveProbeBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, String), org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+      (Int, String), org.apache.spark.broadcast.Broadcast[_]]()
 
-  def registerBloomProbe(spark: SparkSession, name: String,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Unit = {
+  private def swapProbeBroadcast(spark: SparkSession, name: String,
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
     val prev = liveProbeBroadcasts.put(
       (System.identityHashCode(spark.sparkContext), name), bc)
     if (prev != null && (prev ne bc))
       try prev.destroy() catch { case _: Throwable => () }
+  }
+
+  def registerBloomProbe(spark: SparkSession, name: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Unit = {
+    swapProbeBroadcast(spark, name, bc)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[BloomMightContain].getName, name),
@@ -343,6 +348,38 @@ object GraftFunctions {
         require(exprs.length == 1, s"$name takes (hash), got ${exprs.length} args")
         BloomMightContain(BroadcastBinary(bc), exprs.head)
       })
+  }
+
+  /** Register (overwriting any prior registration, destroying the prior
+    * broadcast — same lifecycle as [[registerBloomProbe]]) a session
+    * function `name(id)` probing ONE specific broadcast sorted long array
+    * by binary search. The id-set analog of the Bloom probe: exact
+    * membership against a bounded broadcast set, as a codegen'd per-row
+    * FILTER — no join operator, no exchange, no plan-embedded literal.
+    * The peel primitive of [[graft.graph.Algorithms.kCore]]'s trickle
+    * rounds. `ids` must be sorted ascending (binarySearch contract). */
+  def registerSetProbe(spark: SparkSession, name: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Unit = {
+    swapProbeBroadcast(spark, name, bc)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SortedLongSetContains].getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$name takes (id), got ${exprs.length} args")
+        SortedLongSetContains(bc, exprs.head)
+      })
+  }
+
+  /** Deregister a probe function and destroy its current broadcast — for
+    * short-lived per-invocation probes (kCore registers a fresh name per
+    * call so concurrent peels on one session can't destroy each other's
+    * in-flight broadcast, and drops it here once the result is
+    * materialized). */
+  def dropProbe(spark: SparkSession, name: String): Unit = {
+    val prev = liveProbeBroadcasts.remove(
+      (System.identityHashCode(spark.sparkContext), name))
+    if (prev != null) try prev.destroy() catch { case _: Throwable => () }
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
   }
 
   /** Idempotent in-session registration (used by the operator builders so
@@ -374,4 +411,49 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
   }
+}
+
+/** Membership probe of a broadcast SORTED long array by binary search —
+  * the exact-id analog of [[BloomMightContain]]+[[BroadcastBinary]]: a
+  * bounded node-id set reaches every task as a torrent broadcast (never a
+  * plan literal), and the probe compiles into whole-stage codegen as a
+  * primitive `Arrays.binarySearch`, so removing a peeled trickle from a
+  * 100 TB edge set is a FILTER — no join operator, no exchange, and the
+  * filtered output keeps its partitioning (which is what lets kCore's
+  * per-round degree aggregation run with zero added shuffles).
+  *
+  * Constructed only through [[GraftFunctions.registerSetProbe]] (the
+  * broadcast handle cannot be spelled in SQL). The array must be sorted
+  * ascending; the probed child is a non-null graph id (LongType). */
+case class SortedLongSetContains(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft set probe requires bigint, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_set_contains"
+  // the payload must never print into plan strings; the broadcast id
+  // identifies it (same rule as BroadcastBinary)
+  override def toString: String = s"graft_set_contains(#${bc.id}, $child)"
+
+  override def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(bc.value, v.asInstanceOf[Long]) >= 0
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftSetBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val ids = ctx.addMutableState("long[]", "graftSetIds",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = java.util.Arrays.binarySearch($ids, $v) >= 0;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedLongSetContains =
+    copy(child = newChild)
 }

@@ -206,35 +206,74 @@ object Algorithms {
     * few-thousand-edge graph over local[32]'s default width pays ~10
     * rounds × 4 stages × 32 near-empty tasks otherwise (same knob as
     * Traversals.bfs / GraphXBridge). */
-  def kCore(edges: DataFrame, k: Int, rounds: Int, numParts: Int = 0): DataFrame = {
+  /** A round's peeled-node set is removed from the live edge set as a
+    * broadcast-probed FILTER while it stays under this many ids (32 MB of
+    * longs) — the common case after round one, where peeling drops a
+    * trickle. The ids ride a torrent broadcast into a codegen'd
+    * binary-search probe ([[graft.functions.SortedLongSetContains]]), so
+    * a trickle round is one aggregation job plus one filter job: no join
+    * operator, no exchange, and the filter PRESERVES the live set's
+    * src-partitioning — which is what keeps every subsequent round's
+    * degree aggregation exchange-free. A heavier drop takes the shuffle
+    * semi-join path instead: at 100 TB a first round can shed billions
+    * of nodes, and those must never be collected to the driver. */
+  val DropBroadcastMax: Int = 4 * 1024 * 1024
+
+  private val kCoreProbeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def kCore(edges: DataFrame, k: Int, rounds: Int, numParts: Int = 0,
+            dropBroadcastMax: Int = DropBroadcastMax): DataFrame = {
+    val spark = edges.sparkSession
+    // per-invocation probe name: concurrent peels on one session must not
+    // destroy each other's in-flight broadcast (dropped after the loop)
+    val probe = s"graft_kcore_dropped_${kCoreProbeSeq.incrementAndGet()}"
     val e = edges.select(col("src"), col("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    def chkE(df: DataFrame): DataFrame =
-      (if (numParts > 0) df.repartition(numParts, col("src")) else df).localCheckpoint()
-    // the loop variable is the EDGE set among survivors — each round's
-    // joins and degree aggregation run over the shrinking live set, not
-    // the original graph (peeling the Wiki-Vote 10-core drops ~40% of
-    // edges; re-joining the full graph every round would pay for them in
-    // every one of the remaining rounds)
-    var live = chkE(und)
-    var nLive = live.count()
-    var converged = false
-    var r = 0
-    while (r < rounds && !converged) {
-      // survivors: nodes whose degree AMONG live edges is >= k (und is
-      // symmetric, so out-degree over live counts each incident edge)
-      val alive = live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("id"))
-      live = chkE(live
-        .join(alive.select(col("id").as("s2")), col("src") === col("s2"), "left_semi")
-        .join(alive.select(col("id").as("d2")), col("dst") === col("d2"), "left_semi"))
-      val n = live.count()
-      converged = n == nLive
-      nLive = n
-      r += 1
-    }
-    live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // One explicit partitioning, paid once: every later round is a
+    // partitioning-preserving filter over it (localCheckpoint keeps the
+    // partitioning metadata), so the per-round degree aggregation
+    // clusters on src with no further Exchange.
+    var live = (if (numParts > 0) und.repartition(numParts, col("src")) else und)
       .localCheckpoint()
+    try {
+      var converged = false
+      var r = 0
+      while (r < rounds && !converged) {
+        // one degree pass per round (und is symmetric, so out-degree over
+        // live counts each incident edge); head(max+1) both bounds the
+        // driver-side copy and doubles as the convergence probe (empty =
+        // fixpoint) — no separate count job, no materialized dropped set
+        val dropped = live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("id"))
+        val ids = dropped.head(dropBroadcastMax + 1).map(_.getLong(0))
+        if (ids.isEmpty) converged = true // fixpoint: live already final
+        else if (ids.length <= dropBroadcastMax) {
+          java.util.Arrays.sort(ids)
+          val bc = spark.sparkContext.broadcast(ids)
+          graft.functions.GraftFunctions.registerSetProbe(spark, probe, bc)
+          // Datasets analyze eagerly and localCheckpoint materializes
+          // eagerly, so this round's filter has bound and USED `bc` before
+          // the next round's re-registration destroys it
+          live = live.filter(!call_function(probe, col("src")) &&
+              !call_function(probe, col("dst")))
+            .localCheckpoint()
+        } else {
+          // heavy round (typically only the first): survivors via shuffle
+          // semi-joins — the dropped set is too large to hold driver-side
+          val alive = live.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k).select(col("id"))
+          live = live
+            .join(alive.select(col("id").as("s2")), col("src") === col("s2"), "left_semi")
+            .join(alive.select(col("id").as("d2")), col("dst") === col("d2"), "left_semi")
+          live = (if (numParts > 0) live.repartition(numParts, col("src")) else live)
+            .localCheckpoint()
+        }
+        r += 1
+      }
+      live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+    } finally graft.functions.GraftFunctions.dropProbe(spark, probe)
   }
 
   /** Synchronous label propagation (community detection), fixed rounds.

@@ -163,6 +163,19 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kCore: heavy-round semi-join fallback equals the broadcast trickle path") {
+    // dropBroadcastMax=0 forces EVERY round down the shuffle semi-join
+    // path (the 100 TB first-round guard — a drop too large to hold
+    // driver-side); the peel recursion must be identical either way.
+    val g = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val trickle = Algorithms.kCore(g.edges, k = 2, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val heavy = Algorithms.kCore(g.edges, k = 2, rounds = 6, dropBroadcastMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trickle == heavy)
+    assert(trickle == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("kCore: the bench query's fixed rounds are past the fixpoint at test SFs") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
       val e = graft.graph.PropertyGraph.componentSample(spark, dir).edges
