@@ -71,11 +71,26 @@ object TextAnalysis {
     round(c.cast(org.apache.spark.sql.types.DecimalType(18, 10)), s).cast("double")
 
   /** Append the T2 quality metrics (n_words, stop_ratio, punct_ratio,
-    * score) to any frame with a `text` column — stateless per-row
-    * expressions, so the same operator serves the batch query and the
-    * streaming ingest gate (DocStreams) unchanged. Same double-op order
-    * on both engines. */
+    * score) to any frame with a `text` column — one codegen'd
+    * [[GraftQuality]] struct node per row, so the same operator serves
+    * the batch query and the streaming ingest gate (DocStreams)
+    * unchanged, and the gate's per-micro-batch re-planning pays ONE
+    * expression node instead of the ~150-node column formulation (kept
+    * below as [[withQualityExprs]]; TextAnalysisSpec pins row-for-row
+    * equality of the two). */
   def withQuality(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val q = call_function("graft_quality", col("text"))
+    df.withColumn("n_words", q.getField("n_words"))
+      .withColumn("stop_ratio", q.getField("stop_ratio"))
+      .withColumn("punct_ratio", q.getField("punct_ratio"))
+      .withColumn("score", q.getField("score"))
+  }
+
+  /** The column-expression formulation [[withQuality]] replaced — the
+    * reference semantics the native struct must match bit-for-bit (it is
+    * also the shape the DuckDB oracle mirrors). Test-only. */
+  private[graft] def withQualityExprs(df: DataFrame): DataFrame = {
     val en = lexicons.toMap.apply("en")
     // Zero-denominator guards: a wordless or empty doc gets null ratios
     // (and therefore a null score, which fails every threshold gate)

@@ -313,6 +313,14 @@ object GraftFunctions {
       BloomMightContain(exprs.head, exprs(1))
     })
 
+  val qualityDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quality"),
+    new ExpressionInfo(classOf[GraftQuality].getName, "graft_quality"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"graft_quality takes (text), got ${exprs.length} args")
+      GraftQuality(exprs.head)
+    })
+
   /** Register (overwriting any prior registration) a session function
     * `name(hash)` that probes ONE specific broadcast Bloom filter:
     * resolves to `BloomMightContain(BroadcastBinary(bc), hash)`. The
@@ -397,6 +405,8 @@ object GraftFunctions {
       bloomAggDescriptor._1, bloomAggDescriptor._2, bloomAggDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      qualityDescriptor._1, qualityDescriptor._2, qualityDescriptor._3)
   }
 }
 
@@ -410,6 +420,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.md5hDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectFunction(GraftFunctions.qualityDescriptor)
   }
 }
 

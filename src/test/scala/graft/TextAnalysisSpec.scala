@@ -22,6 +22,31 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("graft_quality native struct is bit-identical to the column-expression formulation") {
+    // The single-node GraftQuality expression replaced a ~150-node tree
+    // (per-micro-batch planning + per-task plan-ship cost on the ingest
+    // gate); this pins value parity on the full sf0.001 corpus PLUS the
+    // boundary rows the corpus can't contain: empty text, whitespace/
+    // punctuation-only (0 words but chars), digits, unicode with
+    // multi-byte chars, null, and a locale trap (U+0130 lowercases to 2
+    // code points, so the punct denominator must use the ORIGINAL length).
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, dir).select(col("text"))
+    val edges = Seq("", "   ", "!!!", "12 34", "the and of", "é ü 中文 the",
+      "İstanbul the", "a", "THE A AND").toDF("text")
+    val adversarial = corpus.union(edges)
+      .union(Seq[Option[String]](None).toDF("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("text", "n_words", "stop_ratio", "punct_ratio", "score")
+        .collect().map(_.toSeq).toSeq
+    val native = canon(TextAnalysis.withQuality(adversarial))
+    val exprs = canon(TextAnalysis.withQualityExprs(adversarial))
+    assert(native.size == exprs.size)
+    native.zip(exprs).foreach { case (n, e) =>
+      assert(n == e, s"native $n != expression $e")
+    }
+  }
+
   test("decontam never flags eval-set documents and counts are positive") {
     val rows = TextAnalysis.decontam(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
