@@ -101,12 +101,24 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val shared = sweep.keySet intersect detailTimes.keySet
     assert(shared.size > 50, s"artifacts share only ${shared.size} queries")
+    // The bar is ASYMMETRIC because the two artifacts differ structurally
+    // in JVM warmth: by its sf0.1 rows the sweep JVM has executed ~300
+    // queries (all SFs + warmups) vs DETAIL's ~83 warmup passes, and the
+    // measured r10 effect of that differential is up to ~1.9x on
+    // job-floor-bound queries (sweep faster). So DETAIL slower than sweep
+    // gets a 2.2x warmth allowance, while sweep slower than DETAIL stays
+    // at 1.5x — the warmer JVM has no legitimate excuse to be slower, so
+    // that direction IS the contamination smell. (The primary
+    // contamination detector is the within-artifact pass-spread audit —
+    // `unstable` in the detail JSON, `passes` in both artifacts; this
+    // cross-check only catches a dirty run that was dirty consistently
+    // across all of a query's passes.)
     val disagree = shared.toSeq.sorted.flatMap { q =>
       // floor both sides at 100 ms: below the scheduling floor a ratio is
       // noise, not a contamination signal
-      val (a, b) = (math.max(sweep(q), 0.1), math.max(detailTimes(q), 0.1))
-      val ratio = math.max(a, b) / math.min(a, b)
-      if (ratio > 1.5) Some(f"$q sweep=${sweep(q)}%.2f detail=${detailTimes(q)}%.2f (${ratio}%.2fx)")
+      val (s, d) = (math.max(sweep(q), 0.1), math.max(detailTimes(q), 0.1))
+      if (d / s > 2.2 || s / d > 1.5)
+        Some(f"$q sweep=${sweep(q)}%.2f detail=${detailTimes(q)}%.2f")
       else None
     }
     assert(disagree.isEmpty,
