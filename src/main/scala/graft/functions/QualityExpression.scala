@@ -118,6 +118,100 @@ object QualityMetrics {
   }
 }
 
+/** Static single-pass implementation of the T1 language-ID heuristic —
+  * the compute behind [[GraftLangId]]. Same word-run scan as
+  * [[QualityMetrics]], but counting per-lexicon stopword hits for all
+  * four lexicons in the one pass (the column formulation walks the
+  * word array once per lexicon through interpreted lambda machinery).
+  *
+  * Winner selection replicates `greatest(struct(hits, lang)*)`
+  * lexicographic struct ordering exactly: highest hits wins, ties break
+  * to the lexicographically LAST language — achieved by scanning
+  * languages in their (alphabetically sorted) declaration order and
+  * keeping `>=`. Zero hits everywhere → ("fr", 0), same as greatest. */
+object LangIdMetrics {
+
+  private val Langs: Array[UTF8String] =
+    TextAnalysis.lexicons.map(l => UTF8String.fromString(l._1)).toArray
+  private val Lexicons: Array[Array[Array[Byte]]] =
+    TextAnalysis.lexicons.map(_._2
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray).toArray
+
+  private def hasWord(lex: Array[Array[Byte]], b: Array[Byte],
+                      start: Int, len: Int): Boolean = {
+    var s = 0
+    while (s < lex.length) {
+      val w = lex(s)
+      if (w.length == len) {
+        var j = 0
+        while (j < len && b(start + j) == w(j)) j += 1
+        if (j == len) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val lowered = text.toLowerCase.getBytes
+    val hits = new Array[Int](Lexicons.length)
+    var i = 0
+    val n = lowered.length
+    while (i < n) {
+      if (lowered(i) >= 'a' && lowered(i) <= 'z') {
+        val start = i
+        while (i < n && lowered(i) >= 'a' && lowered(i) <= 'z') i += 1
+        var l = 0
+        while (l < Lexicons.length) {
+          if (hasWord(Lexicons(l), lowered, start, i - start)) hits(l) += 1
+          l += 1
+        }
+      } else i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < hits.length) {
+      if (hits(l) >= hits(best)) best = l // >= : ties go to the LAST lang
+      l += 1
+    }
+    val row = new GenericInternalRow(2)
+    row.update(0, Langs(best))
+    row.update(1, hits(best))
+    row
+  }
+}
+
+/** `graft_langid(text)`: the T1 heuristic language IDer — (lang_pred,
+  * n_hits) — as one codegen'd expression instead of four interpreted
+  * `filter(words, ...)` lambda walks over a per-row materialized word
+  * array. One byte scan per row; a flagship full-corpus operator at
+  * 100 TB. Parity with the column formulation is spec-pinned
+  * (TextAnalysisSpec) and the DuckDB oracle is unchanged. */
+case class GraftLangId(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_langid requires string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("n_hits", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_langid"
+
+  override def nullSafeEval(v: Any): Any =
+    LangIdMetrics.compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangIdMetrics.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftLangId =
+    copy(child = newChild)
+}
+
 /** `graft_quality(text)`: the T2 quality metrics — (n_words, stop_ratio,
   * punct_ratio, score) — as ONE codegen'd expression node instead of the
   * ~150-node column-expression tree it replaces.

@@ -27,17 +27,29 @@ object TextAnalysis {
 
   /** T1: language ID — count stopword hits per lexicon, pick the max
     * (deterministic tie-break: lexicographically last language wins, via
-    * struct ordering on (hits, lang)). */
+    * struct ordering on (hits, lang)). One codegen'd [[GraftLangId]]
+    * node: all four lexicons counted in a single byte scan, replacing
+    * four interpreted `filter(words, ...)` lambda walks over a per-row
+    * materialized word array (the column formulation stays below as
+    * [[langIdExprs]]; TextAnalysisSpec pins row-for-row equality). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = call_function("graft_langid", col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      q.getField("lang_pred").as("lang_pred"),
+      q.getField("n_hits").as("n_hits"))
+  }
+
+  /** The column-expression formulation [[langId]] replaced — the
+    * reference semantics the native expression must match exactly (also
+    * the shape the DuckDB oracle mirrors). Test-only. */
+  private[graft] def langIdExprs(df: DataFrame): DataFrame = {
     val cands = lexicons.map { case (lang, stops) =>
-      // typedLit: ONE ArrayType literal node, not 10 lit children under an
-      // array() — per-batch plan cost (analysis/optimizer walks, task
-      // serialization) scales with node count, and the streaming ingest
-      // gate re-plans this tree every micro-batch
       val hits = size(filter(words, w => array_contains(typedLit(stops), w)))
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
-    Tables.documents(spark, dir).select(
+    df.select(
       col("doc_id"),
       greatest(cands: _*).getField("lang").as("lang_pred"),
       greatest(cands: _*).getField("hits").as("n_hits"))

@@ -321,6 +321,14 @@ object GraftFunctions {
       GraftQuality(exprs.head)
     })
 
+  val langidDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_langid"),
+    new ExpressionInfo(classOf[GraftLangId].getName, "graft_langid"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"graft_langid takes (text), got ${exprs.length} args")
+      GraftLangId(exprs.head)
+    })
+
   /** Register (overwriting any prior registration) a session function
     * `name(hash)` that probes ONE specific broadcast Bloom filter:
     * resolves to `BloomMightContain(BroadcastBinary(bc), hash)`. The
@@ -407,6 +415,8 @@ object GraftFunctions {
       bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       qualityDescriptor._1, qualityDescriptor._2, qualityDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      langidDescriptor._1, langidDescriptor._2, langidDescriptor._3)
   }
 }
 
@@ -421,6 +431,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.qualityDescriptor)
+    ext.injectFunction(GraftFunctions.langidDescriptor)
   }
 }
 

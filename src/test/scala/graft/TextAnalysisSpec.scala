@@ -47,6 +47,31 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_langid native struct is identical to the greatest-of-structs formulation") {
+    // Tie-breaks are the trap: greatest(struct(hits, lang)) gives equal
+    // hit counts to the lexicographically LAST language, including the
+    // all-zero case ('fr'). Edge rows force 0-hit, single-hit, and
+    // multi-language-tie outcomes on top of the full corpus.
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (100001L, ""), (100002L, "zzz qqq"), (100003L, "the der el le"),
+      (100004L, "und und the the"), (100005L, "es la en y por para"),
+      (100006L, "THE AND OF"), (100007L, "le la les et est"))
+      .toDF("doc_id", "text")
+    val all = corpus.union(edges)
+    val native = TextAnalysis.langId(spark, dir) // corpus-only route
+    // compare apples to apples: run both formulations over `all`
+    graft.functions.GraftFunctions.register(spark)
+    val q = call_function("graft_langid", col("text"))
+    val nat = all.select(col("doc_id"), q.getField("lang_pred").as("lang_pred"),
+      q.getField("n_hits").as("n_hits")).collect().map(_.toSeq).toSeq
+    val old = TextAnalysis.langIdExprs(all).collect().map(_.toSeq).toSeq
+    assert(nat.size == old.size && native.count() == corpus.count())
+    nat.zip(old).foreach { case (n, e) => assert(n == e, s"native $n != expression $e") }
+  }
+
   test("decontam never flags eval-set documents and counts are positive") {
     val rows = TextAnalysis.decontam(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
