@@ -253,6 +253,86 @@ case class ArrayMd5Head(child: Expression)
     copy(child = newChild)
 }
 
+/** Helper for [[MinhashSignature]] — plain static JVM code (same rule as
+  * [[Md5Head]]). */
+object MinhashSig {
+  /** `mins[j] = min over h in hvs of ((2j+1)*h + 7919j + 911) mod
+    * 1000000007` for j in 0 until k — one pass over the hash array with
+    * all k permutation registers live, replacing k interpreted
+    * `array_min(transform(hvs, ...))` walks (k = 128 at the production
+    * profile). Constants are `Dedup.MinhashMod`/`permA`/`permB` spelled
+    * as literals; DedupSpec pins value parity against the SQL
+    * formulation so they cannot drift apart silently. Null elements are
+    * skipped (the SQL transform maps null→null and array_min ignores
+    * nulls); a doc with no non-null hash yields MaxValue-free behavior:
+    * all-null input returns null mins — callers never see it because
+    * shingleSets filters empty docs. */
+  def signature(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        any = true
+        val h = a.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1L) * h + 7919L * j + 911L) % 1000000007L
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+}
+
+/** Native MinHash signature: all `k` universal-hash permutation minima
+  * of a shingle-hash array in ONE compiled pass
+  * (`graft_minhash(hvs, k)` → array<bigint> of length k).
+  *
+  * Why: the SQL formulation evaluates `array_min(transform(hvs, h ->
+  * (a_j*h + b_j) % p))` once per permutation — k interpreted lambda
+  * walks, each allocating an intermediate array, per document. At the
+  * production profile (128 hashes) over a 100 TB corpus that is the
+  * dominant dedup-signature cost. Values are bit-identical to the SQL
+  * (same integer ops in the same order; no overflow: h < 2^32,
+  * a_j ≤ 257 → a_j*h + b_j < 2^41). */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if numHashes >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash expects (array<bigint>, k >= 1), got " +
+            s"${other.catalogString} with k=$numHashes")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // all-null input
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.MinhashSig.signature($c, $numHashes);
+      |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions — as a session-builder call
   * (`GraftFunctions.register`) or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -319,6 +399,15 @@ object GraftFunctions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 1, s"graft_quality takes (text), got ${exprs.length} args")
       GraftQuality(exprs.head)
+    })
+
+  val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"graft_minhash takes (hvs, k), got ${exprs.length} args")
+      require(exprs(1).foldable, "graft_minhash's k must be a constant")
+      MinhashSignature(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
     })
 
   val langidDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -417,6 +506,8 @@ object GraftFunctions {
       qualityDescriptor._1, qualityDescriptor._2, qualityDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       langidDescriptor._1, langidDescriptor._2, langidDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
   }
 }
 
@@ -432,6 +523,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.qualityDescriptor)
     ext.injectFunction(GraftFunctions.langidDescriptor)
+    ext.injectFunction(GraftFunctions.minhashDescriptor)
   }
 }
 

@@ -85,7 +85,7 @@ object Dedup {
   private def permA(j: Int) = 2 * j + 1
   private def permB(j: Int) = 7919L * j + 911L
 
-  private def sparkMinhash(j: Int) =
+  private[graft] def sparkMinhash(j: Int) =
     s"array_min(transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
   private def duckMinhash(j: Int) =
     s"list_min(list_transform(hvs, h -> (${permA(j)} * h + ${permB(j)}) % $MinhashMod))"
@@ -117,17 +117,19 @@ object Dedup {
                                  bands: Int = Bands): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide hashes ($numHashes)")
     val rows = numHashes / bands
-    val mh = (0 until numHashes).map(j => s"${sparkMinhash(j)} AS h$j")
     val bandVals = (0 until bands).map(b =>
-      (0 until rows).map(r => s"CAST(h${rows * b + r} AS STRING)")
+      (0 until rows).map(r => s"CAST(element_at(mhs, ${rows * b + r + 1}) AS STRING)")
         .mkString("concat_ws('|', ", ", ", ")")).mkString(", ")
     val id = "doc_id" +: keep
     graft.functions.GraftFunctions.register(sh.sparkSession)
     // graft_md5h = the native one-pass form of
-    // `transform(shingles, s -> <8 hex-digit extracts of md5(s)>)` — same
-    // values, no interpreted per-element lambda (see ArrayMd5Head)
+    // `transform(shingles, s -> <8 hex-digit extracts of md5(s)>)`;
+    // graft_minhash = the native one-pass form of the numHashes separate
+    // `array_min(transform(hvs, ...))` permutation walks (all minima
+    // tracked in one loop over the hash array — see MinhashSignature;
+    // DedupSpec pins value parity against the SQL formulation)
     sh.selectExpr(id :+ "graft_md5h(shingles) AS hvs": _*)
-      .selectExpr(id ++ mh: _*)
+      .selectExpr(id :+ s"graft_minhash(hvs, $numHashes) AS mhs": _*)
       .selectExpr(id :+ s"array($bandVals) AS vals": _*)
       .selectExpr(id ++ Seq("vals", s"explode(sequence(0, ${bands - 1})) AS band_idx"): _*)
       .selectExpr(id ++ Seq("vals", "band_idx", "element_at(vals, band_idx + 1) AS val"): _*)

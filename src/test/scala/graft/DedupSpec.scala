@@ -27,6 +27,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups(Dedup.exactDedup(spark, dir)) == groups(Dedup.exactDedupFast(spark, dir)))
   }
 
+  test("graft_minhash signature equals the per-permutation SQL formulation") {
+    // One compiled pass with all k minima live vs k interpreted
+    // array_min(transform(...)) walks — the values must be bit-identical
+    // (the DuckDB oracle spells out the same per-j arithmetic). Checked
+    // at k=8 (the gated profile) over the full sf0.001 corpus.
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Dedup.shingleSetsOf(
+      graft.sources.Tables.documents(spark, dir))
+    val k = 8
+    val perJ = (0 until k).map(j => Dedup.sparkMinhash(j)).mkString("array(", ", ", ")")
+    val rows = sh.selectExpr("doc_id", "graft_md5h(shingles) AS hvs")
+      .selectExpr("doc_id", s"graft_minhash(hvs, $k) AS native", s"$perJ AS sql")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != sql ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("minhashPairs emits each candidate pair exactly once, ordered a<b") {
     val rows = Dedup.minhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
