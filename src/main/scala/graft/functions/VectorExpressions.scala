@@ -401,6 +401,14 @@ object GraftFunctions {
       GraftQuality(exprs.head)
     })
 
+  val dsumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsum"),
+    new ExpressionInfo(classOf[MicrosSum].getName, "graft_dsum"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"graft_dsum takes (double_col), got ${exprs.length} args")
+      MicrosSum(exprs.head)
+    })
+
   val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_minhash"),
     new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
@@ -508,6 +516,8 @@ object GraftFunctions {
       langidDescriptor._1, langidDescriptor._2, langidDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      dsumDescriptor._1, dsumDescriptor._2, dsumDescriptor._3)
   }
 }
 
@@ -524,6 +534,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.qualityDescriptor)
     ext.injectFunction(GraftFunctions.langidDescriptor)
     ext.injectFunction(GraftFunctions.minhashDescriptor)
+    ext.injectFunction(GraftFunctions.dsumDescriptor)
   }
 }
 

@@ -30,8 +30,24 @@ object Relational {
     * SF), round, and surface as double. Summing raw doubles is
     * order-dependent and flakes the cross-engine hash at the cent
     * boundary. */
-  private def dsum(c: Column, scale: Int): Column =
-    round(sum(c.cast(DecimalType(18, 6))), scale).cast("double")
+  /** Exact decimal sum of a double column, rounded and returned as double.
+    * Routed through the native [[graft.functions.MicrosSum]] aggregate —
+    * value- and type-identical to `round(sum(c.cast(DECIMAL(18,6))), s)`
+    * (DecimalSumSpec pins parity) but with a primitive long-pair buffer
+    * instead of a per-row BigDecimal accumulation: the decimal OLAP
+    * queries (Q1 etc.) are conversion-bound on wide scans, and at one
+    * task per parquet row group that per-row cost is the wall clock. */
+  private def dsum(s: SparkSession, c: Column, scale: Int): Column = {
+    graft.functions.GraftFunctions.register(s)
+    round(call_function("graft_dsum", c), scale).cast("double")
+  }
+
+  /** The raw DECIMAL(28,6) exact sum (unrounded) — for averages that
+    * divide the decimal total by a count, same route as [[dsum]]. */
+  private def dsumRaw(s: SparkSession, c: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("graft_dsum", c)
+  }
 
   /** R1: scan + filter + project; both predicate and 3-column projection
     * must reach the parquet scan. */
@@ -46,13 +62,13 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
-        round(sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_qty"),
-        round(sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_price"),
-        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        dsum(spark, col("l_quantity"), 2).as("sum_qty"),
+        dsum(spark, col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+        round(dsumRaw(spark, col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(dsumRaw(spark, col("l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(dsumRaw(spark, col("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** R3: TPC-H Q5-style multi-join. Broadcast hints only on the
@@ -78,7 +94,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+      .agg(dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
   }
 
   /** R4: TPC-H Q3-style join+filter+agg (no LIMIT: deterministic set).
@@ -94,7 +110,7 @@ object Relational {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+      .agg(dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
   }
 
   /** R5: top-K on stored (non-aggregated) columns with an integer
@@ -121,7 +137,7 @@ object Relational {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), dsum(spark, col("l_quantity"), 2).as("sum_qty"))
 
   /** R12: CUBE aggregation — all 2^k grouping-set combinations in a single
     * pass (Expand + partial aggs), completing the multi-dimensional family
@@ -129,7 +145,7 @@ object Relational {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), dsum(spark, col("l_quantity"), 2).as("sum_qty"))
 
   /** R13: fixed-width histogram — equi-width binning of order totals via
     * integer bucket arithmetic (floor division; deterministic — no float
@@ -153,7 +169,7 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
     li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+      .agg(dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -208,7 +224,7 @@ object Relational {
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum(spark, col("value"), 2).as("sum_value"))
       .select(col("event_type"), unix_timestamp(col("w.start")).as("window_start_s"),
         col("n_events"), col("sum_value"))
 
@@ -295,7 +311,7 @@ object Relational {
     Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+        dsum(spark, col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
   }
 
   val saltedRevenueOracle: String =
