@@ -31,8 +31,9 @@ object Traversals {
     * tolerated (frontiers are distinct'd). Excludes the source itself
     * (reference semantics: nodes *reached*, hop ≥ 1). */
   def kHop(edges: DataFrame, source: Long, maxHops: Int,
-           numParts: Int = 0): DataFrame =
-    bfs(edges, source, Some(maxHops), numParts = numParts)
+           numParts: Int = 0, broadcastFrontier: Boolean = false): DataFrame =
+    bfs(edges, source, Some(maxHops), numParts = numParts,
+      broadcastFrontier = broadcastFrontier)
       .filter(col("dist") >= 1)
 
   /** BFS distances from `source` to every reachable node (dist 0 = source).
@@ -51,14 +52,29 @@ object Traversals {
 
   /** `numParts > 0` sizes the persisted edge partitioning to the graph
     * instead of `spark.sql.shuffle.partitions` — a 760-edge grid over 32
-    * partitions pays 32 near-empty tasks per BFS round (SURVEY §5). */
+    * partitions pays 32 near-empty tasks per BFS round (SURVEY §5).
+    *
+    * `broadcastFrontier` inverts the data-movement contract for SHALLOW
+    * traversals whose frontier is bounded small by construction (e.g. a
+    * 2-hop walk on a customer↔order bipartite graph, where hop 2 can only
+    * return to the order's one customer): instead of shuffling the whole
+    * edge relation onto its join key up front — the right amortization
+    * for deep traversals, but a full-relation shuffle+persist just to take
+    * two hops — each round broadcasts the (checkpointed, tiny) frontier
+    * and streams the edge relation map-side, so NO edge ever moves and at
+    * 100 TB each round is a pushdown-friendly scan. Caller asserts the
+    * frontier bound; an unbounded frontier under this flag is the classic
+    * broadcast OOM, which is why it is opt-in and not inferred. */
   private def bfs(edges: DataFrame, source: Long, maxHops: Option[Int],
-                  stopAt: Option[Long] = None, numParts: Int = 0): DataFrame = {
+                  stopAt: Option[Long] = None, numParts: Int = 0,
+                  broadcastFrontier: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst"))
-    val e = (if (numParts > 0) e0.repartition(numParts, col("src"))
-             else e0.repartition(col("src")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e =
+      if (broadcastFrontier) e0
+      else (if (numParts > 0) e0.repartition(numParts, col("src"))
+            else e0.repartition(col("src")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val f0 = spark.range(1).select(lit(source).as("node")).localCheckpoint()
     // Visited set = lazy union of per-round frontier parts. Compacted into
     // a single checkpointed DataFrame every CompactEvery rounds: otherwise
@@ -74,7 +90,10 @@ object Traversals {
       if (parts.length >= CompactEvery)
         parts = List(parts.reduce(_ unionByName _).localCheckpoint())
       val visited = parts.map(_.select("node")).reduce(_ union _)
-      val next = frontier.join(e, col("node") === col("src"))
+      val expanded =
+        if (broadcastFrontier) e.join(broadcast(frontier), col("node") === col("src"))
+        else frontier.join(e, col("node") === col("src"))
+      val next = expanded
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint() // the one materializing job this round
@@ -113,7 +132,7 @@ object Traversals {
         }
       }
     }
-    e.unpersist()
+    if (!broadcastFrontier) e.unpersist()
     parts.reduce(_ unionByName _)
   }
 }

@@ -235,7 +235,11 @@ object GraphOps {
     // only full-edge shuffle is the one BFS repartition(src)
     val e = PropertyGraph.bipartiteEdgesRaw(spark, dir)
     val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    Traversals.kHop(ue, source = 1L, maxHops = 2)
+    // 2-hop on a customer↔order bipartite graph: the frontier is bounded
+    // tiny by construction (hop 1 = one customer's orders, hop 2 = those
+    // orders' single customer), so broadcast the frontier and stream the
+    // edge relation instead of shuffling+persisting every edge up front
+    Traversals.kHop(ue, source = 1L, maxHops = 2, broadcastFrontier = true)
   }
 
   // --- G4: SSSP -------------------------------------------------------------
@@ -659,10 +663,15 @@ object GraphOps {
     val building = g.nodes
       .filter(col("label") === "customer" && col("props")("mktsegment") === "BUILDING")
       .select(col("id"), col("props")("acctbal").cast("double").as("acctbal"))
+    // graft_dsum replicates the DECIMAL(18,6) cast; on this domain
+    // (|acctbal| ≤ ~1e4, far under either type's overflow bound) it is
+    // value-identical to the previous DECIMAL(38,6) formulation, without
+    // the non-compact precision-38 BigDecimal accumulation per row
+    graft.functions.GraftFunctions.register(spark)
     g.edges.join(building, col("src") === col("id"))
       .groupBy(col("dst").as("supplier_id"))
       .agg(count(lit(1)).as("n_cust"),
-        round(sum(col("acctbal").cast(DecimalType(38, 6))), 2).cast("double").as("sum_acctbal"))
+        round(call_function("graft_dsum", col("acctbal")), 2).cast("double").as("sum_acctbal"))
   }
 
   // --- oracle generators ----------------------------------------------------

@@ -59,6 +59,19 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((2L, 1), (5L, 1), (3L, 2)))
   }
 
+  test("kHop: broadcast-frontier route equals the partitioned-edge route") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.graph.PropertyGraph.bipartiteEdgesRaw(spark, dir)
+    val ue = e.union(e.select(
+      org.apache.spark.sql.functions.col("dst").as("src"),
+      org.apache.spark.sql.functions.col("src").as("dst")))
+    val bc = Traversals.kHop(ue, 1L, 2, broadcastFrontier = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val part = Traversals.kHop(ue, 1L, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bc == part && bc.nonEmpty)
+  }
+
   test("shortestPathLength: path length and unreachable") {
     assert(Traversals.shortestPathLength(pathG.edges, 1L, 4L) == 3L)
     assert(Traversals.shortestPathLength(pathG.edges, 4L, 1L) == -1L)
