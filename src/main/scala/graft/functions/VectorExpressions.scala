@@ -401,6 +401,15 @@ object GraftFunctions {
       GraftQuality(exprs.head)
     })
 
+  val sortedIntersectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect"),
+    new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_sorted_intersect takes (a, b), got ${exprs.length} args")
+      SortedLongIntersect(exprs(0), exprs(1))
+    })
+
   val dsumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dsum"),
     new ExpressionInfo(classOf[MicrosSum].getName, "graft_dsum"),
@@ -518,6 +527,9 @@ object GraftFunctions {
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       dsumDescriptor._1, dsumDescriptor._2, dsumDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      sortedIntersectDescriptor._1, sortedIntersectDescriptor._2,
+      sortedIntersectDescriptor._3)
   }
 }
 
@@ -535,6 +547,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.langidDescriptor)
     ext.injectFunction(GraftFunctions.minhashDescriptor)
     ext.injectFunction(GraftFunctions.dsumDescriptor)
+    ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
   }
 }
 

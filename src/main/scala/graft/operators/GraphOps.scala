@@ -392,7 +392,7 @@ object GraphOps {
   val WikiVoteNodes = "/root/reference/data_sets/Wiki-VoteN.txt"
   val WikiVoteEdges = "/root/reference/data_sets/Wiki-VoteE.txt"
 
-  private def wikiVote(spark: SparkSession) =
+  private[graft] def wikiVote(spark: SparkSession) =
     PropertyGraph.fromNodeEdgeLists(spark, WikiVoteNodes, WikiVoteEdges)
 
   /** DuckDB view of the same two files. */

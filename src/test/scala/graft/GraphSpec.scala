@@ -157,6 +157,16 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCounts: intersection route equals the wedge join on Wiki-Vote") {
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    val fast = Algorithms.triangleCounts(g.nodes, g.edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wedge = Algorithms.triangleCountsWedge(g.nodes, g.edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast.size == wedge.size && fast == wedge)
+    assert(fast.values.sum > 0L)
+  }
+
   test("labelPropagation: two cliques bridge-free converge to per-clique labels") {
     val twoCliques = graph(
       (for { a <- 1L to 3L; b <- 1L to 3L if a != b } yield (a, b)) ++

@@ -52,6 +52,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("l_comment"), "projection must not read l_comment\n" + p)
   }
 
+  test("q1 decimal sums run as codegen'd HashAggregate over graft_dsum") {
+    // MicrosSum's whole point is a fixed-width primitive buffer that stays
+    // in whole-stage HashAggregate; a buffer-layout regression would make
+    // Spark silently fall back to Object/Sort aggregation and give the
+    // per-row decimal cost right back
+    val p = plan(Relational.pricingSummary(spark, dir))
+    assert(p.contains("microssum") || p.contains("MicrosSum"),
+      "q1 must aggregate through graft_dsum/MicrosSum\n" + p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      "MicrosSum must keep the fixed-width HashAggregate path\n" + p)
+  }
+
   test("Q5/Q3: fixed dims broadcast by hint; SF-scaled sides are never force-broadcast") {
     // disable size-based auto-broadcast: at sf0.001 EVERY table fits the
     // 10MB threshold, which would hide the 100 TB shape. With it off, only

@@ -101,22 +101,29 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val shared = sweep.keySet intersect detailTimes.keySet
     assert(shared.size > 50, s"artifacts share only ${shared.size} queries")
-    // The bar is ASYMMETRIC because the two artifacts differ structurally
-    // in JVM warmth: by its sf0.1 rows the sweep JVM has executed ~300
-    // queries (all SFs + warmups) vs DETAIL's ~83 warmup passes, and the
-    // measured r10 effect of that differential is up to ~1.9x on
-    // job-floor-bound queries (sweep faster). So DETAIL slower than sweep
-    // gets a 2.2x warmth allowance, while sweep slower than DETAIL stays
-    // at 1.5x — the warmer JVM has no legitimate excuse to be slower, so
-    // that direction IS the contamination smell. (The primary
-    // contamination detector is the within-artifact pass-spread audit —
-    // `unstable` in the detail JSON, `passes` in both artifacts; this
-    // cross-check only catches a dirty run that was dirty consistently
-    // across all of a query's passes.)
+    // JVM-history effects cut BOTH ways on job-floor-bound queries:
+    // round 10 first measured a warmed-up sweep reading up to ~1.9x
+    // FASTER than DETAIL, then — after the artifact refresh — a long
+    // single-JVM sweep reading 1.6-2x SLOWER on the same rows
+    // (context-scoped aging: ~700 query executions of RDD/broadcast
+    // cleanup backlog and BlockManager metadata by its sf0.1 section).
+    // BenchSweep therefore runs a FRESH SparkContext per SF section,
+    // capping each section's history at DETAIL-like levels, so this bar
+    // compares workloads rather than JVM biographies. The allowances
+    // keep a margin for the residual warmth difference (DETAIL slower
+    // than sweep up to 2.2x; sweep slower than DETAIL up to 1.5x). The
+    // primary contamination detector remains the within-artifact
+    // pass-spread audit — `unstable` in the detail JSON, `passes` in
+    // both artifacts; this cross-check only catches a run that was
+    // dirty consistently across all of a query's passes.
     val disagree = shared.toSeq.sorted.flatMap { q =>
-      // floor both sides at 100 ms: below the scheduling floor a ratio is
-      // noise, not a contamination signal
-      val (s, d) = (math.max(sweep(q), 0.1), math.max(detailTimes(q), 0.1))
+      // floor both sides at 250 ms: a multi-stage query (ingest writes,
+      // checkpointing rounds) bottoms out at ~200-400 ms of scheduler+fs
+      // latency on this host, and that floor's run-to-run variance (e.g.
+      // g_ingest_nodes 0.24 vs 0.36 s across two clean runs) is noise,
+      // not workload signal — the per-pass spread audit (100 ms floor)
+      // remains the fine-grained detector within each artifact
+      val (s, d) = (math.max(sweep(q), 0.25), math.max(detailTimes(q), 0.25))
       if (d / s > 2.2 || s / d > 1.5)
         Some(f"$q sweep=${sweep(q)}%.2f detail=${detailTimes(q)}%.2f")
       else None
