@@ -26,13 +26,24 @@ object Algorithms {
     * (SF-scaled) graphs — the default shuffle + AQE coalescing is the
     * 100 TB path. */
   def degrees(nodes: DataFrame, edges: DataFrame, numParts: Int = 0): DataFrame = {
-    val es = if (numParts > 0) edges.repartition(numParts, col("src")) else edges
-    val ed = if (numParts > 0) edges.repartition(numParts, col("dst")) else edges
-    val outd = es.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val ind = ed.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    // ONE pass over the edge relation: explode each edge into its two
+    // endpoint roles and aggregate both degrees from the same shuffle.
+    // The former per-direction formulation (groupBy(src) + groupBy(dst)
+    // + two left joins) consumed `edges` twice — for derived edge sets
+    // (e.g. the lineitem⋈orders+distinct bipartite build) that re-ran
+    // the whole upstream join per direction, since the two branches'
+    // exchanges only MAY be runtime-reused under AQE. Same output: one
+    // row per node with its (outdeg, indeg), zeros for isolated nodes.
+    val ends0 = edges.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("x"))
+      .select(col("x.id").as("id"), col("x.o").as("o"))
+    val ends = if (numParts > 0) ends0.repartition(numParts, col("id")) else ends0
+    val deg = ends.groupBy(col("id")).agg(
+      sum(col("o")).as("outdeg"),
+      (count(lit(1)) - sum(col("o"))).as("indeg"))
     nodes.select(col("id"))
-      .join(outd, Seq("id"), "left")
-      .join(ind, Seq("id"), "left")
+      .join(deg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("indeg"), lit(0L)).as("indeg"))
