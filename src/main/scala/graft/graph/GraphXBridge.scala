@@ -51,10 +51,17 @@ object GraphXBridge {
     drain(spark, cc, cc.vertices, ("node", "comp"))
   }
 
-  /** Single-source shortest path lengths via Pregel. */
+  /** Single-source shortest path lengths via Pregel — or, when the plan
+    * statistics say the graph fits [[LocalExec]]'s budget, one collect job
+    * + driver-local BFS (a depth-d Pregel run is d scheduled jobs; on a
+    * bounded graph that is pure scheduling floor). */
   def distances(spark: SparkSession, g: PropertyGraph, source: Long,
                 numParts: Int = 0): DataFrame = {
     import spark.implicits._
+    val vIds = g.nodes.select(col("id"))
+    val eSd = g.edges.select(col("src"), col("dst"))
+    if (LocalExec.smallEnough(vIds, eSd))
+      return LocalExec.distances(vIds, eSd, source)
     val gx = toGraphX(g, numParts).mapVertices((id, _) =>
       if (id == source) 0L else Long.MaxValue)
     val res = gx.pregel(Long.MaxValue)(
@@ -85,6 +92,9 @@ object GraphXBridge {
     * large one. */
   def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
                          target: Long, numParts: Int = 0): Long = {
+    val eSd = g.edges.select(col("src"), col("dst"))
+    if (LocalExec.smallEnough(eSd))
+      return LocalExec.shortestPathLength(eSd, source, target)
     val Unset = Long.MaxValue
     var cur = toGraphX(g, numParts).mapVertices((id, _) => (
       if (id == source) 0L else Unset,
@@ -154,6 +164,10 @@ object GraphXBridge {
   def weightedDistances(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                         source: Long, numParts: Int = 0): DataFrame = {
     import spark.implicits._
+    val vIds = nodes.select(col("id"))
+    val eSdw = edges.select(col("src"), col("dst"), col("w"))
+    if (LocalExec.smallEnough(vIds, eSdw))
+      return LocalExec.weightedDistances(vIds, eSdw, source)
     val v0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
     val e0 = edges.select(col("src"), col("dst"), col("w")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -29,12 +29,22 @@ object Traversals {
   /** All nodes reachable from `source` in 1..maxHops hops, with their BFS
     * distance. `edges` must have columns (src, dst); duplicate edges are
     * tolerated (frontiers are distinct'd). Excludes the source itself
-    * (reference semantics: nodes *reached*, hop ≥ 1). */
+    * (reference semantics: nodes *reached*, hop ≥ 1).
+    *
+    * When the optimizer's size estimate says the whole edge relation fits
+    * [[LocalExec]]'s byte budget, the traversal runs as ONE collect job +
+    * a driver-local BFS instead of k scheduled frontier rounds — the
+    * interactive-query fast path; the distributed rounds below are the
+    * at-scale path and the semantics contract (GraphSpec pins the two
+    * equal on the real power-law graph). */
   def kHop(edges: DataFrame, source: Long, maxHops: Int,
            numParts: Int = 0, broadcastFrontier: Boolean = false): DataFrame =
-    bfs(edges, source, Some(maxHops), numParts = numParts,
-      broadcastFrontier = broadcastFrontier)
-      .filter(col("dist") >= 1)
+    if (LocalExec.smallEnough(edges.select(col("src"), col("dst"))))
+      LocalExec.kHop(edges, source, maxHops)
+    else
+      bfs(edges, source, Some(maxHops), numParts = numParts,
+        broadcastFrontier = broadcastFrontier)
+        .filter(col("dist") >= 1)
 
   /** BFS distances from `source` to every reachable node (dist 0 = source).
     * Unbounded — runs until the frontier empties. */

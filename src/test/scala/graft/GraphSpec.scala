@@ -32,6 +32,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   // path 1→2→3→4, branch 1→5
   private val pathG = graph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)))
 
+  /** Force the distributed traversal paths: every graph in this spec fits
+    * [[graft.graph.LocalExec]]'s byte budget, so tests that exist to pin
+    * the Pregel / Bellman-Ford / frontier-BFS implementations must switch
+    * the local fast path off for their scope. */
+  private def withLocalExecOff[A](body: => A): A = {
+    val key = graft.graph.LocalExec.MaxBytesKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("Wiki-Vote PageRank: per-iteration snapping is semantics-preserving (≤1e-6 vs raw)") {
     // g_wikivote_pagerank stays oracle-matchable by snapping every
     // iteration's ranks to 9 dp (order-dependent double reduction over
@@ -78,21 +93,79 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("GraphX early-exit ssp agrees with the DataFrame BFS") {
-    assert(GraphXBridge.shortestPathLength(spark, pathG, 1L, 4L) == 3L)
-    assert(GraphXBridge.shortestPathLength(spark, pathG, 4L, 1L) == -1L)
-    assert(GraphXBridge.shortestPathLength(spark, pathG, 2L, 2L) == 0L)
-    val g = PropertyGraph.grid(spark, 8)
-    assert(GraphXBridge.shortestPathLength(spark, g, 0L, 63L, numParts = 1) ==
-      Traversals.shortestPathLength(g.edges, 0L, 63L, numParts = 1))
+    withLocalExecOff {
+      assert(GraphXBridge.shortestPathLength(spark, pathG, 1L, 4L) == 3L)
+      assert(GraphXBridge.shortestPathLength(spark, pathG, 4L, 1L) == -1L)
+      assert(GraphXBridge.shortestPathLength(spark, pathG, 2L, 2L) == 0L)
+      val g = PropertyGraph.grid(spark, 8)
+      assert(GraphXBridge.shortestPathLength(spark, g, 0L, 63L, numParts = 1) ==
+        Traversals.shortestPathLength(g.edges, 0L, 63L, numParts = 1))
+    }
   }
 
   test("distances agree with GraphX Pregel on the grid") {
+    withLocalExecOff {
+      val g = PropertyGraph.grid(spark, 8)
+      val df = Traversals.distances(g.edges, 0L)
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+      val gx = GraphXBridge.distances(spark, g, 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(df == gx)
+    }
+  }
+
+  test("LocalExec: local traversals equal the distributed twins (grid + Wiki-Vote)") {
+    import graft.graph.LocalExec
+    import org.apache.spark.sql.functions.{col, lit}
+    val wiki = graft.operators.GraphOps.wikiVote(spark)
+    // the guard itself: the real 104k-edge graph and the generated grids
+    // fit the budget; a derived fact-fact edge relation must NOT (its
+    // non-CBO join estimate is the child product — the 100 TB shape)
+    assert(LocalExec.smallEnough(wiki.edges.select(col("src"), col("dst"))))
+    assert(LocalExec.smallEnough(PropertyGraph.grid(spark, 16).edges))
+    val bip = PropertyGraph.bipartiteEdgesRaw(spark, "/root/testdata/sf0.001")
+    assert(!LocalExec.smallEnough(bip),
+      "joined fact-fact edge relation must stay on the distributed path")
+
+    // kHop on the real power-law graph: local vs distributed frontier BFS
+    val localK = Traversals.kHop(wiki.edges, 3L, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val distK = withLocalExecOff {
+      Traversals.kHop(wiki.edges, 3L, 2, numParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(localK == distK && localK.nonEmpty)
+
+    // full distances on the grid: local BFS vs Pregel
     val g = PropertyGraph.grid(spark, 8)
-    val df = Traversals.distances(g.edges, 0L)
-      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
-    val gx = GraphXBridge.distances(spark, g, 0L)
+    val localD = GraphXBridge.distances(spark, g, 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(df == gx)
+    val distD = withLocalExecOff {
+      GraphXBridge.distances(spark, g, 0L, numParts = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(localD == distD && localD.size == 64)
+
+    // weighted distances: local Dijkstra vs Pregel Bellman-Ford on
+    // non-uniform weights
+    val we = g.edges.select(col("src"), col("dst"),
+      ((col("src") * 7 + col("dst") * 13) % 5 + lit(1L)).as("w"))
+    val localW = GraphXBridge.weightedDistances(spark, g.nodes, we, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distW = withLocalExecOff {
+      GraphXBridge.weightedDistances(spark, g.nodes, we, 0L, numParts = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(localW == distW && localW.size == 64)
+
+    // point-to-point on Wiki-Vote: local early-exit BFS vs the
+    // bidirectional superstep loop; plus the unreachable contract
+    val localP = GraphXBridge.shortestPathLength(spark, wiki, 3L, 4037L)
+    val distP = withLocalExecOff {
+      GraphXBridge.shortestPathLength(spark, wiki, 3L, 4037L, numParts = 4)
+    }
+    assert(localP == distP && localP > 0L)
+    assert(GraphXBridge.shortestPathLength(spark, pathG, 4L, 1L) == -1L)
   }
 
   test("load_database fidelity: the reference's actual Wiki-Vote files") {
@@ -108,6 +181,7 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("weightedDistances: unit weights reduce to BFS; weights change the path") {
+    withLocalExecOff {
     import org.apache.spark.sql.functions.{col, lit}
     val g = PropertyGraph.grid(spark, 8)
     val unit = g.edges.select(col("src"), col("dst"), lit(1L).as("w"))
@@ -124,6 +198,7 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = GraphXBridge.weightedDistances(spark, nodes, e, 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 2L))
+    }
   }
 
   test("connectedComponents: min-id labeling, two components; agrees with GraphX") {
