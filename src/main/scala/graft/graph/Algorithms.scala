@@ -72,7 +72,17 @@ object Algorithms {
     * path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          numParts: Int = 0): DataFrame =
+                          numParts: Int = 0, localBounded: Int = 0): DataFrame = {
+    // caller-asserted bounded graph (e.g. the verified near-dup pair
+    // graph): one probe-enforced collect + driver union-find instead of
+    // O(log n) rounds of two shuffle joins each; the probe's limit makes
+    // a wrong assertion a cheap fallback, not a driver OOM
+    if (localBounded > 0 && LocalExec.enabled(nodes.sparkSession))
+      LocalExec.connectedComponents(nodes.select(col("id")),
+          edges.select(col("src"), col("dst")), localBounded) match {
+        case Some(df) => return df
+        case None => ()
+      }
     if (numParts <= 0) ccLoop(nodes, edges)
     else graft.Reset.confFlip.synchronized {
       // conf flip held under the shared scope lock (see Reset.confFlip)
@@ -82,6 +92,7 @@ object Algorithms {
       spark.conf.set(key, numParts.toString)
       try ccLoop(nodes, edges) finally spark.conf.set(key, prev)
     }
+  }
 
   private def ccLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
       val und = {

@@ -44,9 +44,29 @@ object GraphXBridge {
     out
   }
 
-  /** Connected components (undirected semantics, GraphX native). */
+  /** Connected components (undirected semantics, GraphX native).
+    *
+    * `localBounded > 0` is the caller's assertion that the graph is
+    * bounded small (a sampled or candidate-pair graph whose derived-join
+    * size estimate is useless for [[LocalExec.smallEnough]]); the
+    * bounded-probe collect ENFORCES the bound and falls back to the
+    * GraphX loop when it is exceeded. Plan-statistics-small graphs take
+    * the local union-find without any caller hint. */
   def connectedComponents(spark: SparkSession, g: PropertyGraph,
-                          numParts: Int = 0): DataFrame = {
+                          numParts: Int = 0, localBounded: Int = 0): DataFrame = {
+    val vIds = g.nodes.select(col("id"))
+    val eSd = g.edges.select(col("src"), col("dst"))
+    if (LocalExec.enabled(spark)) {
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnough(vIds, eSd)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.connectedComponents(vIds, eSd, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
     val cc = toGraphX(g, numParts).connectedComponents()
     drain(spark, cc, cc.vertices, ("node", "comp"))
   }

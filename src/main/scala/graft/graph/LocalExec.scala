@@ -57,6 +57,26 @@ object LocalExec {
     b > 0 && dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum <= BigInt(b)
   }
 
+  /** Local execution kill switch (budget 0): caller-asserted bounded
+    * routes must respect it too, so tests can force every distributed
+    * twin. */
+  def enabled(spark: SparkSession): Boolean = budget(spark) > 0
+
+  /** Collect `df` only if it has at most `maxRows` rows: one job running
+    * `limit(maxRows + 1)` — the limit short-circuits the scan, so on an
+    * over-bound relation this is a bounded probe, not a materialization.
+    * `None` = bound exceeded, caller falls back to the distributed path.
+    * The second guard style next to [[smallEnough]]: for DERIVED edge
+    * relations (joins, samples) the non-CBO size estimate is the child
+    * product — useless — so a caller who can assert a bound from the
+    * operator's own semantics (a verified-pair graph, a 1-in-20 sample)
+    * opts in and the probe ENFORCES the assertion instead of trusting
+    * it. */
+  def collectBounded(df: DataFrame, maxRows: Int): Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None else Some(rows)
+  }
+
   // --- collected-graph plumbing --------------------------------------------
 
   /** One collect job: the (src, dst) pairs as parallel primitive arrays. */
@@ -172,6 +192,45 @@ object LocalExec {
         })
     }
     dist.toSeq.map { case (n, dd) => (n, dd) }.toDF("node", "dist")
+  }
+
+  /** Local twin of the connected-components operators (undirected min-id
+    * labels — the fixpoint of both GraphX's CC and the large/small-star
+    * DataFrame loop): union-find with path compression, roots kept at the
+    * component's min id. Universe = nodes ∪ edge endpoints; isolated
+    * nodes label themselves. Collects through [[collectBounded]], so a
+    * graph over `maxRows` nodes or edges returns `None` and the caller
+    * runs its distributed loop. Schema: (node: long, comp: long). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    for {
+      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")), maxRows)
+      nRows <- collectBounded(nodes.select(col("id").cast("long")), maxRows)
+    } yield {
+      val parent = mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) x = parent(x)
+        // path compression: second walk pointing everything at the root
+        var y = x0
+        while (parent(y) != y) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+      nRows.foreach(r => add(r.getLong(0)))
+      eRows.foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(1))
+        add(s); add(d)
+        val (rs, rd) = (find(s), find(d))
+        // min-id root: attach the larger root under the smaller, so the
+        // final root of every set IS the component's min id
+        if (rs < rd) parent(rd) = rs
+        else if (rd < rs) parent(rs) = rd
+      }
+      parent.keys.toSeq.map(id => (id, find(id))).toDF("node", "comp")
+    }
   }
 
   /** Local twin of [[GraphXBridge.shortestPathLength]]: unweighted

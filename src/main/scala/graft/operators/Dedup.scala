@@ -431,7 +431,11 @@ object Dedup {
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    graft.graph.Algorithms.connectedComponents(nodes, edges, numParts = 4)
+    // survivor graphs are bounded tiny relative to the corpus by the
+    // verification threshold — assert it (probe-enforced) so the CC runs
+    // as one collect + union-find instead of per-round join rounds
+    graft.graph.Algorithms.connectedComponents(nodes, edges, numParts = 4,
+        localBounded = 1 << 20)
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
   }
 

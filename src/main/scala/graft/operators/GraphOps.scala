@@ -340,10 +340,13 @@ object GraphOps {
 
   /** GraphX-native CC (same min-id labeling); the DataFrame
     * large/small-star variant lives in Algorithms and is cross-validated
-    * in GraphSpec. */
+    * in GraphSpec. The component sample keeps every 20th order's first
+    * line, so the graph is bounded at orders/20 edges by construction —
+    * the `localBounded` assertion (probe-enforced; a scale where it no
+    * longer holds falls back to the GraphX loop). */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
     GraphXBridge.connectedComponents(spark, PropertyGraph.componentSample(spark, dir),
-      numParts = 2)
+      numParts = 2, localBounded = 1 << 21)
 
   // --- G14: k-core decomposition -------------------------------------------
 

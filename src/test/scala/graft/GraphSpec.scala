@@ -166,6 +166,26 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(localP == distP && localP > 0L)
     assert(GraphXBridge.shortestPathLength(spark, pathG, 4L, 1L) == -1L)
+
+    // connected components on Wiki-Vote: local union-find vs GraphX CC
+    // (giant component + small-component tail — the real min-id shape)
+    val localC = GraphXBridge.connectedComponents(spark, wiki)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distC = withLocalExecOff {
+      GraphXBridge.connectedComponents(spark, wiki, numParts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(localC == distC && localC.size == 7115)
+
+    // bounded-probe contract: a localBounded assertion SMALLER than the
+    // graph must fall back to the distributed loop, same answer
+    val viaLocal = Algorithms.connectedComponents(pathG.nodes, pathG.edges,
+        localBounded = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFallback = Algorithms.connectedComponents(pathG.nodes, pathG.edges,
+        localBounded = 2) // pathG has 4 edges — probe overflows
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaLocal == viaFallback && viaLocal.values.forall(_ == 1L))
   }
 
   test("load_database fidelity: the reference's actual Wiki-Vote files") {
@@ -206,8 +226,10 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Algorithms.connectedComponents(g.nodes, g.edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(df == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    val gx = GraphXBridge.connectedComponents(spark, g)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gx = withLocalExecOff {
+      GraphXBridge.connectedComponents(spark, g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
     assert(df == gx)
   }
 
