@@ -219,6 +219,16 @@ object GraphXBridge {
   def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int, d: Double = 0.85,
                numParts: Int = 0, snap: Int = 0): DataFrame = {
     import spark.implicits._
+    // snapped runs are reduction-order-independent BY CONSTRUCTION (that
+    // is what snap exists for), so a plan-statistics-small graph may take
+    // the one-collect local twin; raw-double runs stay on GraphX, whose
+    // partition-order sum is part of their (engine-specific) semantics
+    if (snap > 0) {
+      val vIds = g.nodes.select(col("id"))
+      val eSd = g.edges.select(col("src"), col("dst"))
+      if (LocalExec.smallEnough(vIds, eSd))
+        return LocalExec.pageRankSnapped(vIds, eSd, iters, d, snap)
+    }
     def snapped(r: Double): Double =
       if (snap > 0) BigDecimal(r).setScale(snap, BigDecimal.RoundingMode.HALF_UP).toDouble
       else r

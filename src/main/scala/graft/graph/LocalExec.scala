@@ -194,6 +194,46 @@ object LocalExec {
     dist.toSeq.map { case (n, dd) => (n, dd) }.toDF("node", "dist")
   }
 
+  /** Local twin of [[GraphXBridge.pageRank]] for SNAPPED runs (snap > 0):
+    * same uniform 1/n init, fixed iterations, no dangling redistribution,
+    * and the same per-iteration HALF_UP rounding. Only the snapped
+    * variant is eligible locally: snapping well above double-ulp
+    * granularity is exactly what makes the per-iteration ranks
+    * independent of the contribution sum's reduction order (the property
+    * the DuckDB oracle already relies on), so a driver-order sum is as
+    * valid as GraphX's partition-order sum. A raw-double run (snap = 0)
+    * has engine-specific last-ulp behavior and stays on GraphX.
+    * Schema: (node: long, rank: double). */
+  def pageRankSnapped(nodes: DataFrame, edges: DataFrame, iters: Int,
+                      d: Double, snap: Int): DataFrame = {
+    require(snap > 0, "local pageRank requires a snapped run")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def snapped(r: Double): Double =
+      BigDecimal(r).setScale(snap, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (src, dst) = collectEdges(edges)
+    val nodeIds = nodes.select(col("id").cast("long")).collect().map(_.getLong(0))
+    // GraphX's Graph(vertices, edges) vertex universe is nodes ∪ endpoints,
+    // but n (the teleport denominator) is the NODES count — preserved here
+    val n = nodeIds.length.toDouble
+    val ids = (nodeIds ++ src ++ dst).distinct
+    val idx = ids.zipWithIndex.toMap
+    val outdeg = new Array[Int](ids.length)
+    src.foreach(s => outdeg(idx(s)) += 1)
+    var rank = Array.fill(ids.length)(snapped(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Double](ids.length)
+      var i = 0
+      while (i < src.length) {
+        val si = idx(src(i))
+        contrib(idx(dst(i))) += rank(si) / outdeg(si)
+        i += 1
+      }
+      rank = Array.tabulate(ids.length)(j => snapped((1 - d) / n + d * contrib(j)))
+    }
+    ids.indices.map(j => (ids(j), rank(j))).toDF("node", "rank")
+  }
+
   /** Local twin of the connected-components operators (undirected min-id
     * labels — the fixpoint of both GraphX's CC and the large/small-star
     * DataFrame loop): union-find with path compression, roots kept at the

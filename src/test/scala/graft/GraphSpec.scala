@@ -177,6 +177,20 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(localC == distC && localC.size == 7115)
 
+    // snapped PageRank on Wiki-Vote: local twin vs GraphX, same
+    // per-iteration 9-dp rounding — snapping makes the contribution
+    // sum's reduction order irrelevant, so the two engines must agree to
+    // within a final-rank snap ulp
+    val localR = GraphXBridge.pageRank(spark, wiki, iters = 10, d = 0.85, snap = 9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val distR = withLocalExecOff {
+      GraphXBridge.pageRank(spark, wiki, iters = 10, d = 0.85, numParts = 4, snap = 9)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    assert(localR.keySet == distR.keySet && localR.size == 7115)
+    val prDrift = localR.map { case (k, v) => math.abs(v - distR(k)) }.max
+    assert(prDrift < 1e-8, s"snapped local/GraphX PageRank drift $prDrift")
+
     // bounded-probe contract: a localBounded assertion SMALLER than the
     // graph must fall back to the distributed loop, same answer
     val viaLocal = Algorithms.connectedComponents(pathG.nodes, pathG.edges,
