@@ -292,8 +292,24 @@ object Algorithms {
   private val kCoreProbeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def kCore(edges: DataFrame, k: Int, rounds: Int, numParts: Int = 0,
-            dropBroadcastMax: Int = DropBroadcastMax): DataFrame = {
+            dropBroadcastMax: Int = DropBroadcastMax,
+            localBounded: Int = 0): DataFrame = {
     val spark = edges.sparkSession
+    // bounded graphs peel locally: plan-statistics-small inputs qualify
+    // on their own, derived relations via the caller's probe-enforced
+    // assertion (see LocalExec.collectBounded)
+    if (LocalExec.enabled(spark)) {
+      val eSd = edges.select(col("src"), col("dst"))
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnough(eSd)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.kCore(eSd, k, rounds, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
     // per-invocation probe name: concurrent peels on one session must not
     // destroy each other's in-flight broadcast (dropped after the loop)
     val probe = s"graft_kcore_dropped_${kCoreProbeSeq.incrementAndGet()}"
@@ -349,7 +365,24 @@ object Algorithms {
   /** Synchronous label propagation (community detection), fixed rounds.
     * Deterministic tie-break: the smallest among the most-frequent neighbor
     * labels. Test-verified (G12) — no SQL oracle. */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int,
+                       localBounded: Int = 0): DataFrame = {
+    // same bounded-local route as kCore: a fixed-round synchronous vote
+    // over a bounded graph is rounds × (join + window) of scheduling for
+    // microseconds of compute
+    if (LocalExec.enabled(nodes.sparkSession)) {
+      val eSd = edges.select(col("src"), col("dst"))
+      val vIds = nodes.select(col("id"))
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnough(vIds, eSd)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.labelPropagation(vIds, eSd, rounds, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
     val und = {
       val e = edges.select(col("src"), col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()

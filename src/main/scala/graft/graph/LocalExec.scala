@@ -273,6 +273,103 @@ object LocalExec {
     }
   }
 
+  /** Local twin of [[Algorithms.kCore]]: the same synchronous peel over
+    * the distinct undirected edge set — each round drops EVERY node whose
+    * live degree is below k at the round boundary (not incrementally), up
+    * to `rounds` rounds or the fixpoint, and survivors report their final
+    * live degree. Mid-peel states at the round cap match the distributed
+    * loop exactly. Schema: (id: long, deg: long). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")),
+        maxRows).map { rows =>
+      // distinct undirected edge set (self-loops collapse to one edge,
+      // counting 1 toward their node's degree — same as und.distinct)
+      val und = mutable.HashSet.empty[(Long, Long)]
+      rows.foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(1))
+        und += ((s, d)); und += ((d, s))
+      }
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      und.foreach { case (s, d) =>
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+      }
+      val dropped = mutable.LongMap.empty[Unit]
+      def liveDeg(u: Long): Int =
+        if (dropped.contains(u)) 0
+        else adj.get(u).fold(0)(_.count(v => !dropped.contains(v)))
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val drop = adj.keys.filter(u => !dropped.contains(u) && {
+          val d = liveDeg(u); d >= 1 && d < k
+        }).toArray
+        if (drop.isEmpty) converged = true
+        else drop.foreach(u => dropped(u) = ())
+        r += 1
+      }
+      adj.keys.toSeq.collect {
+        case u if liveDeg(u) >= 1 => (u, liveDeg(u).toLong)
+      }.toDF("id", "deg")
+    }
+  }
+
+  /** Local twin of [[Algorithms.labelPropagation]]: synchronous rounds,
+    * every node takes the most frequent label among its (distinct
+    * undirected) neighbors, ties broken by smallest label, isolated nodes
+    * keep their label. Schema: (node: long, lbl: long). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int,
+                       maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    for {
+      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")), maxRows)
+      nRows <- collectBounded(nodes.select(col("id").cast("long")), maxRows)
+    } yield {
+      val und = mutable.HashSet.empty[(Long, Long)]
+      eRows.foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(1))
+        und += ((s, d)); und += ((d, s))
+      }
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      und.foreach { case (s, d) =>
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+      }
+      val ids = nRows.map(_.getLong(0))
+      val lbl = mutable.LongMap.empty[Long]
+      ids.foreach(id => lbl(id) = id)
+      // endpoints outside `nodes` carry no label, so they cast no vote —
+      // the distributed freq join is INNER on the labels table and drops
+      // them the same way; only nodes in `nodes` are relabeled or emitted
+      for (_ <- 1 to rounds) {
+        val next = mutable.LongMap.empty[Long]
+        ids.foreach { u =>
+          adj.get(u) match {
+            case Some(nbrs) if nbrs.nonEmpty =>
+              val freq = mutable.LongMap.empty[Long]
+              var any = false
+              nbrs.foreach { v =>
+                lbl.get(v).foreach { l => freq(l) = freq.getOrElse(l, 0L) + 1L; any = true }
+              }
+              if (any) {
+                // most frequent, then smallest label
+                var bestL = Long.MaxValue; var bestC = -1L
+                freq.foreach { case (l, c) =>
+                  if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+                }
+                next(u) = bestL
+              } else next(u) = lbl(u)
+            case _ => next(u) = lbl(u)
+          }
+        }
+        next.foreach { case (u, l) => lbl(u) = l }
+      }
+      ids.toSeq.map(id => (id, lbl(id))).toDF("node", "lbl")
+    }
+  }
+
   /** Local twin of [[GraphXBridge.shortestPathLength]]: unweighted
     * src→target shortest-path length, -1 if unreachable, 0 when
     * source == target (the distributed loop's own pre-check). */

@@ -365,8 +365,10 @@ object GraphOps {
     * rounds (GraphSpec proves the peel has converged well within
     * KCoreRounds on the bench graphs, so the fixed count is the fixpoint). */
   def kCore(spark: SparkSession, dir: String): DataFrame =
+    // 1-in-20 sample: bounded by construction (probe-enforced assertion,
+    // same as g_connected_components)
     Algorithms.kCore(PropertyGraph.componentSample(spark, dir).edges,
-      KCoreK, KCoreRounds, numParts = 4)
+      KCoreK, KCoreRounds, numParts = 4, localBounded = 1 << 21)
 
   /** Unrolled synchronous peel: degree-among-survivors → keep deg >= k,
     * `rounds` times, then the survivors' in-core degrees. */
@@ -636,7 +638,10 @@ object GraphOps {
     * the fixed rounds SQL-oracle-able via unrolled aggregation. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph.nationAdjacency(spark, dir)
-    Algorithms.labelPropagation(g.nodes, g.edges, rounds = LpaRounds)
+    // 25 nations; the derived clique join hides that from plan stats, so
+    // assert the bound (probe-enforced)
+    Algorithms.labelPropagation(g.nodes, g.edges, rounds = LpaRounds,
+      localBounded = 1 << 16)
   }
 
   /** Unrolled synchronous LPA: freq → per-node best (count desc, label

@@ -177,6 +177,29 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(localC == distC && localC.size == 7115)
 
+    // k-core on Wiki-Vote: local synchronous peel vs the distributed
+    // broadcast-probed rounds (real power-law peeling, 4 effective rounds)
+    val localKC = Algorithms.kCore(wiki.edges,
+        graft.operators.GraphOps.WikiKCoreK, graft.operators.GraphOps.WikiKCoreRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distKC = withLocalExecOff {
+      Algorithms.kCore(wiki.edges,
+          graft.operators.GraphOps.WikiKCoreK, graft.operators.GraphOps.WikiKCoreRounds,
+          numParts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(localKC == distKC && localKC.nonEmpty)
+
+    // label propagation on Wiki-Vote: local vote loop vs the
+    // join+window rounds, same deterministic tie-break
+    val localLP = Algorithms.labelPropagation(wiki.nodes, wiki.edges, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distLP = withLocalExecOff {
+      Algorithms.labelPropagation(wiki.nodes, wiki.edges, rounds = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(localLP == distLP && localLP.size == 7115)
+
     // snapped PageRank on Wiki-Vote: local twin vs GraphX, same
     // per-iteration 9-dp rounding — snapping makes the contribution
     // sum's reduction order irrelevant, so the two engines must agree to
@@ -282,32 +305,51 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val twoCliques = graph(
       (for { a <- 1L to 3L; b <- 1L to 3L if a != b } yield (a, b)) ++
       (for { a <- 10L to 12L; b <- 10L to 12L if a != b } yield (a, b)))
+    // local twin and distributed loop must agree on the converged labels
     val got = Algorithms.labelPropagation(twoCliques.nodes, twoCliques.edges, rounds = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.filterKeys(_ < 10L).values.toSet.size == 1)
     assert(got.filterKeys(_ >= 10L).values.toSet.size == 1)
+    val dist = withLocalExecOff {
+      Algorithms.labelPropagation(twoCliques.nodes, twoCliques.edges, rounds = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(got == dist)
   }
 
   test("kCore: triangle-with-tail peels the tail; k=2 core is the triangle") {
     // 1-2-3 triangle, 4 hangs off 3, 5 hangs off 4: peeling removes 5
-    // then 4 (two rounds needed — proves iteration, not a single filter)
+    // then 4 (two rounds needed — proves iteration, not a single filter);
+    // the MID-PEEL state at a round cap of 1 must also agree between the
+    // local twin and the distributed loop
     val g = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
     val got = Algorithms.kCore(g.edges, k = 2, rounds = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    for (r <- 1 to 3) {
+      val local = Algorithms.kCore(g.edges, k = 2, rounds = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val dist = withLocalExecOff {
+        Algorithms.kCore(g.edges, k = 2, rounds = r)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      }
+      assert(local == dist, s"mid-peel divergence at rounds=$r")
+    }
   }
 
   test("kCore: heavy-round semi-join fallback equals the broadcast trickle path") {
-    // dropBroadcastMax=0 forces EVERY round down the shuffle semi-join
-    // path (the 100 TB first-round guard — a drop too large to hold
-    // driver-side); the peel recursion must be identical either way.
-    val g = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
-    val trickle = Algorithms.kCore(g.edges, k = 2, rounds = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val heavy = Algorithms.kCore(g.edges, k = 2, rounds = 6, dropBroadcastMax = 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(trickle == heavy)
-    assert(trickle == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    withLocalExecOff {
+      // dropBroadcastMax=0 forces EVERY round down the shuffle semi-join
+      // path (the 100 TB first-round guard — a drop too large to hold
+      // driver-side); the peel recursion must be identical either way.
+      val g = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+      val trickle = Algorithms.kCore(g.edges, k = 2, rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val heavy = Algorithms.kCore(g.edges, k = 2, rounds = 6, dropBroadcastMax = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(trickle == heavy)
+      assert(trickle == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    }
   }
 
   test("kCore: the bench query's fixed rounds are past the fixpoint at test SFs") {
