@@ -79,9 +79,14 @@ object LocalExec {
 
   // --- collected-graph plumbing --------------------------------------------
 
-  /** One collect job: the (src, dst) pairs as parallel primitive arrays. */
+  /** One collect job: the (src, dst) pairs as parallel primitive arrays.
+    * Null endpoints are dropped BEFORE collecting — an equi-join never
+    * matches a null key, so the distributed formulations all ignore such
+    * edges, and `Row.getLong` on a null would otherwise read them as
+    * node 0 silently. */
   private def collectEdges(edges: DataFrame): (Array[Long], Array[Long]) = {
-    val rows = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).collect()
     val s = new Array[Long](rows.length)
     val d = new Array[Long](rows.length)
     var i = 0
@@ -246,7 +251,8 @@ object LocalExec {
     val spark = edges.sparkSession
     import spark.implicits._
     for {
-      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")), maxRows)
+      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src").isNotNull && col("dst").isNotNull), maxRows)
       nRows <- collectBounded(nodes.select(col("id").cast("long")), maxRows)
     } yield {
       val parent = mutable.LongMap.empty[Long]
@@ -283,8 +289,8 @@ object LocalExec {
             maxRows: Int): Option[DataFrame] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")),
-        maxRows).map { rows =>
+    collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src").isNotNull && col("dst").isNotNull), maxRows).map { rows =>
       // distinct undirected edge set (self-loops collapse to one edge,
       // counting 1 toward their node's degree — same as und.distinct)
       val und = mutable.HashSet.empty[(Long, Long)]
@@ -325,7 +331,8 @@ object LocalExec {
     val spark = edges.sparkSession
     import spark.implicits._
     for {
-      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long")), maxRows)
+      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src").isNotNull && col("dst").isNotNull), maxRows)
       nRows <- collectBounded(nodes.select(col("id").cast("long")), maxRows)
     } yield {
       val und = mutable.HashSet.empty[(Long, Long)]
