@@ -49,6 +49,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("localexec guard refuses a 2M-node graph; the distributed path answers it") {
+    // The local fast path's 100 TB story is the GUARD, so soak the guard:
+    // a generated 1500x1500 grid (2.25M nodes, ~4.5M edges, 8 B/row plan
+    // stats ≈ 18 MiB) must exceed the 8 MiB budget — no collect, no
+    // driver materialization — and the DISTRIBUTED frontier BFS must
+    // still answer a bounded traversal on it. This is the exact
+    // over-the-line twin of GraphSpec's under-the-line assertions.
+    import graft.graph.{LocalExec, PropertyGraph, Traversals}
+    val big = PropertyGraph.grid(spark, 1500)
+    assert(!LocalExec.smallEnough(big.edges.select(col("src"), col("dst"))),
+      "a 2.25M-node grid must not pass the local budget")
+    val reached = Traversals.kHop(big.edges, source = 0L, maxHops = 3, numParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // corner of a directed grid: hops 1..3 reach the (i+j ≤ 3) anti-
+    // diagonal triangle minus the source = 2 + 3 + 4 nodes
+    assert(reached.size == 9 && reached.map(_._2).max == 3)
+  }
+
   test("bloom soak: measured fpp tracks the design point; size constant in rows") {
     // D11 at soak scale: the filter built over a corpus 4x the sf0.1 gate
     // load must (a) stay the fixed design size no matter how many rows
