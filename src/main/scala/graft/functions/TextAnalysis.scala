@@ -791,7 +791,59 @@ object TextAnalysis {
        |FROM planted""".stripMargin
   }
 
+  // --- T19: unigram-frequency scoring ---------------------------------------
+
+  /** T19: unigram-LM quality scoring — each token scored by its corpus
+    * frequency-per-million (the fixed-point unigram probability), each
+    * doc by the mean and minimum over its tokens: the shape of
+    * CCNet-style LM filtering with the model swapped for the corpus's
+    * own unigram table. Low mean = unusual vocabulary; low min = the doc
+    * contains the corpus's rarest tokens. Integer-exact end to end
+    * (counts, ×1e6 fixed point, integer division), so the cross-engine
+    * oracle hash-matches without any float-rounding recipe.
+    *
+    * Scale shape: the corpus tokenizes ONCE into (doc, word, multiplicity)
+    * — the same hash aggregation T17 starts from — then the vocabulary
+    * (≪ corpus, Heaps' law) and the single-row token total are broadcast
+    * onto it: one shuffle total, and the per-doc reduction is a second
+    * map-side-combined aggregation on doc_id. A real LM swap-in changes
+    * only the `fpm` column (per-token logprob from the model table). */
+  def freqScore(spark: SparkSession, dir: String): DataFrame =
+    freqScoreOf(Tables.documents(spark, dir))
+
+  private[graft] def freqScoreOf(docs: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      .localCheckpoint() // feeds vocab, the total, and the scoring join
+    val vocab = dw.groupBy(col("w")).agg(sum(col("m")).as("cnt"))
+    val total = vocab.select(sum(col("cnt")).as("total"))
+    dw.join(broadcast(vocab), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("fpm", expr("cnt * 1000000L DIV total"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        expr("sum(m * fpm) DIV sum(m)").as("mean_fpm"),
+        min(col("fpm")).as("min_fpm"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_fpm"), col("min_fpm"))
+  }
+
+  def freqScoreOracle: String =
+    """WITH dw AS (SELECT doc_id, w, count(*) AS m
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |vocab AS (SELECT w, CAST(sum(m) AS BIGINT) AS cnt FROM dw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+      |scored AS (SELECT doc_id, m, cnt * 1000000 // (SELECT total FROM tot) AS fpm
+      |  FROM dw JOIN vocab USING (w))
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  CAST(sum(m * fpm) // sum(m) AS BIGINT) AS mean_fpm,
+      |  min(fpm) AS min_fpm
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_freq_score" -> freqScore,
     "t_pii_scrub" -> piiScrub,
     "t_seq_pack" -> seqPack,
     "t_seq_pack_sharded" -> seqPackSharded,
@@ -813,6 +865,7 @@ object TextAnalysis {
     "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
+    "t_freq_score" -> freqScoreOracle,
     "t_pii_scrub" -> piiScrubOracle,
     "t_seq_pack" -> seqPackOracle,
     "t_seq_pack_sharded" -> seqPackShardedOracle,

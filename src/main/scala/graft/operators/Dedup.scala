@@ -600,7 +600,153 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_matches, min(match_id) AS canonical_id
        |FROM pairs GROUP BY doc_id""".stripMargin
 
+  // --- D12: exact substring-span dedup --------------------------------------
+
+  /** Span k-gram length in words. Longer than [[ShingleLen]] on purpose:
+    * span dedup hunts verbatim RUNS (boilerplate, licenses, copied
+    * paragraphs), not set similarity, and a 5-word exact run is already a
+    * strong verbatim signal on a normalized token stream. */
+  val SpanK = 5
+
+  /** D12: duplicated n-gram span detection — the exact-substring flavor of
+    * corpus dedup (the suffix-array pass of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed on Spark):
+    * a [[SpanK]]-word-gram that occurs in ≥2 DISTINCT docs marks a
+    * duplicated span; overlapping marked grams within a doc are merged
+    * into maximal spans by a per-doc window pass. Output (docs with ≥1
+    * duplicated gram only): gram count, merged-span count, and the token
+    * coverage of the merged spans — the per-doc "fraction verbatim-shared"
+    * signal a span-dedup trim pass cuts on.
+    *
+    * Scale shape: one explode to (doc, position, gram) rows, ONE hash
+    * partitioning on the gram that serves both the duplicate test
+    * (min(doc)≠max(doc) — no count-distinct expansion) and the semi-join
+    * back to positions (Catalyst reuses the exchange: both consumers hash
+    * on `g`); then a window partitioned by doc_id (per-doc data, never a
+    * wide shuffle). At 100 TB the gram key would be `xxhash64(g)` to
+    * shrink the shuffle — kept as the raw string here so the DuckDB
+    * oracle is hash-for-hash identical; the plan shape is unchanged.
+    * Within-doc-only repeats are deliberately NOT spans (T11 repetition
+    * covers those); merge is on overlap, adjacent spans stay separate. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
+      .filter(expr(s"size(w) >= $SpanK"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - ${SpanK - 1}),
+             |  i -> struct(i AS i, concat_ws(' ', slice(w, i, $SpanK)) AS g))""".stripMargin)).as("u"))
+      .select(col("doc_id"), col("n_tokens"), col("u.i").as("i"), col("u.g").as("g"))
+      // feeds the duplicate test and the semi-join back: one tokenize+
+      // explode pass instead of two. NOTE the materialized relation here
+      // is one row per token — at true corpus scale swap this for
+      // .persist(DISK_ONLY) or a parquet stage checkpoint; the plan
+      // shape on either side of it is unchanged.
+      .localCheckpoint()
+    val dupGrams = pos.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("g"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val marked = pos.join(dupGrams, Seq("g"), "left_semi")
+      .withColumn("e", col("i") + lit(SpanK - 1))
+      // classic gaps-and-islands: a gram starts a new span iff it begins
+      // past everything covered so far (positions are unique per doc, so
+      // the order-by is total and the running max deterministic)
+      .withColumn("pme", max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pme").isNull || col("i") > col("pme"), 1).otherwise(0))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("e")) - min(col("i")) + 1).as("covered"), count(lit(1)).as("grams"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("grams")).as("n_dup_grams"), count(lit(1)).as("n_spans"),
+        sum(col("covered")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_spans"), col("dup_tokens"))
+  }
+
+  val spanDedupOracle: String =
+    s"""WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+       |pos AS (SELECT doc_id, len(w) AS n_tokens, u.i AS i, u.g AS g FROM (
+       |  SELECT doc_id, w, unnest(list_transform(range(1, len(w) - ${SpanK - 2}), i ->
+       |    struct_pack(i := i, g := array_to_string(w[i:i + ${SpanK - 1}], ' ')))) AS u
+       |  FROM docs WHERE len(w) >= $SpanK)),
+       |dupg AS (SELECT g FROM pos GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |dpos AS (SELECT doc_id, n_tokens, i, i + ${SpanK - 1} AS e FROM pos WHERE g IN (SELECT g FROM dupg)),
+       |marked AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM dpos),
+       |isl AS (SELECT *, sum(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM marked),
+       |spans AS (SELECT doc_id, n_tokens, island, max(e) - min(i) + 1 AS covered,
+       |    count(*) AS grams FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tokens, CAST(sum(grams) AS BIGINT) AS n_dup_grams,
+       |  count(*) AS n_spans, CAST(sum(covered) AS BIGINT) AS dup_tokens
+       |FROM spans GROUP BY 1, 2""".stripMargin
+
+  // --- D13: cross-source overlap matrix --------------------------------------
+
+  /** D13: source-pair shingle-overlap matrix — the contamination /
+    * provenance audit over a multi-source corpus: for every pair of
+    * sources, the distinct-shingle intersection size and Jaccard (fixed
+    * point ×1e6 — integer division, engine-identical). The per-source
+    * shingle sets reuse the dedup stack's [[ShingleLen]]-word shingles.
+    *
+    * Scale shape: the corpus is touched ONCE (explode → distinct
+    * (source, shingle) — map-side combine makes the shuffle carry one row
+    * per distinct pair per partition); the pair counts come from a
+    * self-join on the shingle key, which at S sources fans each shingle
+    * row into at most S-1 matches (S is small and bounded — this is a
+    * per-SOURCE matrix, never a per-doc pair join); the size join at the
+    * end is S rows, broadcast. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    // One corpus shingling pass feeds both self-join sides and the sizes.
+    // The checkpoint BEFORE the explode is load-bearing twice over: it
+    // stops the explode's inferred filter (size>0 AND isnotnull) from
+    // being pushed below the shingle projection — which inlines the
+    // whole array expression, regexp included, SIX times into a
+    // non-codegen per-row Filter (measured 17× on this query) — and it
+    // keeps the 4 consumers from re-tokenizing the corpus. The second
+    // checkpoint materializes the per-source DISTINCT shingle relation —
+    // vocabulary-scale (Heaps' law), not corpus-scale.
+    val sh = shingleSetsOf(docs, Seq("source")).localCheckpoint()
+      .select(col("source"), explode(col("shingles")).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000000L DIV (n_a + n_b - n_common)").as("jaccard_x1e6"))
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH docs AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest(shingles) AS s FROM (
+       |  SELECT source, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen)),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       |  n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_x1e6
+       |FROM inter
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_span_dedup" -> spanDedup,
+    "d_source_overlap" -> sourceOverlap,
     "d_bloom_seen" -> bloomSeenShingles,
     "d_incr_dedup" -> incrementalDedup,
     "d_exact_dedup" -> exactDedup,
@@ -612,6 +758,8 @@ object Dedup {
     "d_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "d_span_dedup" -> spanDedupOracle,
+    "d_source_overlap" -> sourceOverlapOracle,
     "d_bloom_seen" -> bloomSeenShinglesOracle,
     "d_incr_dedup" -> incrementalDedupOracle,
     "d_exact_dedup" -> exactDedupOracle,

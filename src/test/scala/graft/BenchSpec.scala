@@ -88,9 +88,10 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the real suite's line fits the budget with every query listed") {
-    // worst realistic per-query widths: 9.49 s ("9.5", the widest <10 s
-    // value after the ladder lands on 1 decimal — a 10 s+ query is
-    // itself a red flag), with every 10th query at 0.04 s (widened to
+    // worst realistic per-query widths: 9.49 s (renders "9.5" at the
+    // 1-decimal stage, "9" once the ladder reaches whole-second
+    // resolution — a 10 s+ query is itself a red flag), with every 10th
+    // query at 0.04 s (widened to
     // "0.04" by the never-render-zero rule, 4 chars; the r8 run had ~8
     // such sub-50 ms queries out of 82). All entries must fit UNTRIMMED —
     // the ladder may drop precision and the informational detail pointer,

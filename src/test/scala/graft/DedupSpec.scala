@@ -20,6 +20,72 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("spanDedup: planted verbatim runs → merged spans; within-doc repeats excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // A carries two shared runs back-to-back: one from B, one from C.
+      // The grams straddling the boundary exist only in A, so the two
+      // spans are ADJACENT but not overlapping → must stay separate.
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (2L, "aa bb cc dd ee"),
+      (3L, "ff gg hh ii jj"),
+      // D repeats a 5-gram only within itself → not a cross-doc span
+      (4L, "pp qq rr ss tt uu pp qq rr ss tt"),
+      // E and F are verbatim-identical 7-worders → overlapping grams
+      // merge into ONE span covering the whole doc
+      (5L, "ka kb kc kd ke kf kg"),
+      (6L, "ka kb kc kd ke kf kg")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 6L), s"docs with spans: ${got.keySet}")
+    assert(got(1L) == ((10, 2L, 2L, 10L)), s"doc 1: ${got(1L)}") // 2 adjacent spans, full coverage
+    assert(got(2L) == ((5, 1L, 1L, 5L)))
+    assert(got(3L) == ((5, 1L, 1L, 5L)))
+    assert(got(5L) == ((7, 3L, 1L, 7L))) // 3 overlapping grams → 1 merged span
+    assert(got(6L) == ((7, 3L, 1L, 7L)))
+  }
+
+  test("spanDedup invariants on the real corpus") {
+    val rows = Dedup.spanDedup(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus must contain cross-doc duplicated 5-gram spans")
+    rows.foreach { r =>
+      val (n, grams, spans, cov) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(spans >= 1 && grams >= spans, s"doc ${r.getLong(0)}: $spans spans of $grams grams")
+      assert(cov >= spans * Dedup.SpanK, "each merged span covers >= K tokens")
+      assert(cov <= n, s"doc ${r.getLong(0)}: coverage $cov exceeds n_tokens $n")
+    }
+  }
+
+  test("sourceOverlap: planted shingle sets → exact intersection and fixed-point jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "wa wb wc wd", "srcA"), // shingles: {wa wb wc, wb wc wd}
+      (2L, "wa wb wc", "srcB"),    // shingles: {wa wb wc}
+      (3L, "xa xb xc", "srcC")     // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // zero-overlap pairs are absent by contract (inner join on the shingle)
+    assert(got.keySet == Set(("srcA", "srcB")), s"pairs: ${got.keySet}")
+    assert(got(("srcA", "srcB")) == ((2L, 1L, 1L, 500000L))) // |A∩B|=1, J=1/2
+  }
+
+  test("sourceOverlap invariants on the real corpus") {
+    val rows = Dedup.sourceOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb, common, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, s"pair ($a, $b) must be ordered")
+      assert(common >= 1 && common <= math.min(na, nb))
+      assert(j >= 0 && j <= 1000000)
+    }
+  }
+
   test("exactDedupFast groups identically to the md5 oracle path") {
     def groups(df: org.apache.spark.sql.DataFrame) =
       df.select("canonical_id", "n_docs").collect()

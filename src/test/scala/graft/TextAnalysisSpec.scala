@@ -22,6 +22,27 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("freqScore: planted corpus → exact fixed-point unigram frequencies") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1, total=5 → fpm a=600000, b=c=200000
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.freqScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 466666L, 200000L))) // (2*600000 + 200000) div 3
+    assert(got(2L) == ((2L, 400000L, 200000L)))
+  }
+
+  test("freqScore invariants on the real corpus") {
+    val rows = graft.functions.TextAnalysis.freqScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, mn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1)
+      assert(mn >= 1 && mn <= mean, s"doc ${r.getLong(0)}: min $mn mean $mean")
+      assert(mean <= 1000000, "a token's frequency share cannot exceed the whole corpus")
+    }
+  }
+
   test("graft_quality native struct is bit-identical to the column-expression formulation") {
     // The single-node GraftQuality expression replaced a ~150-node tree
     // (per-micro-batch planning + per-task plan-ship cost on the ingest
