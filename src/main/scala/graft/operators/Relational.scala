@@ -320,7 +320,37 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Event types pivoted by R18 — explicit, in oracle column order: an
+    * explicit value list keeps the output schema static (no extra
+    * distinct-scan job, no schema drift if a type vanishes at some SF)
+    * and is what a production pivot at scale should always do. */
+  val PivotEventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** R18: pivot — long-to-wide reshaping (per-cohort event-type revenue
+    * matrix) via the DataFrame `pivot()` operator. Plan shape: pivot with
+    * an explicit value list compiles to ONE hash aggregation over the
+    * grouping key with a conditional-aggregate column per pivot value —
+    * map-side combined, a single shuffle of one row per (cohort ×
+    * 5 columns), never a row explosion; the DuckDB oracle spells that
+    * same CASE WHEN formulation out. Decimal-exact sums via
+    * [[dsum]]; absent cells are NULL on both engines. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", col("user_id") % 50)
+      .groupBy(col("cohort"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(dsum(spark, col("value"), 2))
+
+  val pivotEventsOracle: String = {
+    val cols = PivotEventTypes.map(t =>
+      s"""CAST(round(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS "$t"""")
+    s"""SELECT user_id % 50 AS cohort,
+       |  ${cols.mkString(",\n  ")}
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> pivotEvents,
     "q_salted_join" -> saltedRevenue,
     "q_event_deltas" -> eventDeltas,
     "q_pseudonymize" -> pseudonymize,
@@ -340,6 +370,7 @@ object Relational {
     "q_semi_anti" -> semiAnti)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" -> pivotEventsOracle,
     "q_salted_join" -> saltedRevenueOracle,
     "q_event_deltas" -> eventDeltasOracle,
     "q_pseudonymize" -> pseudonymizeOracle,

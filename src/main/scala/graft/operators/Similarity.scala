@@ -78,6 +78,54 @@ object Similarity {
        |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
        |FROM r WHERE rank <= $TopK""".stripMargin
 
+  // --- E3: kNN label vote ----------------------------------------------------
+
+  /** E3: kNN classification — each query vector takes the majority label
+    * vote of its [[TopK]] cosine neighbors (the label-transfer /
+    * auto-curation pass over an embedded corpus: spam/quality/domain
+    * labels propagated from a labeled seed set). Same broadcast-query
+    * scan shape as D5 — the corpus is scanned once, never shuffled; the
+    * vote is a per-query aggregation over K rows. Fully deterministic:
+    * neighbor ranking ties break on vec_id, vote ties break on best
+    * (lowest) neighbor rank, then on the label itself. */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", "embedding",
+        s"${sparkDot("embedding", "embedding")} AS nrm")
+    val q = emb.selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn")
+      .filter(col("query_id") < NumQueries)
+    val top = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", "label",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= TopK)
+    top.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+      .withColumn("vr", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, best_rank ASC, label ASC)"))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
+  val knnLabelOracle: String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM emb WHERE vec_id < $NumQueries),
+       |r AS (SELECT query_id, emb.vec_id AS neighbor_id, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      (${duckDot("qe", "e")}) / (sqrt(qn) * sqrt(nrm)) DESC, emb.vec_id ASC) AS rank
+       |  FROM emb JOIN q ON emb.vec_id <> q.query_id),
+       |votes AS (SELECT query_id, label, count(*) AS n_votes, min(rank) AS best_rank
+       |  FROM r WHERE rank <= $TopK GROUP BY 1, 2),
+       |w AS (SELECT query_id, label, n_votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, best_rank ASC, label ASC) AS vr
+       |  FROM votes)
+       |SELECT query_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+       |FROM w WHERE vr = 1""".stripMargin
+
   // --- D6: LSH-bucketed ANN -------------------------------------------------
 
   /** Deterministic hyperplane components: h[j][i] derived from
@@ -335,6 +383,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, qdot FROM r WHERE rank <= $TopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_knn_label" -> knnLabel,
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_ann" -> lshAnn,
     "s_ivf_ann" -> ivfAnn,
@@ -342,6 +391,7 @@ object Similarity {
     "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
+    "s_knn_label" -> knnLabelOracle,
     "s_quantized_ann" -> quantizedAnnOracle,
     "s_cosine_topk" -> cosineTopKOracle,
     "s_lsh_ann" -> lshAnnOracle,

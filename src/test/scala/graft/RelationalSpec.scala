@@ -34,6 +34,31 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  test("pivot: wide schema is static and cells equal the filtered group sums") {
+    val got = Relational.pivotEvents(spark, "/root/testdata/sf0.001")
+    assert(got.columns.toSeq == "cohort" +: Relational.PivotEventTypes)
+    val rows = got.collect().map(r => r.getLong(0) -> r).toMap
+    // independent recomputation of two cells from the raw table
+    val raw = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.expr("user_id % 50").as("cohort"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    for (cohort <- Seq(0L, 7L); t <- Seq("click", "view")) {
+      val vals = raw.collect { case (c, tt, v) if c == cohort && tt == t => v }
+      val expected =
+        if (vals.isEmpty) null
+        else {
+          // same exact-decimal route as the operator: micros fixed point
+          val micros = vals.map(v => BigDecimal(v).setScale(6)).sum
+          Double.box(micros.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      val idx = got.columns.indexOf(t)
+      assert(rows(cohort).get(idx) == expected,
+        s"cohort $cohort type $t: got ${rows(cohort).get(idx)} expected $expected")
+    }
+  }
+
   test("as-of join: latest strictly-prior click, none at session start") {
     val e = events(
       (1L, 0, 7L, "click"), (2L, 5, 7L, "purchase"), (3L, 6, 7L, "click"),

@@ -62,6 +62,29 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knnLabel vote is exactly the majority over cosineTopK's neighbor set") {
+    import graft.operators.Similarity
+    // recompute the vote independently from the gated top-k output +
+    // the labels table; the operator must agree on every query
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = top.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.groupBy(r => labels(r._2))
+        .map { case (lbl, rs) => (lbl, rs.size, rs.map(_._3).min) }
+      // order: votes desc, best rank asc, label asc
+      val win = votes.toSeq.sortBy { case (lbl, n, br) => (-n, br, lbl) }.head
+      q -> ((win._1, win._2.toLong))
+    }
+    val got = Similarity.knnLabel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.size == Similarity.NumQueries)
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
         Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir)).foreach { df =>
