@@ -631,7 +631,10 @@ object Dedup {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupOf(Tables.documents(spark, dir))
 
-  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+  /** Shared core of D12/D12b: one row per cross-doc-duplicated gram with
+    * its doc, token interval [i, e], doc token count, and merged-span
+    * (island) id. */
+  private def spanMarked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
@@ -651,7 +654,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("g"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val marked = pos.join(dupGrams, Seq("g"), "left_semi")
+    pos.join(dupGrams, Seq("g"), "left_semi")
       .withColumn("e", col("i") + lit(SpanK - 1))
       // classic gaps-and-islands: a gram starts a new span iff it begins
       // past everything covered so far (positions are unique per doc, so
@@ -660,7 +663,10 @@ object Dedup {
       .withColumn("island",
         sum(when(col("pme").isNull || col("i") > col("pme"), 1).otherwise(0))
           .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-    marked.groupBy(col("doc_id"), col("n_tokens"), col("island"))
+  }
+
+  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+    spanMarked(docs).groupBy(col("doc_id"), col("n_tokens"), col("island"))
       .agg((max(col("e")) - min(col("i")) + 1).as("covered"), count(lit(1)).as("grams"))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("grams")).as("n_dup_grams"), count(lit(1)).as("n_spans"),
@@ -686,6 +692,68 @@ object Dedup {
        |SELECT doc_id, n_tokens, CAST(sum(grams) AS BIGINT) AS n_dup_grams,
        |  count(*) AS n_spans, CAST(sum(covered) AS BIGINT) AS dup_tokens
        |FROM spans GROUP BY 1, 2""".stripMargin
+
+  // --- D12b: span-dedup trim --------------------------------------------------
+
+  /** D12b: span-dedup TRIM — the corpus transformation D12 diagnoses:
+    * every token covered by a cross-doc duplicated span is removed, and
+    * the full corpus comes back one row per doc with its kept-token
+    * count and the md5 of the trimmed token stream (the hash gates the
+    * reconstruction end-to-end — a off-by-one in the interval arithmetic
+    * flips every affected doc's hash). Untouched docs pass through with
+    * their full token stream hashed.
+    *
+    * Scale shape: the span machinery is D12's (one gram-keyed
+    * partitioning + per-doc windows); the covered-index sets ride back
+    * to the corpus as a doc_id-keyed join (per-doc payload bounded by
+    * doc length, corpus-scale in ROWS, so deliberately NOT broadcast)
+    * and the removal itself is one per-row indexed-lambda filter — no
+    * second corpus shuffle. */
+  def spanTrim(spark: SparkSession, dir: String): DataFrame =
+    spanTrimOf(Tables.documents(spark, dir))
+
+  private[graft] def spanTrimOf(docs: DataFrame): DataFrame = {
+    val cov = spanMarked(docs)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("e")).as("e"))
+      .select(col("doc_id"), explode(expr("sequence(s, e)")).as("ci"))
+      .groupBy(col("doc_id")).agg(collect_list(col("ci")).as("cov"))
+    docs.selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
+      .join(cov, Seq("doc_id"), "left")
+      // wi is 0-based in Spark's indexed filter lambda, 1-based in the
+      // oracle's — hence the +1 here only
+      .selectExpr("doc_id", "size(w) AS n_tokens",
+        "filter(w, (x, wi) -> NOT array_contains(coalesce(cov, CAST(array() AS array<int>)), wi + 1)) AS kw")
+      .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(size(kw) AS BIGINT) AS n_kept",
+        "md5(concat_ws(' ', kw)) AS kept_hash")
+  }
+
+  val spanTrimOracle: String =
+    s"""WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+       |pos AS (SELECT doc_id, u.i AS i, u.g AS g FROM (
+       |  SELECT doc_id, w, unnest(list_transform(range(1, len(w) - ${SpanK - 2}), i ->
+       |    struct_pack(i := i, g := array_to_string(w[i:i + ${SpanK - 1}], ' ')))) AS u
+       |  FROM docs WHERE len(w) >= $SpanK)),
+       |dupg AS (SELECT g FROM pos GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |dpos AS (SELECT doc_id, i, i + ${SpanK - 1} AS e FROM pos WHERE g IN (SELECT g FROM dupg)),
+       |marked AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM dpos),
+       |isl AS (SELECT *, sum(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM marked),
+       |spans AS (SELECT doc_id, min(i) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, list(ci) AS cov FROM (
+       |  SELECT doc_id, unnest(range(s, e + 1)) AS ci FROM spans) GROUP BY doc_id),
+       |kept AS (SELECT d.doc_id, len(d.w) AS n_tokens,
+       |    list_filter(d.w, (x, wi) -> NOT list_contains(coalesce(c.cov, []), wi)) AS kw
+       |  FROM docs d LEFT JOIN cov c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(len(kw) AS BIGINT) AS n_kept,
+       |  md5(coalesce(array_to_string(kw, ' '), '')) AS kept_hash
+       |FROM kept""".stripMargin
+  // ^ the coalesce matters: DuckDB's array_to_string([]) is NULL where
+  //   Spark's concat_ws on an empty array is '' — a fully-trimmed doc
+  //   must hash the empty stream on both engines, not NULL on one.
 
   // --- D13: cross-source overlap matrix --------------------------------------
 
@@ -746,6 +814,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_span_dedup" -> spanDedup,
+    "d_span_trim" -> spanTrim,
     "d_source_overlap" -> sourceOverlap,
     "d_bloom_seen" -> bloomSeenShingles,
     "d_incr_dedup" -> incrementalDedup,
@@ -759,6 +828,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_span_dedup" -> spanDedupOracle,
+    "d_span_trim" -> spanTrimOracle,
     "d_source_overlap" -> sourceOverlapOracle,
     "d_bloom_seen" -> bloomSeenShinglesOracle,
     "d_incr_dedup" -> incrementalDedupOracle,

@@ -58,6 +58,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spanTrim: removed-token count equals spanDedup's coverage; untouched docs hash their full stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val cov = Dedup.spanDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap // doc -> dup_tokens
+    val full = docs.select(col("doc_id"),
+        md5(concat_ws(" ", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trim = Dedup.spanTrimOf(docs).collect()
+    assert(trim.length == docs.count())
+    trim.foreach { r =>
+      val (id, n, kept, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(n - kept == cov.getOrElse(id, 0L),
+        s"doc $id: trimmed ${n - kept} tokens vs spanDedup coverage ${cov.getOrElse(id, 0L)}")
+      if (!cov.contains(id)) assert(h == full(id), s"untouched doc $id must hash its full stream")
+      else assert(h != full(id), s"trimmed doc $id must not hash its full stream")
+    }
+  }
+
   test("sourceOverlap: planted shingle sets → exact intersection and fixed-point jaccard") {
     import spark.implicits._
     val docs = Seq(
