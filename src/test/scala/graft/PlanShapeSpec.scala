@@ -123,6 +123,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pivot compiles to one conditional-aggregate pass: no Expand, no extra join") {
+    val p = plan(Relational.pivotEvents(spark, dir))
+    // explicit value list => Spark's two-phase pivot: a (cohort, type)
+    // pre-aggregation (map-side combined — the shuffle carries one row
+    // per group-pair, never per event) then the pivot aggregation on
+    // cohort. No Expand (that's rollup/cube's shape), no join, no
+    // distinct-scan pre-job; exactly the two group-key exchanges.
+    assert(!p.contains("Expand"), "pivot must not expand rows\n" + p)
+    assert(!p.contains("Join"), "pivot with explicit values needs no join\n" + p)
+    assert("\\) Exchange".r.findAllIn(p).size <= 2, "two group-key shuffles at most\n" + p)
+  }
+
+  test("freqScore joins vocabulary and total by broadcast onto the checkpointed tokens") {
+    val p = plan(graft.functions.TextAnalysis.freqScore(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // corpus-side shuffles: only the final per-doc aggregation may
+    // exchange (the (doc, word) aggregation is inside the checkpoint)
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary must reach the tokens by broadcast, never a corpus shuffle join\n" + p)
+  }
+
+  test("knnLabel scans the corpus once against a broadcast query set") {
+    val p = plan(graft.operators.Similarity.knnLabel(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the corpus must never shuffle for the query-set join\n" + p)
+  }
+
   test("bloomSeenShingles probes in-plan via the broadcast filter, pre-shuffle") {
     withAutoBroadcastOff {
       val df = graft.operators.Dedup.bloomSeenShingles(spark, dir)
