@@ -57,12 +57,13 @@ object Bench {
     * and records `parsed: null` (this silently voided BENCH_r02 and
     * BENCH_r03). The line is engineered to be the process's final output
     * (printed after `spark.stop()` with the log level OFF — see `main`),
-    * and a full-log capture measures ZERO bytes after it; 1880 keeps 120
-    * chars of margin for the newline plus any hypothetical shutdown-hook
-    * straggler while letting the 86-query suite render at 1-decimal
-    * per-query precision untrimmed. Per-query CPU/memory detail lives in
-    * [[DetailFile]], not on stdout. */
-  val LineBudget = 1880
+    * and the DRIVER'S OWN capture confirms it: BENCH_r09.json's `tail`
+    * field ends with the JSON line + '\n' and nothing after, so the true
+    * ceiling is 1999. 1920 keeps ~80 chars of margin for a hypothetical
+    * shutdown-hook straggler while letting the 90-query suite render at
+    * 1-decimal per-query precision untrimmed. Per-query CPU/memory
+    * detail lives in [[DetailFile]], not on stdout. */
+  val LineBudget = 1920
 
   /** Full-fidelity metrics sidecar, written next to the sbt working dir
     * (the repo root when the driver runs) so it lands in the round
@@ -248,7 +249,8 @@ object Bench {
     * (100 ms still separates the multi-second tail from the sub-second
     * pack), then the informational fields go — the `detail` pointer (its
     * file is committed to the repo anyway; a per-query timing beats a
-    * pointer), the constant `unit`, the sf dir's leading path — then
+    * pointer), the constant `unit`, the sf dir's leading path, an
+    * all-green run's information-free `"errors":{}` — then
     * whole-second per-query resolution (sub-second values still widen via
     * the never-render-zero rule) — and only
     * as the last resort are the FASTEST queries
@@ -281,7 +283,7 @@ object Bench {
     }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
                withDetail: Boolean = true, withUnit: Boolean = true,
-               sfFull: Boolean = true): String = {
+               sfFull: Boolean = true, withEmptyErrs: Boolean = true): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
@@ -290,14 +292,21 @@ object Bench {
           errList.map { case (k, e) => s"\"$k\":\"${e.take(errMaxLen)}\"" }
             .mkString("{", ",", "}") + omittedErrs(0)
         else "{}" + omittedErrs(errList.size)
+      // an all-green run carries zero information in `"errors":{}` — the
+      // degraded line sheds it (the driver json.loads whatever keys are
+      // present; a missing errors key on a line with 89 query entries
+      // reads as what it is). Never shed when something actually failed.
+      val errsPart =
+        if (errList.isEmpty && !withEmptyErrs) ""
+        else s""","errors":$errs"""
       val det = if (withDetail) s""","detail":"$detail"""" else ""
       val unit = if (withUnit) s""","unit":"sec"""" else ""
       // the sf dir's basename identifies the scale factor on its own —
       // the leading path is decoration the degraded line can shed
       val sf = if (sfFull) sfDir
                else sfDir.reverse.takeWhile(_ != '/').reverse
-      s"""{"metric":"total","value":${jsonNum3(total)}$unit,"queries":$qs,""" +
-        s""""errors":$errs$omitted$det,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${jsonNum3(total)}$unit,"queries":$qs""" +
+        s"""$errsPart$omitted$det,"sf":"$sf"}"""
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
@@ -308,23 +317,26 @@ object Bench {
     // path), and only then drop the FASTEST queries (the slow ones carry
     // the signal)
     var line = render(bySlowest, 200, 3)
-    for ((prec, errMaxLen, withDetail, withUnit, sfFull) <-
-           Seq((2, 200, true, true, true), (2, 40, true, true, true),
-               (2, 0, true, true, true), (1, 0, true, true, true),
-               (1, 0, false, true, true), (1, 0, false, false, true),
-               (1, 0, false, false, false),
+    for ((prec, errMaxLen, withDetail, withUnit, sfFull, withEmptyErrs) <-
+           Seq((2, 200, true, true, true, true), (2, 40, true, true, true, true),
+               (2, 0, true, true, true, true), (1, 0, true, true, true, true),
+               (1, 0, false, true, true, true), (1, 0, false, false, true, true),
+               (1, 0, false, false, false, true),
+               // shed the information-free "errors":{} of an all-green run
+               (1, 0, false, false, false, false),
                // whole-second per-query resolution (sub-second values
                // still widen via the never-zero rule): the coarsest
                // precision stage — still every query listed, which beats
                // dropping any (the detail sidecar keeps full fidelity)
-               (0, 0, false, false, false))
+               (0, 0, false, false, false, false))
          if line.length > LineBudget)
-      line = render(bySlowest, errMaxLen, prec, withDetail, withUnit, sfFull)
+      line = render(bySlowest, errMaxLen, prec, withDetail, withUnit, sfFull,
+        withEmptyErrs)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
       line = render(bySlowest.take(n), 0, 1, withDetail = false,
-        withUnit = false, sfFull = false)
+        withUnit = false, sfFull = false, withEmptyErrs = false)
     }
     line
   }

@@ -291,6 +291,56 @@ object Similarity {
         (-col("best")("ncid")).as("cid"))
   }
 
+  // --- E4: k-means centroid update -------------------------------------------
+
+  /** Fixed-point scale for E4's component sums: 2^24. Embedding floats
+    * widen to double exactly and a power-of-two scaling is exact too, so
+    * `floor(x * 2^24)` is fully determined by the float bits — no
+    * decimal/rounding-mode cross-engine hazard (DuckDB's CAST(double AS
+    * BIGINT) ROUNDS where Spark's truncates; floor() first sidesteps
+    * both). */
+  val KmeansFp = 1 << 24
+
+  /** E4: the k-means centroid UPDATE step — the training half the IVF
+    * docstring defers "offline", run as the distributed aggregation it
+    * actually is: every vector's cluster assignment (E2's exchange-free
+    * broadcast-argmax scan) followed by per-(centroid, dimension) member
+    * counts and exact fixed-point component sums. The new centroid is
+    * `sum_fp / (n * 2^24)` — a driver-trivial division left to the
+    * caller, exactly like the (count, sum) partials every distributed
+    * Lloyd implementation ships between iterations.
+    *
+    * Scale shape: assignment never shuffles (broadcast centroid row);
+    * the posexplode fans ×Dim rows but the groupBy is map-side combined,
+    * so the one shuffle carries at most K×Dim rows per map partition —
+    * corpus-size-independent. */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignment(spark, dir)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(floor(CAST(x AS DOUBLE) * $KmeansFp) AS BIGINT)")).as("sum_fp"))
+      .select(col("cid"), col("dim"), col("n"), col("sum_fp"))
+
+  val kmeansUpdateOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM emb
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCentroids}),
+       |scored AS (SELECT emb.vec_id, emb.e, cid,
+       |    (${duckDot("e", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs
+       |  FROM emb CROSS JOIN cent),
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+       |    FROM scored) WHERE rk = 1),
+       |comp AS (SELECT cid, u.d AS dim, u.v AS x FROM (
+       |  SELECT cid, unnest(list_transform(range($Dim), i ->
+       |    struct_pack(d := i, v := e[i + 1]))) AS u FROM assigned))
+       |SELECT cid, CAST(dim AS INT) AS dim, count(*) AS n,
+       |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * $KmeansFp) AS BIGINT)) AS BIGINT) AS sum_fp
+       |FROM comp GROUP BY cid, dim""".stripMargin
+
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssignment(spark, dir)
       .localCheckpoint() // one assignment pass, reused by both probe sides
@@ -384,6 +434,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_label" -> knnLabel,
+    "s_kmeans_update" -> kmeansUpdate,
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_ann" -> lshAnn,
     "s_ivf_ann" -> ivfAnn,
@@ -392,6 +443,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s_knn_label" -> knnLabelOracle,
+    "s_kmeans_update" -> kmeansUpdateOracle,
     "s_quantized_ann" -> quantizedAnnOracle,
     "s_cosine_topk" -> cosineTopKOracle,
     "s_lsh_ann" -> lshAnnOracle,

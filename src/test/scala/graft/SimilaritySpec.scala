@@ -85,6 +85,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == Similarity.NumQueries)
   }
 
+  test("kmeansUpdate: counts partition the corpus and fixed-point means reconstruct the true means") {
+    import graft.operators.Similarity
+    val rows = Similarity.kmeansUpdate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val nVecs = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.keys.map(_._1).toSet.size <= Similarity.IvfCentroids)
+    // per-dim counts across clusters must each partition the corpus
+    (0 until Similarity.Dim).foreach { d =>
+      val total = rows.collect { case ((_, dim), (n, _)) if dim == d => n }.sum
+      assert(total == nVecs, s"dim $d: counts sum to $total of $nVecs")
+    }
+    // reconstruction: sum_fp/(n*2^24) within one fixed-point ulp of the
+    // true double mean over the assigned vectors
+    val assigned = Similarity.ivfAssignment(spark, dir)
+      .select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val byCid = assigned.groupBy(_._1)
+    rows.foreach { case ((cid, dim), (n, sumFp)) =>
+      val members = byCid(cid).map(_._2(dim).toDouble)
+      assert(n == members.size)
+      val trueMean = members.sum / members.size
+      val fpMean = sumFp.toDouble / (n.toDouble * Similarity.KmeansFp)
+      assert(math.abs(fpMean - trueMean) <= 1.0 / Similarity.KmeansFp,
+        s"cid $cid dim $dim: $fpMean vs $trueMean")
+    }
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
         Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir)).foreach { df =>
