@@ -69,7 +69,12 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = exponent(q)
       assert(e < 0.8, f"$q scaling exponent $e%.2f — expected sub-linear (< 0.8)")
     }
-    for (q <- Seq("q_scan_filter", "q1_pricing_summary", "t_token_count", "d_exact_dedup")) {
+    // the round-10 pipeline additions measure ≤0.25 today (floor-bound
+    // at these sizes); the ≤1.15 bar is the regression guard that an
+    // accidental all-pairs or unpruned rewrite would blow through
+    for (q <- Seq("q_scan_filter", "q1_pricing_summary", "t_token_count", "d_exact_dedup",
+                  "d_span_dedup", "d_span_trim", "d_source_overlap",
+                  "t_freq_score", "q_pivot", "s_knn_label")) {
       val e = exponent(q)
       assert(e <= 1.15, f"$q scaling exponent $e%.2f — expected at most ~linear (≤ 1.15)")
     }
