@@ -305,7 +305,11 @@ object Bench {
       // the leading path is decoration the degraded line can shed
       val sf = if (sfFull) sfDir
                else sfDir.reverse.takeWhile(_ != '/').reverse
-      s"""{"metric":"total","value":${jsonNum3(total)}$unit,"queries":$qs""" +
+      // the total's ms digits go with the empty errors object: once the
+      // ladder is shedding structure, 100 ms resolution on the headline
+      // total is plenty (the detail file keeps the 4-decimal value)
+      val v = if (withEmptyErrs) jsonNum3(total) else num(total, 1)
+      s"""{"metric":"total","value":$v$unit,"queries":$qs""" +
         s"""$errsPart$omitted$det,"sf":"$sf"}"""
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""

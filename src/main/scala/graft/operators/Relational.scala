@@ -295,6 +295,39 @@ object Relational {
       |      FROM events)
       |GROUP BY user_id HAVING count(gap_us) > 0""".stripMargin
 
+  /** R19: time-RANGE sliding window — each event's rolling count and
+    * exact-decimal value sum over that user's preceding 10 minutes (the
+    * rate-limit / rolling-exposure primitive; a RANGE frame, where R6 is
+    * rows-framed top-N, R10 tumbling buckets, R17 lag). Deterministic
+    * under timestamp ties by construction: a RANGE frame is a function
+    * of the ORDER VALUE, so tied rows share one frame — no peer-order
+    * sensitivity — and the sum is decimal-exact. The window partitions
+    * on user_id: hash-spread, per-user data bounded, no global sort at
+    * any SF. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame =
+    rangeWindowOf(Tables.events(spark, dir))
+
+  private[graft] def rangeWindowOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-600000000L, 0L) // 10 min in micros, inclusive
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("roll_sum",
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w), 2)
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_in_window"), col("roll_sum"))
+  }
+
+  val rangeWindowOracle: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_in_window,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS roll_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** R16: the explicit salted join ([[Skew.saltedJoin]]) gated against a
     * plain-join oracle — proof that salting is semantically invisible
     * (identical revenue per priority class, identical row multiplicity).
@@ -351,6 +384,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> pivotEvents,
+    "q_range_window" -> rangeWindow,
     "q_salted_join" -> saltedRevenue,
     "q_event_deltas" -> eventDeltas,
     "q_pseudonymize" -> pseudonymize,
@@ -371,6 +405,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_pivot" -> pivotEventsOracle,
+    "q_range_window" -> rangeWindowOracle,
     "q_salted_join" -> saltedRevenueOracle,
     "q_event_deltas" -> eventDeltasOracle,
     "q_pseudonymize" -> pseudonymizeOracle,

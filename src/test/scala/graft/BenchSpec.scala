@@ -82,9 +82,16 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs.nonEmpty && qs.size < 200, "over-budget suite must be trimmed, not dropped")
     assert(qs.exists(_._1 == "synthetic_query_name_200"), "slowest query must survive the trim")
     assert(line.contains(""""queries_omitted":"""))
-    // value stays the FULL total even when the map is trimmed
-    val total = (parsed \ "value").asInstanceOf[org.json4s.JDouble].num
-    assert(math.abs(total - results.map(_.secs).sum) < 0.01)
+    // value stays the whole-suite total even when the map is trimmed
+    // (the deep-degrade rungs render it at 1 decimal — a round total
+    // like 201.0 then parses as a JSON integer, hence the match)
+    val total = (parsed \ "value") match {
+      case org.json4s.JDouble(d) => d
+      case org.json4s.JInt(i) => i.toDouble
+      case org.json4s.JDecimal(d) => d.toDouble
+      case other => fail(s"unexpected value type: $other")
+    }
+    assert(math.abs(total - results.map(_.secs).sum) < 0.05)
   }
 
   test("the real suite's line fits the budget with every query listed") {

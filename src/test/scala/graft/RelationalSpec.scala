@@ -34,6 +34,21 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  test("rangeWindow: 10-min RANGE frame is inclusive, per-user, and tie-stable") {
+    val e = events(
+      (1L, 0, 7L, "click"), (2L, 5, 7L, "click"), (3L, 9, 7L, "click"),
+      (4L, 11, 7L, "click"), (5L, 30, 7L, "click"),
+      // timestamp tie: both rows must see the SAME frame (RANGE peers)
+      (6L, 2, 8L, "view"), (7L, 2, 8L, "view"))
+    val got = Relational.rangeWindowOf(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // exactly-10-minutes-ago is INSIDE the frame (inclusive bound): m9 sees m0
+    assert(got == Map(
+      1L -> ((1L, 1.0)), 2L -> ((2L, 2.0)), 3L -> ((3L, 3.0)),
+      4L -> ((3L, 3.0)), 5L -> ((1L, 1.0)),
+      6L -> ((2L, 2.0)), 7L -> ((2L, 2.0))), got.toString)
+  }
+
   test("pivot: wide schema is static and cells equal the filtered group sums") {
     val got = Relational.pivotEvents(spark, "/root/testdata/sf0.001")
     assert(got.columns.toSeq == "cohort" +: Relational.PivotEventTypes)
