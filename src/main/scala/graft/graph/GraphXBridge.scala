@@ -71,6 +71,32 @@ object GraphXBridge {
     drain(spark, cc, cc.vertices, ("node", "comp"))
   }
 
+  /** DIRECTED strongly connected components — GraphX's coloring SCC
+    * (`graphx.lib.StronglyConnectedComponents`: trim + forward-color +
+    * backward-confirm per outer iteration), labels = each SCC's minimum
+    * vertex id. Cross-references the reference's directed Wiki-Vote
+    * benchmark graph family (databases.py:129-137). Plan-statistics-small
+    * graphs (the Wiki-Vote scale included) take the driver-local
+    * iterative Tarjan instead — the GraphX loop is ~3 scheduled
+    * fixpoints per outer iteration, pure job floor on a bounded graph.
+    * `numIter` bounds the outer coloring loop on the distributed path;
+    * each iteration fully resolves at least the SCCs that are sources/
+    * sinks in the condensation, so the bound needed is the condensation
+    * DAG's depth, not the SCC count. */
+  def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
+                                  numIter: Int = 16, numParts: Int = 0): DataFrame = {
+    val vIds = g.nodes.select(col("id"))
+    val eSd = g.edges.select(col("src"), col("dst"))
+    if (LocalExec.enabled(spark) && LocalExec.smallEnough(vIds, eSd))
+      LocalExec.stronglyConnectedComponents(vIds, eSd, 1 << 21) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    val scc = org.apache.spark.graphx.lib.StronglyConnectedComponents
+      .run(toGraphX(g, numParts), numIter)
+    drain(spark, scc, scc.vertices, ("node", "comp"))
+  }
+
   /** Single-source shortest path lengths via Pregel — or, when the plan
     * statistics say the graph fits [[LocalExec]]'s budget, one collect job
     * + driver-local BFS (a depth-d Pregel run is d scheduled jobs; on a

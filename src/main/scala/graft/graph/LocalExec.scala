@@ -279,6 +279,97 @@ object LocalExec {
     }
   }
 
+  /** Local twin of the DIRECTED strongly-connected-components operator:
+    * iterative Tarjan (explicit frame stack — no JVM recursion limit on
+    * long path graphs), each SCC labeled with its MINIMUM member id —
+    * the same canonical labeling GraphX's StronglyConnectedComponents
+    * converges to, so the two are directly parity-comparable. Universe =
+    * nodes ∪ edge endpoints; isolated nodes are singleton SCCs. Schema:
+    * (node: long, comp: long). */
+  def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame,
+                                  maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    for {
+      eRows <- collectBounded(edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src").isNotNull && col("dst").isNotNull), maxRows)
+      nRows <- collectBounded(nodes.select(col("id").cast("long")), maxRows)
+    } yield {
+      val src = new Array[Long](eRows.length)
+      val dst = new Array[Long](eRows.length)
+      var i = 0
+      while (i < eRows.length) {
+        src(i) = eRows(i).getLong(0); dst(i) = eRows(i).getLong(1); i += 1
+      }
+      val adj = adjacency(src, dst)
+      val universe = mutable.LinkedHashSet.empty[Long]
+      nRows.foreach(r => universe += r.getLong(0))
+      src.foreach(universe += _); dst.foreach(universe += _)
+
+      val index = mutable.LongMap.empty[Long]   // discovery order
+      val lowlink = mutable.LongMap.empty[Long]
+      val onStack = mutable.HashSet.empty[Long]
+      val tarjanStack = mutable.ArrayBuffer.empty[Long]
+      val comp = mutable.LongMap.empty[Long]
+      var counter = 0L
+      val empty = mutable.ArrayBuffer.empty[Long]
+
+      // explicit recursion: each frame is (vertex, next child offset)
+      val frameV = mutable.ArrayBuffer.empty[Long]
+      val frameI = mutable.ArrayBuffer.empty[Int]
+      def push(v: Long): Unit = {
+        index(v) = counter; lowlink(v) = counter; counter += 1
+        tarjanStack += v; onStack += v
+        frameV += v; frameI += 0
+      }
+      universe.foreach { root =>
+        if (!index.contains(root)) {
+          push(root)
+          while (frameV.nonEmpty) {
+            val v = frameV.last
+            val kids = adj.getOrElse(v, empty)
+            var iChild = frameI.last
+            var descended = false
+            while (iChild < kids.length && !descended) {
+              val w = kids(iChild)
+              iChild += 1
+              if (!index.contains(w)) {
+                frameI(frameI.length - 1) = iChild
+                push(w)            // descend; lowlink(w) folded on return
+                descended = true
+              } else if (onStack(w)) {
+                lowlink(v) = math.min(lowlink(v), index(w))
+              }
+            }
+            if (!descended) {
+              // v is finished: pop its frame, emit its SCC if it roots one
+              frameV.remove(frameV.length - 1)
+              frameI.remove(frameI.length - 1)
+              if (lowlink(v) == index(v)) {
+                // collect the SCC, label with its min id
+                val members = mutable.ArrayBuffer.empty[Long]
+                var done = false
+                while (!done) {
+                  val w = tarjanStack.remove(tarjanStack.length - 1)
+                  onStack -= w
+                  members += w
+                  done = w == v
+                }
+                val label = members.min
+                members.foreach(m => comp(m) = label)
+              }
+              if (frameV.nonEmpty) {
+                val p = frameV.last
+                lowlink(p) = math.min(lowlink(p), lowlink(v))
+              }
+            }
+          }
+        }
+      }
+      universe.toSeq.map(id => (id, comp(id))).toDF("node", "comp")
+    }
+  }
+
   /** Local twin of [[Algorithms.kCore]]: the same synchronous peel over
     * the distinct undirected edge set — each round drops EVERY node whose
     * live degree is below k at the round boundary (not incrementally), up

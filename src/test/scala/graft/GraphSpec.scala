@@ -47,6 +47,55 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SCC: planted cycles resolve exactly, local Tarjan ≡ GraphX coloring") {
+    // two 3-cycles bridged one-way (stay separate SCCs), a 2-cycle, a
+    // directed path (all singletons), and an isolated node
+    val g = graph(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),          // SCC {1,2,3}
+      (3L, 10L),                             // one-way bridge
+      (10L, 11L), (11L, 12L), (12L, 10L),    // SCC {10,11,12}
+      (20L, 21L), (21L, 20L),                // SCC {20,21}
+      (30L, 31L), (31L, 32L)))               // path: singletons
+    import spark.implicits._
+    val iso = Seq(40L).toDF("id").selectExpr("id", "'n' AS label",
+      "CAST(map() AS map<string,string>) AS props")
+    val withIso = graft.graph.PropertyGraph(g.nodes.unionByName(iso), g.edges)
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L, 32L -> 32L, 40L -> 40L)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(GraphXBridge.stronglyConnectedComponents(spark, withIso))
+    assert(local == expected, s"local: $local")
+    val dist = withLocalExecOff {
+      labels(GraphXBridge.stronglyConnectedComponents(spark, withIso, numParts = 2))
+    }
+    assert(dist == expected, s"distributed: $dist")
+  }
+
+  test("SCC on Wiki-Vote: directed structure differs from CC, giant SCC labeled by min member") {
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    val scc = GraphXBridge.stronglyConnectedComponents(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = scc.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val (giantLabel, giantSize) = sizes.maxBy(_._2)
+    // known structure of the directed Wiki-Vote graph: one giant SCC of
+    // ~1300 nodes, everything else near-singleton; far smaller than the
+    // weakly-connected giant component (~7k) — the directedness matters
+    assert(giantSize > 1000 && giantSize < 3000, s"giant SCC size $giantSize")
+    assert(sizes.count(_._2 == 1) > 4000, "most nodes are singleton SCCs")
+    // labels are canonical: every SCC's label IS its minimum member
+    val minByComp = scc.toSeq.groupBy(_._2).map { case (c, m) => c -> m.map(_._1).min }
+    minByComp.foreach { case (c, mn) => assert(c == mn, s"comp $c min member $mn") }
+    assert(giantLabel == scc.filter(_._2 == giantLabel).keys.min)
+    // sanity against the undirected CC: SCC refines it
+    val cc = GraphXBridge.connectedComponents(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scc.keys.foreach { n =>
+      assert(cc(n) <= scc(n), s"node $n: SCC label ${scc(n)} below CC label ${cc(n)}")
+    }
+  }
+
   test("Wiki-Vote PageRank: per-iteration snapping is semantics-preserving (≤1e-6 vs raw)") {
     // g_wikivote_pagerank stays oracle-matchable by snapping every
     // iteration's ranks to 9 dp (order-dependent double reduction over
