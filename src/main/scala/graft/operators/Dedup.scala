@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Deduplication stack (SURVEY §2 D1-D4): exact content-hash dedup,
-  * MinHash+LSH near-dup candidate generation, n-gram Jaccard verification,
-  * SimHash fingerprinting.
+/** Deduplication stack (SURVEY §2 D1-D13): exact content-hash dedup,
+  * MinHash+LSH near-dup candidate generation, n-gram Jaccard and banded
+  * Levenshtein verification, SimHash fingerprinting, near-dup cluster
+  * canonicalization, incremental and Bloom-prefiltered membership,
+  * exact-substring span detection + trim, and the cross-source overlap
+  * matrix.
   *
   * Scale design (SURVEY §5): signatures are computed per-row with
   * higher-order functions (one scan, no explode until the band join); the
@@ -314,7 +317,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("vals", expr(
         s"transform(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), w -> ${wordVal("instr")})"))
-      .select(keep.map(col) :+
+      .select(keep.toIndexedSeq.map(col) :+
         expr(s"graft_simhash(vals, $SimhashBits)").as("simhash"): _*)
   }
 

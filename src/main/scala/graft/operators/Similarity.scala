@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
-/** Similarity search over the embeddings table (SURVEY §2 D5-D7).
+/** Similarity search over the embeddings table (SURVEY §2 D5-D7, E1-E4:
+  * brute-force / LSH / IVF / quantized ANN, embedding near-dup, kNN
+  * label transfer, and the k-means centroid-update training step).
   *
   * D5 (brute-force cosine top-k): the query set is broadcast against the
   * corpus — the corpus is scanned once and never shuffled; per-query top-k

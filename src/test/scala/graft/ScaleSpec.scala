@@ -49,6 +49,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spanDedup recovers the planted exact dups with full-doc coverage at soak scale") {
+    val dir = s"/tmp/${Reset.ScratchPrefix}scale_span_spec"
+    try {
+      Scale.synthesize(spark, 20000L, dir)
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val got = graft.operators.Dedup.spanDedupOf(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(4)))).toMap
+      // every exact-dup plant pair (i%100 ∈ {98, 99}) shares its ENTIRE
+      // token stream with its twin → one span covering the whole doc
+      val plants = (0L until 20000L).filter(i => i % 100 == 98 || i % 100 == 99)
+      plants.foreach { id =>
+        val (n, cov) = got.getOrElse(id,
+          fail(s"planted dup doc $id missing from span output"))
+        assert(cov == n, s"doc $id: planted full-copy covered $cov of $n tokens")
+      }
+      // the near-dup plants (i%100 ∈ {96, 97}) share all but the appended
+      // word → coverage n-1 of the longer twin's n... at least n-1 of the
+      // SHORTER twin (id%100==96), whose stream is fully contained
+      (0L until 20000L).filter(_ % 100 == 96).foreach { id =>
+        val (n, cov) = got.getOrElse(id, fail(s"near-dup base doc $id missing"))
+        assert(cov == n, s"doc $id: contained stream covered $cov of $n")
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("localexec guard refuses a 2M-node graph; the distributed path answers it") {
     // The local fast path's 100 TB story is the GUARD, so soak the guard:
     // a generated 1500x1500 grid (2.25M nodes, ~4.5M edges, 8 B/row plan
