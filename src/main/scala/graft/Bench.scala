@@ -104,7 +104,19 @@ object Bench {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()
     } catch { case _: Throwable => () }
-    finally println(line)
+    finally {
+      println(line)
+      Console.out.flush()
+      // Nothing may EVER print after the line — the driver parses the
+      // tail of combined output, and one post-line straggler longer than
+      // the budget margin voids the round (BENCH_r02/r03). Log level OFF
+      // covers log4j, but JVM shutdown hooks (Hadoop ShutdownHookManager
+      // et al.) can still write; halt() skips them all. Cost: the
+      // spark-* temp-dir hook is skipped too (stop() above already
+      // released the block-manager dirs) — a leaked /tmp/spark-* per run
+      // on a throwaway bench host vs a voided round is an easy trade.
+      Runtime.getRuntime.halt(0)
+    }
   }
 
   /** Max/min ratio over a query's published passes above which the
@@ -283,7 +295,8 @@ object Bench {
     }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
                withDetail: Boolean = true, withUnit: Boolean = true,
-               sfFull: Boolean = true, withEmptyErrs: Boolean = true): String = {
+               sfFull: Boolean = true, withEmptyErrs: Boolean = true,
+               totalPrec: Int = 3): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
@@ -305,10 +318,7 @@ object Bench {
       // the leading path is decoration the degraded line can shed
       val sf = if (sfFull) sfDir
                else sfDir.reverse.takeWhile(_ != '/').reverse
-      // the total's ms digits go with the empty errors object: once the
-      // ladder is shedding structure, 100 ms resolution on the headline
-      // total is plenty (the detail file keeps the 4-decimal value)
-      val v = if (withEmptyErrs) jsonNum3(total) else num(total, 1)
+      val v = if (totalPrec >= 3) jsonNum3(total) else num(total, totalPrec)
       s"""{"metric":"total","value":$v$unit,"queries":$qs""" +
         s"""$errsPart$omitted$det,"sf":"$sf"}"""
     }
@@ -321,26 +331,29 @@ object Bench {
     // path), and only then drop the FASTEST queries (the slow ones carry
     // the signal)
     var line = render(bySlowest, 200, 3)
-    for ((prec, errMaxLen, withDetail, withUnit, sfFull, withEmptyErrs) <-
-           Seq((2, 200, true, true, true, true), (2, 40, true, true, true, true),
-               (2, 0, true, true, true, true), (1, 0, true, true, true, true),
-               (1, 0, false, true, true, true), (1, 0, false, false, true, true),
-               (1, 0, false, false, false, true),
-               // shed the information-free "errors":{} of an all-green run
-               (1, 0, false, false, false, false),
+    // (prec, errMaxLen, withDetail, withUnit, sfFull, withEmptyErrs, totalPrec)
+    for ((prec, errMaxLen, withDetail, withUnit, sfFull, withEmptyErrs, totalPrec) <-
+           Seq((2, 200, true, true, true, true, 3), (2, 40, true, true, true, true, 3),
+               (2, 0, true, true, true, true, 3), (1, 0, true, true, true, true, 3),
+               (1, 0, false, true, true, true, 3), (1, 0, false, false, true, true, 3),
+               (1, 0, false, false, false, true, 3),
+               // shed the information-free "errors":{} of an all-green
+               // run, and the headline total's ms digits with it (the
+               // detail file keeps the 4-decimal value)
+               (1, 0, false, false, false, false, 1),
                // whole-second per-query resolution (sub-second values
                // still widen via the never-zero rule): the coarsest
                // precision stage — still every query listed, which beats
                // dropping any (the detail sidecar keeps full fidelity)
-               (0, 0, false, false, false, false))
+               (0, 0, false, false, false, false, 1))
          if line.length > LineBudget)
       line = render(bySlowest, errMaxLen, prec, withDetail, withUnit, sfFull,
-        withEmptyErrs)
+        withEmptyErrs, totalPrec)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
       line = render(bySlowest.take(n), 0, 1, withDetail = false,
-        withUnit = false, sfFull = false, withEmptyErrs = false)
+        withUnit = false, sfFull = false, withEmptyErrs = false, totalPrec = 1)
     }
     line
   }

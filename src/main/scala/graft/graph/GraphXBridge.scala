@@ -79,12 +79,15 @@ object GraphXBridge {
     * graphs (the Wiki-Vote scale included) take the driver-local
     * iterative Tarjan instead — the GraphX loop is ~3 scheduled
     * fixpoints per outer iteration, pure job floor on a bounded graph.
-    * `numIter` bounds the outer coloring loop on the distributed path;
-    * each iteration fully resolves at least the SCCs that are sources/
-    * sinks in the condensation, so the bound needed is the condensation
-    * DAG's depth, not the SCC count. */
+    * `numIter` bounds the outer coloring loop on the distributed path.
+    * GraphX's loop EXITS EARLY once every vertex is finalized (the work
+    * graph empties), so the default is a runaway backstop, not a cost:
+    * the bound needed for convergence is the condensation DAG's depth,
+    * and a graph whose condensation is >1024 levels deep would
+    * otherwise SILENTLY return interim colors as labels — callers with
+    * such pathological chain-of-SCCs inputs must raise it. */
   def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
-                                  numIter: Int = 16, numParts: Int = 0): DataFrame = {
+                                  numIter: Int = 1024, numParts: Int = 0): DataFrame = {
     val vIds = g.nodes.select(col("id"))
     val eSd = g.edges.select(col("src"), col("dst"))
     if (LocalExec.enabled(spark) && LocalExec.smallEnough(vIds, eSd))

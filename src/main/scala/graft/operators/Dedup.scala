@@ -716,17 +716,24 @@ object Dedup {
     spanTrimOf(Tables.documents(spark, dir))
 
   private[graft] def spanTrimOf(docs: DataFrame): DataFrame = {
-    val cov = spanMarked(docs)
+    // per-doc MERGED [s, e] intervals (n_spans entries) — the removal
+    // test is exists-over-intervals, O(tokens × spans) per doc, NOT an
+    // exploded covered-index list: a 100k-token boilerplate doc that is
+    // mostly covered would make an index-list contains() quadratic
+    val spans = spanMarked(docs)
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("e")).as("e"))
-      .select(col("doc_id"), explode(expr("sequence(s, e)")).as("ci"))
-      .groupBy(col("doc_id")).agg(collect_list(col("ci")).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     docs.selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
-      .join(cov, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
       // wi is 0-based in Spark's indexed filter lambda, 1-based in the
-      // oracle's — hence the +1 here only
+      // oracle's — hence the +1 here only (exists is order-independent,
+      // so collect_list's nondeterministic span order is harmless)
       .selectExpr("doc_id", "size(w) AS n_tokens",
-        "filter(w, (x, wi) -> NOT array_contains(coalesce(cov, CAST(array() AS array<int>)), wi + 1)) AS kw")
+        """filter(w, (x, wi) -> NOT exists(
+          |  coalesce(spans, CAST(array() AS array<struct<s:int,e:int>>)),
+          |  sp -> wi + 1 >= sp.s AND wi + 1 <= sp.e)) AS kw""".stripMargin)
       .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
         "CAST(size(kw) AS BIGINT) AS n_kept",
         "md5(concat_ws(' ', kw)) AS kept_hash")

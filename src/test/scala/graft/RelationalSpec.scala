@@ -37,15 +37,16 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("rangeWindow: 10-min RANGE frame is inclusive, per-user, and tie-stable") {
     val e = events(
       (1L, 0, 7L, "click"), (2L, 5, 7L, "click"), (3L, 9, 7L, "click"),
-      (4L, 11, 7L, "click"), (5L, 30, 7L, "click"),
+      (4L, 11, 7L, "click"), (5L, 30, 7L, "click"), (8L, 20, 7L, "click"),
       // timestamp tie: both rows must see the SAME frame (RANGE peers)
       (6L, 2, 8L, "view"), (7L, 2, 8L, "view"))
     val got = Relational.rangeWindowOf(e).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
-    // exactly-10-minutes-ago is INSIDE the frame (inclusive bound): m9 sees m0
+    // the EXACT boundary is inside the frame (inclusive bound): m30 sees
+    // m20 (a gap of exactly 600000000 µs); m20 sees m11 but not m9
     assert(got == Map(
       1L -> ((1L, 1.0)), 2L -> ((2L, 2.0)), 3L -> ((3L, 3.0)),
-      4L -> ((3L, 3.0)), 5L -> ((1L, 1.0)),
+      4L -> ((3L, 3.0)), 8L -> ((2L, 2.0)), 5L -> ((2L, 2.0)),
       6L -> ((2L, 2.0)), 7L -> ((2L, 2.0))), got.toString)
   }
 
