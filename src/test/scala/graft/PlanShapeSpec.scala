@@ -151,6 +151,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must never shuffle for the query-set join\n" + p)
   }
 
+  test("rangeWindow is one partition-keyed exchange feeding a Window — no join, no global sort") {
+    val p = plan(Relational.rangeWindow(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "single-input window op must not join\n" + p)
+    assert("\\) Exchange".r.findAllIn(p).size <= 1,
+      "one hashpartitioning(user_id) shuffle at most\n" + p)
+    assert(!p.contains("rangepartitioning"),
+      "the window must hash-spread on user_id, never globally sort\n" + p)
+  }
+
+  test("spanTrim joins spans back by doc_id — no cartesian, no nested-loop fallback") {
+    val p = plan(graft.operators.Dedup.spanTrim(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the spans must reach the corpus via an equi-join on doc_id\n" + p)
+  }
+
   test("bloomSeenShingles probes in-plan via the broadcast filter, pre-shuffle") {
     withAutoBroadcastOff {
       val df = graft.operators.Dedup.bloomSeenShingles(spark, dir)
