@@ -60,9 +60,10 @@ object Bench {
     * and the DRIVER'S OWN capture confirms it: BENCH_r09.json's `tail`
     * field ends with the JSON line + '\n' and nothing after, so the true
     * ceiling is 1999. 1920 keeps ~80 chars of margin for a hypothetical
-    * shutdown-hook straggler while letting the 90-query suite render at
-    * 1-decimal per-query precision untrimmed. Per-query CPU/memory
-    * detail lives in [[DetailFile]], not on stdout. */
+    * shutdown-hook straggler while letting the current suite (92 queries
+    * as of r11; the r10 line rendered its 91 at 1-decimal in 1853 chars)
+    * render at 1-decimal per-query precision untrimmed. Per-query
+    * CPU/memory detail lives in [[DetailFile]], not on stdout. */
   val LineBudget = 1920
 
   /** Full-fidelity metrics sidecar, written next to the sbt working dir
@@ -96,6 +97,11 @@ object Bench {
       detailJson(results, idle, sfDir) + "\n")
     catch { case _: Throwable => () }
     val line = benchLine(results, sfDir, detailOut)
+    // rc semantics: 0 = every query measured, 1 = at least one query
+    // errored in all its passes (the failures are in the line's "errors"
+    // object and the detail sidecar). Wrappers keying off the exit code
+    // see the failure signal without parsing JSON.
+    val rc = if (results.exists(_.err.isDefined)) 1 else 0
     // Print the JSON line LAST, after Spark has fully shut down (log
     // level off so no shutdown chatter trails it): the harness parses
     // the tail of the combined output, so nothing may print after this.
@@ -115,7 +121,7 @@ object Bench {
       // spark-* temp-dir hook is skipped too (stop() above already
       // released the block-manager dirs) — a leaked /tmp/spark-* per run
       // on a throwaway bench host vs a voided round is an easy trade.
-      Runtime.getRuntime.halt(0)
+      Runtime.getRuntime.halt(rc)
     }
   }
 

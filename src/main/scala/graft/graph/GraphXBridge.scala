@@ -97,7 +97,24 @@ object GraphXBridge {
       }
     val scc = org.apache.spark.graphx.lib.StronglyConnectedComponents
       .run(toGraphX(g, numParts), numIter)
-    drain(spark, scc, scc.vertices, ("node", "comp"))
+    val out = drain(spark, scc, scc.vertices, ("node", "comp"))
+    // Convergence spot-check (caller-visible, not a docstring caveat): a
+    // converged run labels every SCC with its own min member, so every
+    // label must (a) not exceed its vertex id and (b) be a fixpoint of
+    // the labeling (comp(comp(v)) == comp(v)). An interim coloring left
+    // by hitting `numIter` on a >numIter-deep condensation chain breaks
+    // one of these for some vertex. Necessary-not-sufficient, but it
+    // turns the documented silent failure mode into a loud one for one
+    // cheap self-join over the (small) label relation.
+    val labels = out.select(col("node"), col("comp"))
+    val bad = labels.filter(col("comp") > col("node")).limit(1).count() +
+      labels.as("a").join(labels.as("b"), col("a.comp") === col("b.node"))
+        .filter(col("b.comp") =!= col("a.comp")).limit(1).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"SCC labeling not self-consistent after numIter=$numIter outer " +
+          "iterations: condensation deeper than the cap — raise numIter")
+    out
   }
 
   /** Single-source shortest path lengths via Pregel — or, when the plan

@@ -644,6 +644,59 @@ object GraphOps {
       localBounded = 1 << 16)
   }
 
+  // --- G18: strongly connected components ----------------------------------
+
+  /** G18: SCC over a planted directed graph — each region's nations form
+    * a directed cycle (one SCC per region) and the regions' minimum
+    * nations form a DAG chain between them (inter-SCC edges that must NOT
+    * merge components; they also exercise the condensation-depth loop).
+    * Labels are each SCC's minimum member, matching both the GraphX
+    * coloring SCC and the driver-local Tarjan twin. Cross-references the
+    * reference's directed-graph family (databases.py:129-137). */
+  def scc(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.sources.Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("id"),
+        col("n_regionkey").cast("long").as("rk"))
+      .selectExpr("id", "rk",
+        "row_number() OVER (PARTITION BY rk ORDER BY id) AS pos",
+        "count(*) OVER (PARTITION BY rk) AS cnt")
+    val cyc = r.as("a").join(r.as("b"),
+        col("a.rk") === col("b.rk") &&
+          col("b.pos") === col("a.pos") % col("a.cnt") + 1)
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val m = r.groupBy(col("rk")).agg(min(col("id")).as("mid"))
+    val chain = m.as("a").join(m.as("b"), col("b.rk") === col("a.rk") + 1)
+      .select(col("a.mid").as("src"), col("b.mid").as("dst"))
+    GraphXBridge.stronglyConnectedComponents(spark,
+      PropertyGraph(r.select(col("id")), cyc.union(chain)))
+  }
+
+  /** SCC oracle: same planted graph in SQL, then mutual reachability via
+    * log-many closure squarings (r0 is reflexive, so r_k covers paths up
+    * to 2^k; 5 squarings cover 32 > the 25-node graph's longest path) and
+    * comp(u) = min{v : u→v AND v→u} — u itself is always in the set via
+    * reflexivity, so every node is labeled. */
+  private val sccOracle: String = {
+    val squarings = (1 to 5).map { i =>
+      s"r$i AS MATERIALIZED (SELECT DISTINCT a.u, b.v FROM r${i - 1} a JOIN r${i - 1} b ON a.v = b.u)"
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+       |    CAST(n_regionkey AS BIGINT) AS rk,
+       |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+       |    count(*) OVER (PARTITION BY n_regionkey) AS cnt
+       |  FROM nation),
+       |cyc AS (SELECT a.id AS src, b.id AS dst FROM r a JOIN r b
+       |  ON a.rk = b.rk AND b.pos = a.pos % a.cnt + 1),
+       |m AS (SELECT rk, min(id) AS mid FROM r GROUP BY 1),
+       |chain AS (SELECT a.mid AS src, b.mid AS dst FROM m a JOIN m b ON b.rk = a.rk + 1),
+       |e AS (SELECT src, dst FROM cyc UNION ALL SELECT src, dst FROM chain),
+       |r0 AS (SELECT src AS u, dst AS v FROM e UNION SELECT id, id FROM r),
+       |$squarings
+       |SELECT f.u AS node, min(f.v) AS comp
+       |FROM r5 f JOIN r5 g ON g.u = f.v AND g.v = f.u
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Unrolled synchronous LPA: freq → per-node best (count desc, label
     * asc) → relabel, `iters` times. */
   private def lpaOracle(edgesSql: String, iters: Int): String = {
@@ -781,6 +834,7 @@ object GraphOps {
     "g_pagerank" -> pageRank,
     "g_triangles" -> triangles,
     "g_label_prop" -> labelProp,
+    "g_scc" -> scc,
     "g_neighborhood_agg" -> neighborhoodAgg)
 
   val oracles: Map[String, String] = Map(
@@ -865,6 +919,7 @@ object GraphOps {
       "SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation", 10, 0.85),
     "g_wikivote_pagerank" -> prOracle(wikiEdgesSql, wikiNodesSql, 10, 0.85, snap = 9),
     "g_label_prop" -> lpaOracle(nationEdgesSql, LpaRounds),
+    "g_scc" -> sccOracle,
     "g_triangles" ->
       s"""WITH e AS ($nationEdgesSql),
          |ce AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
