@@ -626,9 +626,13 @@ object Dedup {
     * (min(doc)≠max(doc) — no count-distinct expansion) and the semi-join
     * back to positions (Catalyst reuses the exchange: both consumers hash
     * on `g`); then a window partitioned by doc_id (per-doc data, never a
-    * wide shuffle). At 100 TB the gram key would be `xxhash64(g)` to
-    * shrink the shuffle — kept as the raw string here so the DuckDB
-    * oracle is hash-for-hash identical; the plan shape is unchanged.
+    * wide shuffle). The gram KEY is `xxhash64(gram)` by default — the
+    * gram never appears in the output, so an 8-byte long key carries the
+    * same duplicate test as the ~5-word string at a fraction of the
+    * exchange/checkpoint bytes (the at-scale form; a 64-bit collision
+    * among corpus grams is ~1e-8 at 1e5 grams and the oracle gate would
+    * catch one). [[RawGramKeyKey]]=true keeps the raw string key —
+    * DedupSpec pins the two keyings result-identical at bench scale.
     * Within-doc-only repeats are deliberately NOT spans (T11 repetition
     * covers those); merge is on overlap, adjacent spans stay separate. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
@@ -637,15 +641,25 @@ object Dedup {
   /** Shared core of D12/D12b: one row per cross-doc-duplicated gram with
     * its doc, token interval [i, e], doc token count, and merged-span
     * (island) id. */
+  /** Session conf: `true` reverts [[spanMarked]]'s gram key to the raw
+    * gram string (debugging/readability); default is the xxhash64 long
+    * key. Either way the key is join-internal — results are identical. */
+  val RawGramKeyKey = "graft.spandedup.rawGramKey"
+
   private def spanMarked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rawKey =
+      try docs.sparkSession.conf.get(RawGramKeyKey, "false").toBoolean
+      catch { case _: IllegalArgumentException => false }
+    val gram = s"concat_ws(' ', slice(w, i, $SpanK))"
+    val gramKey = if (rawKey) gram else s"xxhash64($gram)"
     val pos = docs
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
       .filter(expr(s"size(w) >= $SpanK"))
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
         explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanK - 1}),
-             |  i -> struct(i AS i, concat_ws(' ', slice(w, i, $SpanK)) AS g))""".stripMargin)).as("u"))
+             |  i -> struct(i AS i, $gramKey AS g))""".stripMargin)).as("u"))
       .select(col("doc_id"), col("n_tokens"), col("u.i").as("i"), col("u.g").as("g"))
       // feeds the duplicate test and the semi-join back: one tokenize+
       // explode pass instead of two. NOTE the materialized relation here

@@ -144,7 +144,39 @@ object GraphOps {
     * SF-derived N), plus the hops/target-depth/insert-count axes. Merged
     * over the gated map by BenchSweep. */
   val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
-    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep
+    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep ++ distSweep
+
+  /** Forced-distributed twins of gated graph rows (`<name>@dist`): the
+    * identical query builders with [[graft.graph.LocalExec]] disabled for
+    * the duration of the build, so BENCH_SWEEP.csv measures the
+    * distributed BFS/Pregel/peel/CC/coloring formulations — the actual
+    * 100 TB execution path — every round. Since LocalExec landed, every
+    * bounded gated graph row routes driver-local at bench SFs, which made
+    * distributed-path performance regressions invisible in committed
+    * artifacts; these rows close that hole (GraphSpec pins the two paths
+    * RESULT-equal; these pin the distributed path MEASURED). */
+  private def distSweep: Map[String, (SparkSession, String) => DataFrame] = {
+    def forcedDistributed(fn: (SparkSession, String) => DataFrame):
+        (SparkSession, String) => DataFrame = (s, d) => {
+      val prev = s.conf.getOption(graft.graph.LocalExec.MaxBytesKey)
+      s.conf.set(graft.graph.LocalExec.MaxBytesKey, "0")
+      // the local-vs-distributed route is decided eagerly inside the
+      // query builder (and the iterative formulations run their rounds
+      // there too), so restoring the conf after the builder returns
+      // cannot re-route the already-built plan
+      try fn(s, d)
+      finally prev match {
+        case Some(v) => s.conf.set(graft.graph.LocalExec.MaxBytesKey, v)
+        case None => s.conf.unset(graft.graph.LocalExec.MaxBytesKey)
+      }
+    }
+    Seq[(String, (SparkSession, String) => DataFrame)](
+      "g_khop_grid" -> khopGrid, "g_sssp_grid" -> ssspGrid,
+      "g_wsssp_grid" -> wssspGrid,
+      "g_connected_components" -> connectedComponents,
+      "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc)
+      .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
+  }
 
   /** The overlays that are the gated fixed-size grid queries re-run at the
     * SF-scaled N. BenchSweep renames their rows to `name@n<N>` (the actual

@@ -58,6 +58,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("span gram keying: xxhash64 default ≡ raw-string key on the real corpus (dedup AND trim)") {
+    // the gram key is join-internal; the hashed (at-scale) and raw-string
+    // keyings must produce byte-identical results
+    def both[A](f: => Array[org.apache.spark.sql.Row]): (Seq[String], Seq[String]) = {
+      spark.conf.set(Dedup.RawGramKeyKey, "false")
+      val hashed = f.map(_.toString).toSeq.sorted
+      spark.conf.set(Dedup.RawGramKeyKey, "true")
+      val raw = f.map(_.toString).toSeq.sorted
+      spark.conf.unset(Dedup.RawGramKeyKey)
+      (hashed, raw)
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val (dh, dr) = both(Dedup.spanDedupOf(docs).collect())
+    assert(dh.nonEmpty && dh == dr, "spanDedup: hashed vs raw gram key diverged")
+    val (th, tr) = both(Dedup.spanTrimOf(docs).collect())
+    assert(th.nonEmpty && th == tr, "spanTrim: hashed vs raw gram key diverged")
+  }
+
   test("spanTrim: removed-token count equals spanDedup's coverage; untouched docs hash their full stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -33,6 +33,40 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("@dist overlays run the distributed path and agree with the gated rows") {
+    // result equality: the forced-distributed twin must reproduce the
+    // gated (locally-routed) row exactly — the per-algorithm local ≡
+    // distributed pins live in GraphSpec; this pins the OVERLAY wiring
+    // (conf set/restore around the builder) end to end
+    for (q <- Seq("g_kcore", "g_connected_components", "g_scc", "g_sssp_grid")) {
+      val gated = GraphOps.queries(q)(spark, dir).collect().map(_.toString).sorted
+      val dist = GraphOps.sweepQueries(s"$q@dist")(spark, dir).collect().map(_.toString).sorted
+      assert(dist.nonEmpty && gated.sameElements(dist), s"$q@dist diverged from gated row")
+    }
+    // route proof: the distributed Pregel SSSP schedules a job cascade
+    // (one-plus per superstep — ~30 levels on the sf0.001 grid), far past
+    // LocalExecJobsSpec's ≤6-job bound for the local route; count jobs to
+    // prove @dist actually left the local path
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      jobs.set(0)
+      GraphOps.sweepQueries("g_sssp_grid@dist")(spark, dir).collect()
+      org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() > 6,
+        s"g_sssp_grid@dist scheduled only ${jobs.get()} jobs — still on the local path?")
+      // and the conf round-trips: the overlay must not leave the kill
+      // switch set for subsequent queries
+      assert(spark.conf.getOption(graft.graph.LocalExec.MaxBytesKey).isEmpty,
+        "@dist overlay leaked graft.localexec.maxBytes=0 into the session")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("hops axis: reached-node counts grow monotonically with maxHops") {
     val counts = (1 to 8).map { h =>
       GraphOps.sweepQueries(s"g_khop_grid@h$h")(spark, dir).count()
@@ -76,6 +110,25 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
                   "d_span_dedup", "d_span_trim", "d_source_overlap",
                   "t_freq_score", "q_pivot", "s_knn_label")) {
       val e = exponent(q)
+      assert(e <= 1.15, f"$q scaling exponent $e%.2f — expected at most ~linear (≤ 1.15)")
+    }
+  }
+
+  test("sf-extrapolation guard: @dist rows scale at most ~linearly too") {
+    // same bar as the gated rows, applied to the forced-distributed
+    // twins: the 100 TB path must not hide a super-linear shape behind
+    // the LocalExec routing. Gated on the artifact carrying @dist rows
+    // (assume, not assert: a pre-r11 CSV simply hasn't measured them).
+    val csvPath = java.nio.file.Paths.get("BENCH_SWEEP.csv")
+    assume(java.nio.file.Files.exists(csvPath), "sweep CSV not generated yet")
+    val rows = BenchPlot.parseCsv(java.nio.file.Files.readString(csvPath))
+    val distQs = rows.map(_.query).distinct.filter(_.endsWith("@dist"))
+    assume(distQs.nonEmpty, "sweep CSV predates the @dist overlays")
+    for (q <- distQs) {
+      val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
+      assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
+      val ((s0, t0), (s1, t1)) = (pts.head, pts.last)
+      val e = math.log(math.max(t1, 0.02) / math.max(t0, 0.02)) / math.log(s1 / s0)
       assert(e <= 1.15, f"$q scaling exponent $e%.2f — expected at most ~linear (≤ 1.15)")
     }
   }
