@@ -1,0 +1,129 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Algorithms, GraphXBridge, LocalExec, PropertyGraph, Traversals}
+
+/** Distributed-graph scale soak — the graph counterpart of [[Scale]]'s
+  * 500k-doc corpus soak: generate a ~10M-edge power-law graph (orders of
+  * magnitude over [[LocalExec]]'s byte budget, and the knob is forced off
+  * anyway), run the DISTRIBUTED formulations the bounded bench graphs
+  * never exercise for time — DataFrame large/small-star CC, the GraphX CC
+  * twin, the synchronous k-core peel, Pregel PageRank, edge-iterator
+  * triangle counting, and a deep frontier BFS — and print one JSON line
+  * with per-op wall seconds AND scheduled job counts. The point is
+  * evidence for the 100 TB path: these plans' committed bench rows all
+  * route driver-local at bench SFs (by design — see LocalExec), so this
+  * soak is where a regression to quadratic work, unbounded rounds, or a
+  * job-count explosion in the distributed path becomes a number.
+  *
+  * Usage: runMain graft.GraphScale [nEdges]   (default 10,000,000)
+  * Prints: {"metric":"graph_scale","n_nodes":N,"n_edges":E,
+  *   "queries":{op:sec,...},"jobs":{op:count,...},"checks":{...},
+  *   "errors":{...}}
+  *
+  * Generation is fully distributed and deterministic (hash-derived, no
+  * RNG): endpoint = floor(N·u²) with u = xxhash64-uniform in [0,1), so
+  * the degree density is ∝ x^(-1/2) — node 0 is a ~2E/√N-degree hub
+  * (~20k at the default sizes) and the tail is long, the skew shape that
+  * stresses hub-adjacency handling (sorted-intersect orientation, peel
+  * rounds, frontier dedup) rather than a uniform graph's average case. */
+object GraphScale {
+
+  /** Deterministic distributed power-law edge generator: endpoint =
+    * floor(N · u²) with u = xxhash64-uniform in [0,1) (heavier mass at
+    * low ids — degree density ∝ x^(-1/2), node 0 a ~2E/√N-degree hub);
+    * self-loops dropped (every consumer ignores them; CC/peel semantics
+    * are identical either way). In [[main]] this is materialized once
+    * (localCheckpoint) so all six ops read the same edge relation — at
+    * true scale, the parquet staging table the pipeline would start
+    * from. */
+  def powerLawEdges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame = {
+    def endpoint(salt: Int): String =
+      s"CAST($nNodes * pow(pmod(xxhash64(id, $salt), 1000000) / 1000000.0, 2.0) AS BIGINT)"
+    spark.range(nEdges)
+      .selectExpr(s"${endpoint(1)} AS src", s"${endpoint(2)} AS dst")
+      .filter(col("src") =!= col("dst"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEdges = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val nNodes = math.max(16L, nEdges / 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the graph is over-budget by construction; force the knob anyway so
+    // the soak cannot silently measure the local path after a budget bump
+    spark.conf.set(LocalExec.MaxBytesKey, "0")
+
+    val jobs = new AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+
+    val edges = powerLawEdges(spark, nEdges, nNodes).localCheckpoint()
+    val nodes = spark.range(nNodes).select(col("id"))
+    val g = PropertyGraph(nodes, edges)
+    val edgeCount = edges.count()
+
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def op(name: String)(body: => DataFrame)(check: DataFrame => Long): (String, Double, Int, Option[String]) = {
+      try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      catch { case _: Throwable => () }
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      val err = try { checks(name) = check(body); None } catch {
+        case t: Throwable => Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+          .replaceAll("[\\x00-\\x1f\"\\\\,]", " ").take(200))
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      catch { case _: Throwable => () }
+      // NO Reset.clear between ops: it would evict the shared edge
+      // checkpoint blocks (checkpointRDDBlockIdNotFound on the next op).
+      // The iterative ops drain their own intermediate caches; the soak
+      // accepts their residue rather than regenerating 10M edges 6 times.
+      val n = jobs.get()
+      (name, secs, n, err)
+    }
+
+    val results = Seq(
+      // the scalable DataFrame formulation (alternating large/small-star)
+      op("cc_dataframe")(Algorithms.connectedComponents(nodes, edges))(
+        _.agg(countDistinct(col("comp"))).head.getLong(0)),
+      // the GraphX twin behind the gated query
+      op("cc_graphx")(GraphXBridge.connectedComponents(spark, g))(
+        _.agg(countDistinct(col("comp"))).head.getLong(0)),
+      op("kcore_k3")(Algorithms.kCore(edges, k = 3, rounds = 10))(_.count()),
+      op("pagerank_10it")(GraphXBridge.pageRank(spark, g, iters = 10))(
+        // ranks are probability-normalized (start 1/N); total mass stays
+        // ~1 under damping — record it in ppm so the check is a stable
+        // nonzero integer
+        df => (df.agg(sum(col("rank"))).head.getDouble(0) * 1e6).toLong),
+      op("triangles")(Algorithms.triangleCounts(nodes, edges))(
+        _.agg(sum(col("n_tri"))).head.getLong(0)),
+      op("bfs_hub_d10")(Traversals.kHop(edges, source = 0L, maxHops = 10))(_.count()))
+
+    val ok = results.filter(_._4.isEmpty)
+    def obj(f: ((String, Double, Int, Option[String])) => String): String =
+      ok.map(f).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"graph_scale","value":${Bench.jsonNum(ok.map(_._2).sum)},""" +
+      s""""unit":"sec","n_nodes":$nNodes,"n_edges":$edgeCount,""" +
+      s""""queries":${obj(r => s"\"${r._1}\":${Bench.jsonNum(r._2)}")},""" +
+      s""""jobs":${obj(r => s"\"${r._1}\":${r._3}")},""" +
+      s""""checks":${checks.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},""" +
+      s""""errors":${results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }.mkString("{", ",", "}")}}"""
+    println(line)
+    spark.stop()
+  }
+}

@@ -142,4 +142,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally walk.close()
     }
   }
+
+  test("GraphScale generator: deterministic, self-loop-free, genuinely skewed") {
+    val nEdges = 50000L
+    val nNodes = 5000L
+    val e = GraphScale.powerLawEdges(spark, nEdges, nNodes)
+    // deterministic (hash-derived, no RNG): two evaluations agree exactly
+    assert(e.collect().map(_.toString).sorted
+      .sameElements(e.collect().map(_.toString).sorted))
+    val rows = e.selectExpr("min(src)", "max(src)", "min(dst)", "max(dst)",
+      "count(*)", "sum(CASE WHEN src = dst THEN 1 ELSE 0 END)").head
+    assert(rows.getLong(0) >= 0 && rows.getLong(1) < nNodes &&
+      rows.getLong(2) >= 0 && rows.getLong(3) < nNodes, "endpoints in [0, N)")
+    assert(rows.getLong(5) == 0, "no self-loops")
+    // skew: the hub's degree must dwarf the mean — the soak exists to
+    // stress hub-adjacency handling, so the generator must actually
+    // produce one (design point ~2E/sqrt(N) ≈ 28x mean at these sizes)
+    val degs = e.selectExpr("src AS v").union(e.selectExpr("dst AS v"))
+      .groupBy("v").count()
+    val hub = degs.agg(max("count")).head.getLong(0)
+    val mean = 2.0 * rows.getLong(4) / nNodes
+    assert(hub > 10 * mean, s"hub degree $hub not >> mean $mean")
+  }
 }
