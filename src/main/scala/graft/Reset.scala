@@ -57,9 +57,37 @@ object Reset {
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Run `write` only the first time `path` is claimed this JVM (until
-    * clearScratch resets the markers). */
+    * clearScratch resets the markers). The written tree is fsynced before
+    * returning: the scratch write runs in the bench's UNTIMED warmup, and
+    * without the sync the OS flushes its dirty pages asynchronously —
+    * writeback landing inside a later TIMED read pass was the likely
+    * driver of the r10 `c_curated_sink` bimodality (0.26-0.63 s on the
+    * driver host's disk-backed /tmp). Cost stays in the pass that caused
+    * it. */
   def writeOnce(path: String)(write: => Unit): Unit =
-    if (written.add(path)) write
+    if (written.add(path)) {
+      write
+      syncTree(Paths.get(path))
+    }
+
+  /** Best-effort fsync of every regular file under `root` (and the dirs
+    * themselves, so entries are durable too). */
+  private def syncTree(root: java.nio.file.Path): Unit = {
+    if (!Files.exists(root)) return
+    val stream = Files.walk(root)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) {
+          try {
+            val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+            try ch.force(true) finally ch.close()
+          } catch { case _: Throwable => () }
+        }
+      }
+    } finally stream.close()
+  }
 
   /** writeOnce for a saveAsTable-backed layout: catalogs are per-SESSION
     * while the write-once markers are per-JVM, so a fresh session in a
