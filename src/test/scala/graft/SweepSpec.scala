@@ -133,6 +133,31 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("insert axis: MARGINAL per-op cost stays under the 50 ms bar") {
+    // wall/N on a single run folds the stream start/stop fixed cost into
+    // the metric; the op-count axis separates them — the least-squares
+    // SLOPE over n8..n64 is the steady-state marginal cost per insert
+    // (measured ~34 ms/op; a 2000-op run concurs). Bar at 55 ms: enough
+    // headroom for host floor inflation (the r10 driver refresh ran
+    // ~1.5x the builder's floors), tight enough that a per-op
+    // regression — a new fork, a codegen re-enable, a WAL sync on the
+    // timed path — blows through it.
+    val csvPath = java.nio.file.Paths.get("BENCH_SWEEP.csv")
+    assume(java.nio.file.Files.exists(csvPath), "sweep CSV not generated yet")
+    val rows = BenchPlot.parseCsv(java.nio.file.Files.readString(csvPath))
+    val pts = rows.filter(r => r.query.startsWith("g_insert_stream@n") && r.sf == 0.1)
+      .map(r => (r.query.stripPrefix("g_insert_stream@n").toDouble, r.seconds))
+    assume(pts.size >= 3, "sweep CSV missing the insert op-count axis at sf0.1")
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(slope > 0, f"non-positive insert slope $slope%.4f — axis rows broken?")
+    assert(slope * 1000 <= 55,
+      f"marginal insert cost ${slope * 1000}%.1f ms/op exceeds the 55 ms guard")
+  }
+
   test("artifact agreement: sweep sf0.1 and BENCH_DETAIL concur on every shared query") {
     // The r7-r9 artifact confusion (sweep rows silently running SF-scaled
     // grids under the gated names; one contaminated DETAIL run) is pinned
