@@ -463,9 +463,15 @@ object BenchSweep {
       }
       val sfRows = Bench.runSuite(spark, listener, dir,
         SparkEntry.queries ++ overlays).map { r =>
+        // grid_n labels only the SF-SCALED axes (@n / @h / @d): the
+        // @dist twins wrap the gated FIXED-size builders (grid 20/16),
+        // so stamping them with the SF-scaled N would claim a workload
+        // that never ran — the r7-r9 mislabeling class this column
+        // exists to prevent
         val gridN =
-          if (graft.operators.GraphOps.gridOverlayNames(r.name.takeWhile(_ != '@'))
-              && r.name.contains("@")) n.toString
+          if (r.name.contains("@") && !r.name.endsWith("@dist") &&
+              graft.operators.GraphOps.gridOverlayNames(r.name.takeWhile(_ != '@')))
+            n.toString
           else ""
         s"${r.name},$sf,${Bench.jsonNum(r.secs)},${Bench.jsonNum(r.cpuS)}," +
           s"${Bench.jsonNum(r.peakMb)},${r.err.getOrElse("")}," +

@@ -105,9 +105,13 @@ object GraphScale {
         _.agg(countDistinct(col("comp"))).head.getLong(0)),
       op("kcore_k3")(Algorithms.kCore(edges, k = 3, rounds = 10))(_.count()),
       op("pagerank_10it")(GraphXBridge.pageRank(spark, g, iters = 10))(
-        // ranks are probability-normalized (start 1/N); total mass stays
-        // ~1 under damping — record it in ppm so the check is a stable
-        // nonzero integer
+        // ranks start probability-normalized (1/N), but the power-law
+        // generator leaves most high-id nodes DANGLING (no out-edges)
+        // and pageRank does not redistribute their mass, so total mass
+        // decays below 1 each iteration (~0.787 at 10 iterations on the
+        // default sizes). Recorded in ppm: a stable nonzero integer
+        // whose drift would flag a semantics change in either the
+        // generator's skew or the dangling handling.
         df => (df.agg(sum(col("rank"))).head.getDouble(0) * 1e6).toLong),
       op("triangles")(Algorithms.triangleCounts(nodes, edges))(
         _.agg(sum(col("n_tri"))).head.getLong(0)),
@@ -125,5 +129,9 @@ object GraphScale {
       s""""errors":${results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }.mkString("{", ",", "}")}}"""
     println(line)
     spark.stop()
+    // same rc contract as Bench: 0 = every op measured, 1 = at least
+    // one op errored (details in the line's "errors" object) — wrappers
+    // keying off the exit code see the failure without parsing JSON
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

@@ -70,16 +70,18 @@ object Reset {
       syncTree(Paths.get(path))
     }
 
-  /** Best-effort fsync of every regular file under `root` (and the dirs
-    * themselves, so entries are durable too). */
-  private def syncTree(root: java.nio.file.Path): Unit = {
+  /** Best-effort fsync of every regular file AND directory under `root`
+    * (directories included so entry metadata is flushed too — on this
+    * JDK/Linux, FileChannel.open(dir, READ).force works; any platform
+    * where it throws just degrades to file-only syncing). */
+  private[graft] def syncTree(root: java.nio.file.Path): Unit = {
     if (!Files.exists(root)) return
     val stream = Files.walk(root)
     try {
       val it = stream.iterator()
       while (it.hasNext) {
         val p = it.next()
-        if (Files.isRegularFile(p)) {
+        if (Files.isRegularFile(p) || Files.isDirectory(p)) {
           try {
             val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
             try ch.force(true) finally ch.close()
@@ -104,8 +106,12 @@ object Reset {
   def writeOnceTable(spark: SparkSession, table: String, path: String)
                     (write: => Unit): Unit =
     written.synchronized {
-      if (!spark.catalog.tableExists(table)) { written.add(path); write }
-      else if (written.add(path)) write
+      // same warmup-writeback isolation as writeOnce: the bucketed
+      // lookup tables are setup too, and their dirty pages must not
+      // flush inside a later timed pass
+      if (!spark.catalog.tableExists(table)) {
+        written.add(path); write; syncTree(Paths.get(path))
+      } else if (written.add(path)) { write; syncTree(Paths.get(path)) }
     }
 
   /** Delete every /tmp/graft_* scratch dir and reset ALL per-JVM

@@ -638,14 +638,14 @@ object Dedup {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupOf(Tables.documents(spark, dir))
 
-  /** Shared core of D12/D12b: one row per cross-doc-duplicated gram with
-    * its doc, token interval [i, e], doc token count, and merged-span
-    * (island) id. */
   /** Session conf: `true` reverts [[spanMarked]]'s gram key to the raw
     * gram string (debugging/readability); default is the xxhash64 long
     * key. Either way the key is join-internal — results are identical. */
   val RawGramKeyKey = "graft.spandedup.rawGramKey"
 
+  /** Shared core of D12/D12b: one row per cross-doc-duplicated gram with
+    * its doc, token interval [i, e], doc token count, and merged-span
+    * (island) id. */
   private def spanMarked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rawKey =

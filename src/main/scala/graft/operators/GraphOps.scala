@@ -157,19 +157,25 @@ object GraphOps {
     * RESULT-equal; these pin the distributed path MEASURED). */
   private def distSweep: Map[String, (SparkSession, String) => DataFrame] = {
     def forcedDistributed(fn: (SparkSession, String) => DataFrame):
-        (SparkSession, String) => DataFrame = (s, d) => {
-      val prev = s.conf.getOption(graft.graph.LocalExec.MaxBytesKey)
-      s.conf.set(graft.graph.LocalExec.MaxBytesKey, "0")
-      // the local-vs-distributed route is decided eagerly inside the
-      // query builder (and the iterative formulations run their rounds
-      // there too), so restoring the conf after the builder returns
-      // cannot re-route the already-built plan
-      try fn(s, d)
-      finally prev match {
-        case Some(v) => s.conf.set(graft.graph.LocalExec.MaxBytesKey, v)
-        case None => s.conf.unset(graft.graph.LocalExec.MaxBytesKey)
+        (SparkSession, String) => DataFrame = (s, d) =>
+      // scoped conf flip — held under the shared scope lock like every
+      // other flip (Reset.confFlip): two interleaved flips on one
+      // session could otherwise strand maxBytes=0 and silently re-route
+      // every later gated graph query distributed. Re-entrant for the
+      // builders that flip shuffle width under the same lock inside.
+      graft.Reset.confFlip.synchronized {
+        val prev = s.conf.getOption(graft.graph.LocalExec.MaxBytesKey)
+        s.conf.set(graft.graph.LocalExec.MaxBytesKey, "0")
+        // the local-vs-distributed route is decided eagerly inside the
+        // query builder (and the iterative formulations run their rounds
+        // there too), so restoring the conf after the builder returns
+        // cannot re-route the already-built plan
+        try fn(s, d)
+        finally prev match {
+          case Some(v) => s.conf.set(graft.graph.LocalExec.MaxBytesKey, v)
+          case None => s.conf.unset(graft.graph.LocalExec.MaxBytesKey)
+        }
       }
-    }
     Seq[(String, (SparkSession, String) => DataFrame)](
       "g_khop_grid" -> khopGrid, "g_sssp_grid" -> ssspGrid,
       "g_wsssp_grid" -> wssspGrid,
