@@ -169,12 +169,23 @@ object Bench {
     // Materialize via the noop sink, NOT count(): count() lets Catalyst
     // prune every unreferenced column, so per-row expression queries
     // (fingerprints, simhash, quality) would be timed as bare row counts.
-    // noop forces full computation of all output columns.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // noop forces full computation of all output columns. EXCEPTION — the
+    // interactive point-read family (SparkEntry.clientFetch): the
+    // reference counterparts of those ops return row lists to the bench
+    // process, so their faithful timed action is collect() into the
+    // driver (the deliverable IS the client fetch; results are
+    // client-sized by construction). collect() forces all output columns
+    // the same way noop does. Sweep overlays match on the base name so
+    // `@` twins keep their family's action.
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      if (SparkEntry.clientFetch(name.takeWhile(_ != '@'))) df.collect()
+      else df.write.mode("overwrite").format("noop").save()
+    }
     val ordered = queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      try run(name, fn) catch { case _: Throwable => () }
       Reset.clear(spark) // reference bench semantics: clear between runs
     }
     // Three timed passes, min per query: single-shot timings on shared
@@ -198,7 +209,7 @@ object Bench {
       def onePass(): (Double, Double, Double, Option[String]) = {
         var err: Option[String] = None
         val t0 = System.nanoTime()
-        try run(fn) catch {
+        try run(name, fn) catch {
           case t: Throwable =>
             // sanitize for both the JSON errors object and the sweep CSV:
             // drop quotes/backslashes/commas and ALL control chars

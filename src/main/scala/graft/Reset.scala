@@ -27,6 +27,12 @@ object Reset {
     * /tmp (edge-list dumps etc.) and reset the write-once markers so the
     * next query regenerates them. */
   def clear(spark: SparkSession, scratch: Boolean = false): Unit = {
+    // the LocalExec warm store and the prepared-graph memo are session
+    // state too (the in-process analog of the reference stores' warm
+    // caches): clear() empties them exactly like the reference's clear()
+    // empties its databases
+    graft.graph.LocalExec.clearWarm()
+    graft.graph.PropertyGraph.clearMemo()
     spark.catalog.clearCache()
     // catalog.clearCache only drops the SQL CacheManager; raw RDD persists
     // (GraphX graphs, localCheckpoints whose consumers are done) live in
@@ -121,6 +127,8 @@ object Reset {
   def clearScratch(): Unit = {
     written.clear()
     graft.operators.GraphOps.clearGridNCache()
+    graft.graph.LocalExec.clearWarm()
+    graft.graph.PropertyGraph.clearMemo()
     val tmp = Paths.get("/tmp")
     if (Files.isDirectory(tmp)) {
       val stream = Files.list(tmp)

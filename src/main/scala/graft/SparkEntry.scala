@@ -32,6 +32,21 @@ object SparkEntry {
         "g_insert_edges" -> ((s: SparkSession, _: String) =>
           graft.streaming.InsertBench.insertEdges(s)))
 
+  /** Queries whose reference counterpart RETURNS ROWS TO THE CLIENT
+    * (databases.py: `get_single_node`/`get_nodes_hops`/`ssp` hand row
+    * lists back to the bench process) — for these the faithful timed
+    * action is a `collect()` into the driver, not a sink write: the op's
+    * deliverable IS the client fetch, and every result here is
+    * client-sized by construction (a node, a hub's edge list, a bounded
+    * traversal's frontier set). Everything else stays on the noop sink
+    * (corpus-scale transforms whose deliverable is a dataset). Bench
+    * matches on the base name, so the sweep's `@n`/`@h`/`@d`/`@dist`
+    * twins of these rows inherit the client-fetch action. */
+  val clientFetch: Set[String] = Set(
+    "g_node_lookup", "g_node_lookup_fast", "g_wikivote_lookup",
+    "g_khop_grid", "g_khop_bipartite", "g_wikivote_khop",
+    "g_ssp_pair", "g_sssp_grid", "g_wsssp_grid")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -78,8 +78,7 @@ object Algorithms {
     // O(log n) rounds of two shuffle joins each; the probe's limit makes
     // a wrong assertion a cheap fallback, not a driver OOM
     if (localBounded > 0 && LocalExec.enabled(nodes.sparkSession))
-      LocalExec.connectedComponents(nodes.select(col("id")),
-          edges.select(col("src"), col("dst")), localBounded) match {
+      LocalExec.connectedComponents(nodes, edges, localBounded) match {
         case Some(df) => return df
         case None => ()
       }
@@ -158,6 +157,53 @@ object Algorithms {
           (lit((1 - d) / n) + lit(d) * coalesce(col("csum"), lit(0.0))).as("rank"))
       // checkpoint on a cadence: every round is overkill for lineage
       // control and each checkpoint is a full materializing job
+      ranks = if (i % ckptEvery == 0 || i == iters) next.localCheckpoint() else next
+    }
+    ew.unpersist()
+    ranks
+  }
+
+  /** Personalized PageRank — PageRank with the teleport vector
+    * concentrated on ONE source node instead of uniform:
+    *   r(v) = (1-d)·[v = source] + d · Σ_{u→v} r(u)/outdeg(u),
+    * init r₀ = [v = source]. The classic seeded-relevance /
+    * random-walk-with-restart score behind "similar nodes to X" — for a
+    * training-data pipeline, the graph-side analog of query-seeded data
+    * selection. Ranks are snapped HALF_UP to `snap` decimals every
+    * iteration (REQUIRED: snapping makes the contribution sum
+    * reduction-order-independent, which is what licenses both the local
+    * twin and the DuckDB oracle to reproduce it bit-for-bit).
+    *
+    * Same distributed shape as [[pageRank]]: outdeg pre-joined onto the
+    * edge relation once (persisted, reused every round), one
+    * shuffle-join + groupBy-sum per iteration, ranks checkpointed on a
+    * cadence. Plan-statistics-bounded graphs take the driver-local twin
+    * ([[LocalExec.personalizedPageRankSnapped]]).
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, source: Long,
+                           iters: Int, d: Double = 0.85, snap: Int = 9,
+                           ckptEvery: Int = 3): DataFrame = {
+    require(snap > 0, "personalizedPageRank is defined with per-iteration snapping")
+    if (LocalExec.enabled(nodes.sparkSession) && LocalExec.smallEnough(nodes, edges))
+      return LocalExec.personalizedPageRankSnapped(nodes, edges, source, iters, d, snap)
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, Seq("src")).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (lit(1.0) - lit(d)) *
+      when(col("node") === source, lit(1.0)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("id").as("node"),
+        when(col("id") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      val next = nodes.select(col("id").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(teleport + lit(d) * coalesce(col("csum"), lit(0.0)), snap).as("rank"))
       ranks = if (i % ckptEvery == 0 || i == iters) next.localCheckpoint() else next
     }
     ew.unpersist()
@@ -299,13 +345,12 @@ object Algorithms {
     // on their own, derived relations via the caller's probe-enforced
     // assertion (see LocalExec.collectBounded)
     if (LocalExec.enabled(spark)) {
-      val eSd = edges.select(col("src"), col("dst"))
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(eSd)) 1 << 21
+        else if (LocalExec.smallEnough(edges)) 1 << 21
         else 0
       if (bound > 0)
-        LocalExec.kCore(eSd, k, rounds, bound) match {
+        LocalExec.kCore(edges, k, rounds, bound) match {
           case Some(df) => return df
           case None => ()
         }
@@ -371,14 +416,12 @@ object Algorithms {
     // over a bounded graph is rounds × (join + window) of scheduling for
     // microseconds of compute
     if (LocalExec.enabled(nodes.sparkSession)) {
-      val eSd = edges.select(col("src"), col("dst"))
-      val vIds = nodes.select(col("id"))
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(vIds, eSd)) 1 << 21
+        else if (LocalExec.smallEnough(nodes, edges)) 1 << 21
         else 0
       if (bound > 0)
-        LocalExec.labelPropagation(vIds, eSd, rounds, bound) match {
+        LocalExec.labelPropagation(nodes, edges, rounds, bound) match {
           case Some(df) => return df
           case None => ()
         }

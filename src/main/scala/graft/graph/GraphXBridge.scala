@@ -54,15 +54,13 @@ object GraphXBridge {
     * the local union-find without any caller hint. */
   def connectedComponents(spark: SparkSession, g: PropertyGraph,
                           numParts: Int = 0, localBounded: Int = 0): DataFrame = {
-    val vIds = g.nodes.select(col("id"))
-    val eSd = g.edges.select(col("src"), col("dst"))
     if (LocalExec.enabled(spark)) {
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(vIds, eSd)) 1 << 21
+        else if (LocalExec.smallEnough(g.nodes, g.edges)) 1 << 21
         else 0
       if (bound > 0)
-        LocalExec.connectedComponents(vIds, eSd, bound) match {
+        LocalExec.connectedComponents(g.nodes, g.edges, bound) match {
           case Some(df) => return df
           case None => ()
         }
@@ -88,10 +86,8 @@ object GraphXBridge {
     * such pathological chain-of-SCCs inputs must raise it. */
   def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
                                   numIter: Int = 1024, numParts: Int = 0): DataFrame = {
-    val vIds = g.nodes.select(col("id"))
-    val eSd = g.edges.select(col("src"), col("dst"))
-    if (LocalExec.enabled(spark) && LocalExec.smallEnough(vIds, eSd))
-      LocalExec.stronglyConnectedComponents(vIds, eSd, 1 << 21) match {
+    if (LocalExec.enabled(spark) && LocalExec.smallEnough(g.nodes, g.edges))
+      LocalExec.stronglyConnectedComponents(g.nodes, g.edges, 1 << 21) match {
         case Some(df) => return df
         case None => ()
       }
@@ -124,10 +120,8 @@ object GraphXBridge {
   def distances(spark: SparkSession, g: PropertyGraph, source: Long,
                 numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    val vIds = g.nodes.select(col("id"))
-    val eSd = g.edges.select(col("src"), col("dst"))
-    if (LocalExec.smallEnough(vIds, eSd))
-      return LocalExec.distances(vIds, eSd, source)
+    if (LocalExec.smallEnough(g.nodes, g.edges))
+      return LocalExec.distances(g.nodes, g.edges, source)
     val gx = toGraphX(g, numParts).mapVertices((id, _) =>
       if (id == source) 0L else Long.MaxValue)
     val res = gx.pregel(Long.MaxValue)(
@@ -158,9 +152,8 @@ object GraphXBridge {
     * large one. */
   def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
                          target: Long, numParts: Int = 0): Long = {
-    val eSd = g.edges.select(col("src"), col("dst"))
-    if (LocalExec.smallEnough(eSd))
-      return LocalExec.shortestPathLength(eSd, source, target)
+    if (LocalExec.smallEnough(g.edges))
+      return LocalExec.shortestPathLength(g.edges, source, target)
     val Unset = Long.MaxValue
     var cur = toGraphX(g, numParts).mapVertices((id, _) => (
       if (id == source) 0L else Unset,
@@ -230,10 +223,8 @@ object GraphXBridge {
   def weightedDistances(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                         source: Long, numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    val vIds = nodes.select(col("id"))
-    val eSdw = edges.select(col("src"), col("dst"), col("w"))
-    if (LocalExec.smallEnough(vIds, eSdw))
-      return LocalExec.weightedDistances(vIds, eSdw, source)
+    if (LocalExec.smallEnough(nodes, edges))
+      return LocalExec.weightedDistances(nodes, edges, source)
     val v0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
     val e0 = edges.select(col("src"), col("dst"), col("w")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -269,12 +260,8 @@ object GraphXBridge {
     // is what snap exists for), so a plan-statistics-small graph may take
     // the one-collect local twin; raw-double runs stay on GraphX, whose
     // partition-order sum is part of their (engine-specific) semantics
-    if (snap > 0) {
-      val vIds = g.nodes.select(col("id"))
-      val eSd = g.edges.select(col("src"), col("dst"))
-      if (LocalExec.smallEnough(vIds, eSd))
-        return LocalExec.pageRankSnapped(vIds, eSd, iters, d, snap)
-    }
+    if (snap > 0 && LocalExec.smallEnough(g.nodes, g.edges))
+      return LocalExec.pageRankSnapped(g.nodes, g.edges, iters, d, snap)
     def snapped(r: Double): Double =
       if (snap > 0) BigDecimal(r).setScale(snap, BigDecimal.RoundingMode.HALF_UP).toDouble
       else r

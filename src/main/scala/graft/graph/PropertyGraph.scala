@@ -30,6 +30,23 @@ object PropertyGraph {
   /** Offset keeping supplier node ids disjoint from customer node ids. */
   val SupplierIdOffset = 1000000L
 
+  /** Prepared-graph memo — the "prepared statement" half of the warm
+    * store ([[LocalExec]]'s identity memo is keyed on Dataset INSTANCES,
+    * so it only pays off if repeat queries receive the same instance):
+    * each constructor below is a deterministic function of (session,
+    * args) over inputs that are immutable within a warm window, so the
+    * memo returns the same analyzed Dataset instead of re-paying
+    * 10-20 ms of Catalyst analysis per interactive pass. Cleared with
+    * the warm store on every [[graft.Reset.clear]]. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PropertyGraph]()
+
+  private[graft] def clearMemo(): Unit = memo.clear()
+
+  private def memoized(spark: SparkSession, key: String)
+                      (build: => PropertyGraph): PropertyGraph =
+    memo.computeIfAbsent((spark, key), _ => build)
+
   /** Bipartite order graph: customers ∪ suppliers, one edge per distinct
     * (customer, supplier) purchase relation in `lineitem ⋈ orders`.
     * The fact-fact join shuffles on orderkey; node tables are dimension-
@@ -45,7 +62,8 @@ object PropertyGraph {
       .select(col("o_custkey").cast("long").as("src"),
         (col("l_suppkey").cast("long") + SupplierIdOffset).as("dst"))
 
-  def bipartiteOrders(spark: SparkSession, dir: String): PropertyGraph = {
+  def bipartiteOrders(spark: SparkSession, dir: String): PropertyGraph =
+    memoized(spark, s"bipartite-$dir") {
     val c = Tables.customer(spark, dir).select(
       col("c_custkey").cast("long").as("id"),
       lit("customer").as("label"),
@@ -66,7 +84,8 @@ object PropertyGraph {
     * border) and to i+N (unless on the bottom row). Generated distributed
     * via `spark.range`, never materialized on the driver.
     */
-  def grid(spark: SparkSession, n: Int): PropertyGraph = {
+  def grid(spark: SparkSession, n: Int): PropertyGraph =
+    memoized(spark, s"grid-$n") {
     val ids = spark.range(n.toLong * n)
     val nodes = ids.select(col("id"), lit("cell").as("label"),
       map(lit("row"), (col("id") / n).cast("long").cast("string"),
@@ -81,7 +100,8 @@ object PropertyGraph {
   /** Nation adjacency: nations sharing a region form a clique (dense small
     * graph for triangle counting / PageRank, mirroring the reference's
     * fully-traversable toy graphs). Directed both ways. */
-  def nationAdjacency(spark: SparkSession, dir: String): PropertyGraph = {
+  def nationAdjacency(spark: SparkSession, dir: String): PropertyGraph =
+    memoized(spark, s"nation-$dir") {
     val n = Tables.nation(spark, dir)
     val nodes = n.select(col("n_nationkey").cast("long").as("id"),
       lit("nation").as("label"),
@@ -97,7 +117,8 @@ object PropertyGraph {
   /** Sparse multi-component sample of the bipartite graph (every 20th
     * order, first line only) — gives a disconnected undirected graph for
     * connected-components. */
-  def componentSample(spark: SparkSession, dir: String): PropertyGraph = {
+  def componentSample(spark: SparkSession, dir: String): PropertyGraph =
+    memoized(spark, s"compsample-$dir") {
     val e = Tables.lineitem(spark, dir)
       .filter(col("l_linenumber") === 1)
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -120,7 +141,8 @@ object PropertyGraph {
     * (databases.py:129-137, Wiki-Vote TSV): '#'-prefixed comment lines,
     * then one `src<TAB>dst` pair per line. Distributed text scan; the
     * comment filter and split are codegen'd expressions. */
-  def fromEdgeList(spark: SparkSession, path: String): PropertyGraph = {
+  def fromEdgeList(spark: SparkSession, path: String): PropertyGraph =
+    memoized(spark, s"edgelist-$path") {
     val lines = spark.read.text(path)
     val e = lines
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
@@ -139,7 +161,8 @@ object PropertyGraph {
     * included, unlike `fromEdgeList` which derives nodes from edges) plus
     * the Wiki-Vote TSV edge file. Both are distributed text scans. */
   def fromNodeEdgeLists(spark: SparkSession, nodesPath: String,
-                        edgesPath: String): PropertyGraph = {
+                        edgesPath: String): PropertyGraph =
+    memoized(spark, s"nel-$nodesPath-$edgesPath") {
     val nodes = spark.read.text(nodesPath)
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
       .select(trim(col("value")).cast("long").as("id"),

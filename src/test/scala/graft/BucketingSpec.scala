@@ -71,12 +71,29 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("Wiki-Vote bucketed edge lookup (G15g) prunes to a single bucket") {
     // the real-dataset form of the same layout story: the gated
-    // g_wikivote_lookup query must read 1/16 of the edge files
-    val lookup = graft.operators.GraphOps.wikivoteLookup(spark, "/root/testdata/sf0.001")
-    val plan = lookup.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
-      s"expected single-bucket scan of the Wiki-Vote edge table, got:\n$plan")
+    // g_wikivote_lookup query reads 1/16 of the edge files ON ITS
+    // AT-SCALE ROUTE — since the warm store landed, the default route at
+    // this size serves from driver memory (a LocalTableScan), so the
+    // layout pin runs with the knob off, which is exactly the 100 TB
+    // routing. Both routes must agree on the result.
+    val key = graft.graph.LocalExec.MaxBytesKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    val scanRoute =
+      try {
+        val lookup = graft.operators.GraphOps.wikivoteLookup(spark, "/root/testdata/sf0.001")
+        val plan = lookup.queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+          s"expected single-bucket scan of the Wiki-Vote edge table, got:\n$plan")
+        lookup.collect().map(_.toString).toSet
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     // hub 2565's out-degree in Wiki-VoteE.txt
-    assert(lookup.count() == 893)
+    assert(scanRoute.size == 893)
+    val warmRoute = graft.operators.GraphOps.wikivoteLookup(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSet
+    assert(warmRoute == scanRoute, "warm route ≠ bucket-pruned scan route")
   }
 }
