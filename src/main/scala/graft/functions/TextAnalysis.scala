@@ -842,7 +842,148 @@ object TextAnalysis {
       |  min(fpm) AS min_fpm
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  // --- T20: BM25 relevance ranking ------------------------------------------
+
+  /** Okapi BM25 parameters (the standard defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** T20: Okapi BM25 top-5 documents per query term — the retrieval
+    * scoring pass a training-data pipeline runs for data selection /
+    * quality-by-query curation (and the scoring core of any RAG corpus
+    * build). Query = the corpus's 3 highest-total-frequency terms
+    * (deterministic: ties by term), so the op needs no external input.
+    *
+    * score(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: ONE tokenize pass feeds tf, doc length, df, and the
+    * query-term pick (the tf relation is checkpointed and reused); the
+    * query set, df table, and avgdl scalar are broadcast; the only
+    * corpus-wide shuffle is the (doc, term) tf aggregation. The top-5
+    * window partitions by term over docs CONTAINING the term only.
+    * Doubles: the formula is one fixed expression tree evaluated
+    * identically on both engines; the published score snaps through
+    * DECIMAL(18,10) → 6 dp (the repo's standard cross-engine snap). */
+  def bm25Top(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl, df, query pick, and scoring: one pass
+    val dl = tok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).cast("double").as("avgdl"))
+    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val queryTerms = tok.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(3)
+      .select(col("w").as("term"))
+    val win = Window.partitionBy(col("term"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    tok.join(broadcast(queryTerms), col("w") === col("term"))
+      .join(broadcast(dfTab), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", expr(
+        s"""CAST(round(CAST(
+           |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
+           |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1))
+           |  / (CAST(tf AS DOUBLE) + $Bm25K1 * (1 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / avgdl))
+           |AS DECIMAL(18,10)), 6) AS DOUBLE)""".stripMargin))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select(col("term"), col("rnk"), col("doc_id"), col("bm25"))
+  }
+
+  def bm25TopOracle: String =
+    s"""WITH tok AS (SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(CAST(sum(dl) AS DOUBLE) / count(*) AS DOUBLE) AS avgdl FROM dl),
+       |dfx AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+       |q AS (SELECT w AS term FROM (SELECT w, sum(tf) AS cnt FROM tok GROUP BY 1)
+       |      ORDER BY cnt DESC, w LIMIT 3),
+       |scored AS (SELECT q.term, tok.doc_id,
+       |    CAST(round(CAST(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
+       |      * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1))
+       |      / (CAST(tf AS DOUBLE) + $Bm25K1 * (1 - $Bm25B + $Bm25B * CAST(dl.dl AS DOUBLE) / avgdl))
+       |    AS DECIMAL(18,10)), 6) AS DOUBLE) AS bm25
+       |  FROM tok JOIN q ON tok.w = q.term
+       |  JOIN dfx ON dfx.w = tok.w
+       |  JOIN dl ON dl.doc_id = tok.doc_id
+       |  CROSS JOIN stats),
+       |r AS (SELECT term, doc_id, bm25,
+       |    row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM scored)
+       |SELECT term, rnk, doc_id, bm25 FROM r WHERE rnk <= 5""".stripMargin
+
+  // --- T21: temperature-weighted source mixing ------------------------------
+
+  /** Mixing temperature exponent (α): sampling weight ∝ n^α flattens the
+    * source distribution (α=1 keeps natural proportions, α=0 is uniform);
+    * 0.5 is the square-root temperature commonly used for multi-source
+    * corpus mixing. */
+  val MixAlpha = 0.5
+
+  /** Overall sampling budget as a fraction of the corpus. */
+  val MixBudget = 0.5
+
+  /** T21: temperature-weighted source mixing — THE data-mixing op of a
+    * multi-source training pipeline: re-weight sources by n^α (α = 0.5
+    * temperature), allocate a total budget (50% of the corpus) across
+    * sources by the flattened weights, and downsample each source to its
+    * allocation with the deterministic md5-permille draw shared with
+    * T7/T10 (so membership is reproducible and engine-independent).
+    * Over-represented sources shrink toward the flattened share;
+    * under-represented ones keep everything (keep-ratio capped at 1).
+    *
+    * Scale shape: one tiny per-source count aggregation, thresholds
+    * BROADCAST back, one filter pass over the corpus — no corpus
+    * shuffle. Cross-engine determinism: per-source weights snap through
+    * DECIMAL(18,10) and the weight TOTAL is a decimal sum (exact,
+    * order-insensitive), so the double division that follows sees
+    * bit-identical inputs on both engines; the final threshold is
+    * floor()'d before the int cast (TRUNCATION on both engines — a bare
+    * INT cast rounds in DuckDB but truncates in Spark). */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", expr(
+        s"CAST(round(CAST(pow(CAST(n AS DOUBLE), $MixAlpha) AS DECIMAL(18,10)), 9) AS DECIMAL(18,10))"))
+    val totals = counts.agg(sum(col("n")).as("n_total"), sum(col("w")).as("w_total"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .withColumn("thr", expr(
+        s"""CAST(floor(1000 * least(CAST(1.0 AS DOUBLE),
+           |  $MixBudget * CAST(n_total AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))
+           |    / CAST(n AS DOUBLE))) AS INT)""".stripMargin))
+      .select(col("source"), col("thr"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(expr(s"${sparkPermille("CAST(doc_id AS STRING)")} < thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def sourceMixOracle: String =
+    s"""WITH counts AS (SELECT source, count(*) AS n,
+       |    CAST(round(CAST(pow(CAST(count(*) AS DOUBLE), $MixAlpha) AS DECIMAL(18,10)), 9) AS DECIMAL(18,10)) AS w
+       |  FROM documents GROUP BY 1),
+       |totals AS (SELECT sum(n) AS n_total, sum(w) AS w_total FROM counts),
+       |thresholds AS (SELECT source,
+       |    CAST(floor(1000 * least(CAST(1.0 AS DOUBLE),
+       |      $MixBudget * CAST(n_total AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))
+       |        / CAST(n AS DOUBLE))) AS INT) AS thr
+       |  FROM counts CROSS JOIN totals)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN thresholds t ON d.source = t.source
+       |WHERE ${duckPermille("CAST(d.doc_id AS VARCHAR)")} < t.thr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bm25" -> bm25Top,
+    "t_source_mix" -> sourceMix,
     "t_freq_score" -> freqScore,
     "t_pii_scrub" -> piiScrub,
     "t_seq_pack" -> seqPack,
@@ -865,6 +1006,8 @@ object TextAnalysis {
     "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
+    "t_bm25" -> bm25TopOracle,
+    "t_source_mix" -> sourceMixOracle,
     "t_freq_score" -> freqScoreOracle,
     "t_pii_scrub" -> piiScrubOracle,
     "t_seq_pack" -> seqPackOracle,
