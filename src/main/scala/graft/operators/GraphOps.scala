@@ -715,6 +715,78 @@ object GraphOps {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  // --- G20: random-walk sampling --------------------------------------------
+
+  /** Walk length and seed stride for [[randomWalks]]. */
+  val WalkSteps = 4
+  val WalkSeedStride = 50L
+
+  /** 32-bit draw from md5 — the wide sibling of TextAnalysis.sparkPermille
+    * (8 hex chars instead of 4, so a `% degree` is unbiased-enough for any
+    * realistic out-degree instead of capping at 1000). */
+  private def sparkHash32(arg: String): String =
+    s"CAST(conv(substring(md5($arg), 1, 8), 16, 10) AS BIGINT)"
+
+  /** DuckDB mirror of [[sparkHash32]] (hex-digit integer arithmetic). */
+  private def duckHash32(arg: String): String = {
+    val hv = (0 until 8).map(k =>
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}")
+      .mkString(" + ")
+    s"CAST($hv AS BIGINT)"
+  }
+
+  /** G20: deterministic random-walk sampling (the node2vec/DeepWalk
+    * corpus-generation primitive — the walks ARE the training sentences
+    * of graph-embedding pretraining). From every seed (Wiki-Vote node id
+    * ≡ 0 mod [[WalkSeedStride]] with out-edges), take [[WalkSteps]]
+    * steps; step t from node u draws the md5-hash32 of
+    * "start_t_u" mod out-degree over u's SORTED out-neighbor list —
+    * deterministic, engine-independent, and position-dependent (a
+    * revisited node draws a fresh neighbor). Walks stop early at sinks.
+    * Output: one row per visited step (start, step, node).
+    *
+    * Scale shape: the adjacency (sorted out-neighbor arrays) is built
+    * with ONE shuffle and checkpointed; each step is an equi-join of the
+    * current frontier against it — at 10⁹ seeds that is a shuffle join
+    * per step (walk fan-out is seeds-bounded, never edge-bounded), the
+    * standard distributed walk-sampling plan. On the bench graph the
+    * frontier is tiny, so the per-step join broadcasts. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val adj = LocalExec.derive(wikiVote(spark).edges, "walk-adj")(e =>
+      e.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .localCheckpoint())
+    var frontier = adj.filter(col("src") % WalkSeedStride === 0)
+      .select(col("src").as("start"), col("src").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("start"), lit(0).as("step"), col("node")))
+    for (t <- 1 to WalkSteps) {
+      frontier = frontier
+        .join(adj, col("node") === col("src"))
+        .select(col("start"),
+          element_at(col("nbrs"), (expr(sparkHash32(
+            s"concat(CAST(start AS STRING), '_', CAST($t AS STRING), '_', CAST(node AS STRING))"))
+            % size(col("nbrs"))).cast("int") + 1).as("node"))
+      steps += frontier.select(col("start"), lit(t).as("step"), col("node"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  def randomWalksOracle: String = {
+    val stepsSql = (1 to WalkSteps).map { t =>
+      val h = duckHash32(
+        s"CAST(w.start AS VARCHAR) || '_' || CAST($t AS VARCHAR) || '_' || CAST(w.node AS VARCHAR)")
+      s"""w$t AS (SELECT w.start, a.nbrs[CAST($h % len(a.nbrs) AS INT) + 1] AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to WalkSteps)
+      .map(t => s"SELECT start, $t AS step, node FROM w$t").mkString("\nUNION ALL\n")
+    s"""WITH e AS ($wikiEdgesSql),
+       |adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+       |w0 AS (SELECT src AS start, src AS node FROM adj WHERE src % $WalkSeedStride = 0),
+       |$stepsSql
+       |$unions""".stripMargin
+  }
+
   /** G19: personalized PageRank — random-walk-with-restart relevance
     * seeded at nation 0 on the region-clique graph: rank mass stays
     * concentrated in nation 0's region (its clique peers), with only
@@ -968,6 +1040,7 @@ object GraphOps {
     "g_kcore" -> kCore,
     "g_pagerank" -> pageRank,
     "g_ppr" -> personalizedPagerank,
+    "g_random_walks" -> randomWalks,
     "g_triangles" -> triangles,
     "g_label_prop" -> labelProp,
     "g_scc" -> scc,
@@ -1053,6 +1126,7 @@ object GraphOps {
     "g_kcore" -> kcoreOracle(sparseEdgesSql, KCoreK, KCoreRounds),
     "g_pagerank" -> prOracle(nationEdgesSql,
       "SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation", 10, 0.85, snap = 9),
+    "g_random_walks" -> randomWalksOracle,
     "g_ppr" -> pprOracle(nationEdgesSql,
       "SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation",
       PprSource, PprIters, 0.85, snap = 9),

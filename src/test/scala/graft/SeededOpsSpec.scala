@@ -86,6 +86,33 @@ class SeededOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTerm.keySet == top3)
   }
 
+  test("random walks: every step follows a real edge, draws are deterministic, sinks stop early") {
+    Reset.clear(spark)
+    val rows = graft.operators.GraphOps.randomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val again = graft.operators.GraphOps.randomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(identity).sameElements(again.sortBy(identity)),
+      "walks are not deterministic")
+    val edges = graft.graph.PropertyGraph.fromNodeEdgeLists(spark,
+        graft.operators.GraphOps.WikiVoteNodes, graft.operators.GraphOps.WikiVoteEdges)
+      .edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWalk = rows.groupBy(_._1)
+    byWalk.foreach { case (start, steps) =>
+      val path = steps.sortBy(_._2)
+      assert(path.head == ((start, 0, start)), s"walk $start must begin at its seed")
+      // steps are contiguous from 0 (a sink stops the walk, never gaps it)
+      assert(path.map(_._2).toSeq == (0 until path.length),
+        s"walk $start has non-contiguous steps")
+      path.zip(path.tail).foreach { case ((_, _, u), (_, _, v)) =>
+        assert(edges((u, v)), s"walk $start took non-edge $u -> $v")
+      }
+    }
+    // at least one walk reaches full length on this graph
+    assert(byWalk.values.exists(_.length == graft.operators.GraphOps.WalkSteps + 1))
+  }
+
   test("source mixing: over-represented sources shrink toward the flattened share, small ones keep all") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, dir)
