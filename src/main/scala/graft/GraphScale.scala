@@ -14,7 +14,8 @@ import graft.graph.{Algorithms, GraphXBridge, LocalExec, PropertyGraph, Traversa
   * anyway), run the DISTRIBUTED formulations the bounded bench graphs
   * never exercise for time — DataFrame large/small-star CC, the GraphX CC
   * twin, the synchronous k-core peel, Pregel PageRank, edge-iterator
-  * triangle counting, and a deep frontier BFS — and print one JSON line
+  * triangle counting, a deep frontier BFS, the personalized-PageRank
+  * DataFrame loop, and 4-step random-walk sampling — and print one JSON line
   * with per-op wall seconds AND scheduled job counts. The point is
   * evidence for the 100 TB path: these plans' committed bench rows all
   * route driver-local at bench SFs (by design — see LocalExec), so this
@@ -39,7 +40,7 @@ object GraphScale {
     * low ids — degree density ∝ x^(-1/2), node 0 a ~2E/√N-degree hub);
     * self-loops dropped (every consumer ignores them; CC/peel semantics
     * are identical either way). In [[main]] this is materialized once
-    * (localCheckpoint) so all six ops read the same edge relation — at
+    * (localCheckpoint) so all ops read the same edge relation — at
     * true scale, the parquet staging table the pipeline would start
     * from. */
   def powerLawEdges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame = {
@@ -115,7 +116,31 @@ object GraphScale {
         df => (df.agg(sum(col("rank"))).head.getDouble(0) * 1e6).toLong),
       op("triangles")(Algorithms.triangleCounts(nodes, edges))(
         _.agg(sum(col("n_tri"))).head.getLong(0)),
-      op("bfs_hub_d10")(Traversals.kHop(edges, source = 0L, maxHops = 10))(_.count()))
+      op("bfs_hub_d10")(Traversals.kHop(edges, source = 0L, maxHops = 10))(_.count()),
+      // distributed personalized PageRank seeded at the hub (the DataFrame
+      // loop — the knob is off, so the local twin cannot serve): mass in
+      // ppm, a stable integer under the per-iteration snap
+      op("ppr_hub_10it")(Algorithms.personalizedPageRank(
+        nodes, edges, source = 0L, iters = 10))(
+        df => (df.agg(sum(col("rank"))).head.getDouble(0) * 1e6).toLong),
+      // distributed walk sampling: adjacency via one shuffle, then
+      // per-step frontier joins — 1/1000 of nodes seeded, 4 steps; check
+      // = visited-step rows (walks stop at sinks, so < 5x seeds)
+      op("walks_4step")({
+        val adj = edges.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")).localCheckpoint()
+        var frontier = adj.filter(col("src") % 1000 === 0)
+          .select(col("src").as("start"), col("src").as("node"))
+        var out = frontier.select(col("start"), lit(0).as("step"), col("node"))
+        for (t <- 1 to 4) {
+          frontier = frontier.join(adj, col("node") === col("src"))
+            .select(col("start"), element_at(col("nbrs"),
+              (expr(s"CAST(conv(substring(md5(concat(CAST(start AS STRING), '_', CAST($t AS STRING), '_', CAST(node AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+                % size(col("nbrs"))).cast("int") + 1).as("node"))
+          out = out.unionByName(frontier.select(col("start"), lit(t).as("step"), col("node")))
+        }
+        out
+      })(_.count()))
 
     val ok = results.filter(_._4.isEmpty)
     def obj(f: ((String, Double, Int, Option[String])) => String): String =
