@@ -60,17 +60,18 @@ object Bench {
     * skipping every shutdown hook — see `main`), and the DRIVER'S OWN
     * capture confirms it: BENCH_r09.json's `tail` field ends with the
     * JSON line + '\n' and nothing after, so the true ceiling is 1999.
-    * 1980 keeps a newline's worth of margin; the 80-char cushion the
-    * budget used to carry was for a hypothetical shutdown-hook straggler
-    * that halt() already makes impossible, and at 96 queries (r11) the
-    * suite needs the room: the fully-degraded line (1-decimal, every
-    * informational field shed, sub-second values widened to their first
-    * nonzero digit) renders ~1959 chars, which must carry ALL queries —
-    * the previous 1920 cap silently dropped the six FASTEST rows, i.e.
-    * exactly the warm interactive lookups/traversals the artifact exists
-    * to record. Per-query CPU/memory detail lives in [[DetailFile]], not
-    * on stdout. */
-  val LineBudget = 1980
+    * 1990 keeps 9 chars of margin (line + '\n' ≤ 2000 ⇒ any length
+    * ≤ 1999 arrives whole); the 80-char cushion the budget used to carry
+    * was for a hypothetical shutdown-hook straggler that halt() already
+    * makes impossible, and at 97 queries (r11) the suite needs the room:
+    * the fully-degraded line (1-decimal total, every informational field
+    * shed, sub-second values widened to their first nonzero digit)
+    * renders ~1980 chars, which must carry ALL queries — the previous
+    * 1920 cap silently dropped the six FASTEST rows, i.e. exactly the
+    * warm interactive lookups/traversals the artifact exists to record.
+    * Per-query CPU/memory detail lives in [[DetailFile]], not on
+    * stdout. */
+  val LineBudget = 1990
 
   /** Full-fidelity metrics sidecar, written next to the sbt working dir
     * (the repo root when the driver runs) so it lands in the round

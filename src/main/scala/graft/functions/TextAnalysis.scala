@@ -922,6 +922,41 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT term, rnk, doc_id, bm25 FROM r WHERE rnk <= 5""".stripMargin
 
+  // --- T22: heavy hitters ---------------------------------------------------
+
+  /** Misra-Gries capacity (ε = 1/(m+1): every token with frequency above
+    * N/65 is guaranteed retained) and the published top-k. */
+  val HeavyHittersM = 64
+  val HeavyHittersK = 10
+
+  /** T22: exact corpus top-k tokens via a two-phase Misra-Gries pass —
+    * the heavy-hitters op a vocabulary/over-representation audit runs at
+    * corpus scale. Phase 1: the native mergeable [[MisraGries]] summary
+    * (graft_mg_candidates) finds candidates with BOUNDED state — the
+    * shuffle carries at most m counters per partition, where a bare
+    * `GROUP BY token` carries every distinct token. Phase 2: candidates
+    * broadcast back, exact recount of candidate tokens only (map-side
+    * combine collapses to ≤ m keys per partition), exact top-k by
+    * (count DESC, term). The output is exact-deterministic whenever the
+    * true top-k clear the N/(m+1) retention bound (SketchSpec pins the
+    * bound and the operator's partition-invariance), so the DuckDB
+    * oracle is the plain exact GROUP BY top-k. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val tok = Tables.documents(spark, dir).select(explode(words).as("w"))
+    val cands = tok.agg(
+      call_function("graft_mg_candidates", col("w"), lit(HeavyHittersM)).as("cands"))
+    tok.join(broadcast(cands), expr("array_contains(cands, w)"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(HeavyHittersK)
+      .select(col("w").as("term"), col("n"))
+  }
+
+  def heavyHittersOracle: String =
+    s"""SELECT w AS term, count(*) AS n
+       |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |GROUP BY w ORDER BY n DESC, w LIMIT $HeavyHittersK""".stripMargin
+
   // --- T21: temperature-weighted source mixing ------------------------------
 
   /** Mixing temperature exponent (α): sampling weight ∝ n^α flattens the
@@ -983,6 +1018,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> bm25Top,
+    "t_heavy_hitters" -> heavyHitters,
     "t_source_mix" -> sourceMix,
     "t_freq_score" -> freqScore,
     "t_pii_scrub" -> piiScrub,
@@ -1007,6 +1043,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_bm25" -> bm25TopOracle,
+    "t_heavy_hitters" -> heavyHittersOracle,
     "t_source_mix" -> sourceMixOracle,
     "t_freq_score" -> freqScoreOracle,
     "t_pii_scrub" -> piiScrubOracle,

@@ -354,6 +354,15 @@ object GraftFunctions {
       BottomK(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
     })
 
+  val mgDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mg_candidates"),
+    new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_candidates"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"graft_mg_candidates takes (expr, m), got ${exprs.length} args")
+      require(exprs(1).foldable, "graft_mg_candidates' capacity must be a constant")
+      MisraGries(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
+    })
+
   val md5hDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_md5h"),
     new ExpressionInfo(classOf[ArrayMd5Head].getName, "graft_md5h"),
@@ -512,6 +521,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       bottomkDescriptor._1, bottomkDescriptor._2, bottomkDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
+      mgDescriptor._1, mgDescriptor._2, mgDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
       simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       md5hDescriptor._1, md5hDescriptor._2, md5hDescriptor._3)
@@ -539,6 +550,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bottomkDescriptor)
+    ext.injectFunction(GraftFunctions.mgDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.md5hDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
