@@ -146,15 +146,23 @@ object Bench {
   val MaxPasses = 6
 
   /** The pass spread the stability check judges: max/min over the
-    * FASTEST three successful passes (all of them when fewer than three),
-    * each floored at 100 ms first — below the job-scheduling floor a
-    * ratio is noise (a 30 ms vs 50 ms lookup is not contamination), the
-    * same floor the sweep-agreement spec applies. Re-runs append clean
-    * passes, so a single contaminated pass ages out of the window
+    * FASTEST three successful passes (all of them when fewer than three).
+    * Two noise allowances, both derived from the ~100 ms job-scheduling
+    * floor: (a) an ABSOLUTE one — a fastest-three window narrower than
+    * one scheduling floor end-to-end is noise whatever the ratio says
+    * (a 120 ms vs 200 ms multi-job query differs by less than one
+    * scheduler hiccup; since the warm store pushed dozens of rows into
+    * the 0.1-0.3 s band, a pure ratio here flagged a different
+    * sub-floor-jitter row every run) — and (b) the original per-value
+    * floor at 100 ms (a 30 ms vs 50 ms lookup is not contamination),
+    * the same floor the sweep-agreement spec applies. Re-runs append
+    * clean passes, so a single contaminated pass ages out of the window
     * instead of flagging the query forever. */
   def passSpread(okSecs: Seq[Double]): Double = {
     val f = okSecs.sorted.take(3)
-    if (f.size < 2) 1.0 else math.max(f.last, 0.1) / math.max(f.head, 0.1)
+    if (f.size < 2) 1.0
+    else if (f.last - f.head <= 0.1) 1.0
+    else math.max(f.last, 0.1) / math.max(f.head, 0.1)
   }
 
   /** Run every query at one SF (warmup pass + min over timed passes per
@@ -320,7 +328,7 @@ object Bench {
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
                withDetail: Boolean = true, withUnit: Boolean = true,
                sfFull: Boolean = true, withEmptyErrs: Boolean = true,
-               totalPrec: Int = 3): String = {
+               totalPrec: Int = 3, withSf: Boolean = true): String = {
       val qs = keep.sortBy(_.name)
         .map(r => s"\"${r.name}\":${num(r.secs, prec)}").mkString("{", ",", "}")
       val omitted = if (keep.size < ok.size) s""","queries_omitted":${ok.size - keep.size}""" else ""
@@ -340,11 +348,13 @@ object Bench {
       val unit = if (withUnit) s""","unit":"sec"""" else ""
       // the sf dir's basename identifies the scale factor on its own —
       // the leading path is decoration the degraded line can shed
-      val sf = if (sfFull) sfDir
-               else sfDir.reverse.takeWhile(_ != '/').reverse
+      val sf =
+        if (!withSf) ""
+        else if (sfFull) s""","sf":"$sfDir""""
+        else s""","sf":"${sfDir.reverse.takeWhile(_ != '/').reverse}""""
       val v = if (totalPrec >= 3) jsonNum3(total) else num(total, totalPrec)
       s"""{"metric":"total","value":$v$unit,"queries":$qs""" +
-        s"""$errsPart$omitted$det,"sf":"$sf"}"""
+        s"""$errsPart$omitted$det$sf}"""
     }
     def omittedErrs(n: Int): String = if (n > 0) s""","errors_omitted":$n""" else ""
     val bySlowest = ok.sortBy(r => (-r.secs, r.name))
@@ -373,11 +383,18 @@ object Bench {
          if line.length > LineBudget)
       line = render(bySlowest, errMaxLen, prec, withDetail, withUnit, sfFull,
         withEmptyErrs, totalPrec)
+    // last informational shed before any query is dropped: the sf field
+    // (the driver knows which SF dir it launched; a per-query timing
+    // always beats echoing it back)
+    if (line.length > LineBudget)
+      line = render(bySlowest, 0, 0, withDetail = false, withUnit = false,
+        sfFull = false, withEmptyErrs = false, totalPrec = 1, withSf = false)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
-      line = render(bySlowest.take(n), 0, 1, withDetail = false,
-        withUnit = false, sfFull = false, withEmptyErrs = false, totalPrec = 1)
+      line = render(bySlowest.take(n), 0, 0, withDetail = false,
+        withUnit = false, sfFull = false, withEmptyErrs = false,
+        totalPrec = 1, withSf = false)
     }
     line
   }

@@ -161,14 +161,20 @@ object PropertyGraph {
     * included, unlike `fromEdgeList` which derives nodes from edges) plus
     * the Wiki-Vote TSV edge file. Both are distributed text scans. */
   def fromNodeEdgeLists(spark: SparkSession, nodesPath: String,
-                        edgesPath: String): PropertyGraph =
+                        edgesPath: String): PropertyGraph = {
+    // resolve the (memoized) edge graph BEFORE entering this memo's
+    // computeIfAbsent: a nested computeIfAbsent on the same map throws
+    // ConcurrentHashMap's "Recursive update" whenever the two keys land
+    // in the same bin — a hash-dependent landmine, not a benign reentry
+    val edgeGraph = fromEdgeList(spark, edgesPath)
     memoized(spark, s"nel-$nodesPath-$edgesPath") {
-    val nodes = spark.read.text(nodesPath)
-      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
-      .select(trim(col("value")).cast("long").as("id"),
-        lit("node").as("label"),
-        expr("map()").cast("map<string,string>").as("props"))
-    PropertyGraph(nodes, fromEdgeList(spark, edgesPath).edges)
+      val nodes = spark.read.text(nodesPath)
+        .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+        .select(trim(col("value")).cast("long").as("id"),
+          lit("node").as("label"),
+          expr("map()").cast("map<string,string>").as("props"))
+      PropertyGraph(nodes, edgeGraph.edges)
+    }
   }
 
   /** Write edges in the reference's TSV format (comment header + src\tdst

@@ -62,6 +62,11 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("passSpread judges the fastest three passes so re-runs age out a dirty pass") {
     assert(Bench.passSpread(Seq(1.0, 1.1, 1.05)) < Bench.SpreadBar)
     assert(Bench.passSpread(Seq(8.0, 1.0, 1.1)) > Bench.SpreadBar)
+    // sub-floor ABSOLUTE spread is noise whatever the ratio: 0.12 vs 0.20
+    // differs by less than one ~100 ms scheduling floor
+    assert(Bench.passSpread(Seq(0.12, 0.16, 0.20)) < Bench.SpreadBar)
+    // but past one floor of absolute spread the ratio judges as before
+    assert(Bench.passSpread(Seq(0.12, 0.2, 0.4)) > Bench.SpreadBar)
     // a re-run pass restores stability: fastest three exclude the stall
     assert(Bench.passSpread(Seq(8.0, 1.0, 1.1, 1.05)) < Bench.SpreadBar)
     assert(Bench.passSpread(Nil) == 1.0 && Bench.passSpread(Seq(3.0)) == 1.0)
