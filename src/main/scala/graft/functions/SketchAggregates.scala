@@ -179,15 +179,7 @@ case class MisraGries(child: Expression, m: Int,
   override def merge(buf: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     other.foreach { case (k, c) => buf(k) = buf.getOrElse(k, 0L) + c }
-    if (buf.size > m) {
-      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(m)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { k =>
-        val nc = buf(k) - cut
-        if (nc <= 0) dead += k else buf(k) = nc
-      }
-      dead.foreach(buf.remove)
-    }
+    MisraGries.trimToCapacity(buf, m)
     buf
   }
 
@@ -230,6 +222,23 @@ case class MisraGries(child: Expression, m: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
     copy(child = newChildren.head)
+}
+
+object MisraGries {
+  /** The Mergeable-Summaries capacity trim shared by the aggregate's
+    * merge and the streaming state operator (DocStreams S8): when over
+    * capacity, subtract the (m+1)-th largest counter from every counter
+    * and evict the non-positives. */
+  def trimToCapacity(buf: mutable.HashMap[String, Long], m: Int): Unit =
+    if (buf.size > m) {
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(m)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { k =>
+        val nc = buf(k) - cut
+        if (nc <= 0) dead += k else buf(k) = nc
+      }
+      dead.foreach(buf.remove)
+    }
 }
 
 object BottomK {

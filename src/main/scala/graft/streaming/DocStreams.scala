@@ -107,4 +107,43 @@ object DocStreams {
         s"${TextAnalysis.sampleUExpr} AS u")
       .filter(expr(s"u < ${TextAnalysis.sampleRateCaseExpr}"))
       .drop("u")
+
+  /** Streaming Misra-Gries state: the per-key counter map. */
+  case class MgState(counts: Map[String, Long])
+
+  /** S8: streaming heavy hitters — the online form of T22: a per-language
+    * Misra-Gries token summary maintained in stream state via
+    * `mapGroupsWithState`. Each micro-batch's tokens for a language are
+    * exact-counted batch-locally, then MERGED into the state with the
+    * same Mergeable-Summaries rule as the batch aggregate
+    * ([[graft.functions.MisraGries.trimToCapacity]]): pointwise sum,
+    * subtract the (m+1)-th largest, evict non-positives — so the state
+    * holds AT MOST m counters per language FOREVER, with the cumulative
+    * N/(m+1) retention guarantee over everything the stream has seen,
+    * where a naive streaming `GROUP BY token` grows state with the
+    * vocabulary. Output (Update mode): one row per language per batch
+    * with the current sorted candidate set — the online
+    * over-representation monitor a live ingest pipeline runs. */
+  def streamingHeavyHitters(docs: DataFrame, m: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    docs.select(col("lang"), explode(TextAnalysis.words).as("w"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[MgState, (String, Seq[String])](GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[(String, String)], state: GroupState[MgState]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counts.foreach { case (k, c) => buf(k) = c })
+          // batch-local exact pre-count, one merge per batch: identical
+          // guarantee to per-item MG updates (the merge rule's bound
+          // covers any split of the stream), far fewer trim passes
+          val batch = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { case (_, w) => batch(w) = batch.getOrElse(w, 0L) + 1L }
+          batch.foreach { case (k, c) => buf(k) = buf.getOrElse(k, 0L) + c }
+          graft.functions.MisraGries.trimToCapacity(buf, m)
+          state.update(MgState(buf.toMap))
+          (lang, buf.keys.toSeq.sorted)
+      }.toDF("lang", "candidates")
+  }
 }

@@ -242,6 +242,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "stream and batch admission must be bit-identical")
   }
 
+  test("S8: streaming heavy hitters keep bounded MG state; heavies survive cross-batch churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 8
+    // two batches per language: a long churn tail of singletons (far
+    // over capacity, so trims run in both batches) around planted
+    // heavies split ACROSS the batches — only cumulative state finds
+    // them. N per lang = 300 tail + 120 heavy ≈ 420; bound N/(m+1) ≈ 47,
+    // each heavy totals 60.
+    // letters-only distinct tail tokens (digits would split under the
+    // [a-z]+ tokenizer and collapse the whole tail onto one token)
+    def alpha(i0: Int): String = {
+      var n = i0; val sb = new StringBuilder
+      do { sb.insert(0, ('a' + n % 26).toChar); n /= 26 } while (n > 0)
+      "t" + sb.result()
+    }
+    def tail(lo: Int, hi: Int) = (lo until hi).map(alpha)
+    def batchDocs(lang: String, batch: Int): Seq[(Long, String, String)] = {
+      val heavyText = (s"hot${lang}a " * 30) + (s"hot${lang}b " * 30)
+      val tailDocs = tail(batch * 150, batch * 150 + 150).mkString(" ")
+      Seq((batch.toLong * 10 + (if (lang == "en") 0 else 1),
+        heavyText + tailDocs, lang))
+    }
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStreams.streamingHeavyHitters(
+        in.toDF().toDF("doc_id", "text", "lang"), m)
+      .writeStream.format("memory").queryName("s8").outputMode("update").start()
+    in.addData(batchDocs("en", 0) ++ batchDocs("de", 0): _*)
+    q.processAllAvailable()
+    in.addData(batchDocs("en", 1) ++ batchDocs("de", 1): _*)
+    q.processAllAvailable()
+    // last update per language = the cumulative state
+    val rows = spark.table("s8").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    val last = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (lang, rs) => lang -> rs.maxBy(_._2)._1._2 }
+    q.stop()
+    for (lang <- Seq("en", "de")) {
+      val cands = last(lang)
+      assert(cands.length <= m, s"$lang state over capacity: ${cands.length}")
+      for (h <- Seq(s"hot${lang}a", s"hot${lang}b"))
+        assert(cands.contains(h),
+          s"$lang heavy '$h' (60 > bound ~47) missing from $cands")
+    }
+  }
+
   test("S7: per-op insert bench commits one op per micro-batch; admissions match the batch gate") {
     import graft.streaming.{DocStreams, InsertBench}
     val nOps = 12

@@ -108,7 +108,12 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     // accidental all-pairs or unpruned rewrite would blow through
     for (q <- Seq("q_scan_filter", "q1_pricing_summary", "t_token_count", "d_exact_dedup",
                   "d_span_dedup", "d_span_trim", "d_source_overlap",
-                  "t_freq_score", "q_pivot", "s_knn_label")) {
+                  "t_freq_score", "q_pivot", "s_knn_label",
+                  // round-11 additions (measured ≤0.16 over the 100×
+                  // span today — corpus-pass-bound); the bar guards a
+                  // regression to an all-pairs / unpruned rewrite
+                  "t_bm25", "t_source_mix", "t_heavy_hitters",
+                  "g_ppr", "g_random_walks")) {
       val e = exponent(q)
       assert(e <= 1.15, f"$q scaling exponent $e%.2f — expected at most ~linear (≤ 1.15)")
     }
