@@ -434,7 +434,72 @@ object Similarity {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, qdot FROM r WHERE rank <= $TopK""".stripMargin
 
+  // --- E5: embedding outlier score ------------------------------------------
+
+  /** How many least-central vectors the outlier query publishes. */
+  val OutlierK = 10
+
+  /** E5: embedding-centroid outlier scoring — the embedding-space quality
+    * filter of a curation pipeline: vectors far from the corpus centroid
+    * (low cosine) are the off-distribution candidates a training-data
+    * pass prunes or down-weights. Two passes, no corpus shuffle beyond a
+    * Dim-bounded aggregation:
+    *   1. exact centroid: per-dimension fixed-point sums (the same
+    *      floor(x·2²⁴) protocol as E4 — float bits fully determine the
+    *      integers, so the per-dim means are bit-identical cross-engine),
+    *      collected into ONE broadcast array;
+    *   2. cosine(e, centroid) per vector via the ordered-left-fold dot
+    *      (zip_with + aggregate here — mixed float/double arrays), snap
+    *      through DECIMAL(18,10) → 6 dp, publish the bottom-K by
+    *      (cos ASC, vec_id).
+    * At 100 TB: pass 1's shuffle is Dim-bounded (map-side combined),
+    * pass 2 is a stateless scan against a broadcast constant. */
+  def outlierScore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(floor(CAST(x AS DOUBLE) * $KmeansFp) AS BIGINT)")).as("sum_fp"))
+      .agg(sort_array(collect_list(struct(col("dim"),
+        (col("sum_fp").cast("double") / (col("n") * lit(KmeansFp.toDouble))).as("v"))))
+        .as("cs"))
+      .selectExpr("transform(cs, s -> s.v) AS cent")
+    def fold(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    emb.join(broadcast(cent))
+      .selectExpr("vec_id",
+        s"""CAST(round(CAST((${fold("embedding", "cent")})
+           | / (sqrt(${fold("embedding", "embedding")}) * sqrt(${fold("cent", "cent")}))
+           |AS DECIMAL(18,10)), 6) AS DOUBLE) AS centrality""".stripMargin)
+      .orderBy(col("centrality").asc, col("vec_id"))
+      .limit(OutlierK)
+  }
+
+  val outlierScoreOracle: String = {
+    def fold(a: String, b: String) =
+      s"""list_reduce(list_transform(range($Dim),
+         |  i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+    s"""WITH comp AS (SELECT u.d AS dim, u.v AS x FROM (
+       |    SELECT unnest(list_transform(range($Dim), i ->
+       |      struct_pack(d := i, v := embedding[i + 1]))) AS u FROM embeddings)),
+       |sums AS (SELECT dim, count(*) AS n,
+       |    sum(CAST(floor(CAST(x AS DOUBLE) * $KmeansFp) AS BIGINT)) AS sum_fp
+       |  FROM comp GROUP BY dim),
+       |c AS (SELECT list(CAST(sum_fp AS DOUBLE) / (n * CAST($KmeansFp AS DOUBLE))
+       |    ORDER BY dim) AS cent FROM sums),
+       |scored AS (SELECT vec_id,
+       |    CAST(round(CAST((${fold("embedding", "cent")})
+       |      / (sqrt(${fold("embedding", "embedding")}) * sqrt(${fold("cent", "cent")}))
+       |    AS DECIMAL(18,10)), 6) AS DOUBLE) AS centrality
+       |  FROM embeddings CROSS JOIN c)
+       |SELECT vec_id, centrality FROM scored
+       |ORDER BY centrality ASC, vec_id LIMIT $OutlierK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_outlier_score" -> outlierScore,
     "s_knn_label" -> knnLabel,
     "s_kmeans_update" -> kmeansUpdate,
     "s_cosine_topk" -> cosineTopK,
@@ -444,6 +509,7 @@ object Similarity {
     "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
+    "s_outlier_score" -> outlierScoreOracle,
     "s_knn_label" -> knnLabelOracle,
     "s_kmeans_update" -> kmeansUpdateOracle,
     "s_quantized_ann" -> quantizedAnnOracle,

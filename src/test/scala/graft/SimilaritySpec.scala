@@ -113,6 +113,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("outlier score: bottom-K of the true full centrality ranking, centroid exact") {
+    val got = Similarity.outlierScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == Similarity.OutlierK)
+    // scores ascend with deterministic tie-break
+    assert(got.zip(got.tail).forall { case ((i1, s1), (i2, s2)) =>
+      s1 < s2 || (s1 == s2 && i1 < i2) })
+    // independently compute every vector's cosine to the exact mean
+    // centroid and check the published set IS the global bottom-K
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._2.length
+    val cent = Array.tabulate(dim)(d => vecs.map(_._2(d).toDouble).sum / vecs.length)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cn = math.sqrt(dot(cent, cent))
+    val all = vecs.map { case (id, e) =>
+      val ed = e.map(_.toDouble)
+      (id, dot(ed, cent) / (math.sqrt(dot(ed, ed)) * cn))
+    }.sortBy { case (id, s) => (s, id) }
+    val expectIds = all.take(Similarity.OutlierK).map(_._1).toSet
+    assert(got.map(_._1).toSet == expectIds,
+      s"published outliers ${got.map(_._1).toSet} != true bottom-K $expectIds")
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
         Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir)).foreach { df =>
