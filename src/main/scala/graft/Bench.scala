@@ -60,18 +60,20 @@ object Bench {
     * skipping every shutdown hook — see `main`), and the DRIVER'S OWN
     * capture confirms it: BENCH_r09.json's `tail` field ends with the
     * JSON line + '\n' and nothing after, so the true ceiling is 1999.
-    * 1990 keeps 9 chars of margin (line + '\n' ≤ 2000 ⇒ any length
-    * ≤ 1999 arrives whole); the 80-char cushion the budget used to carry
-    * was for a hypothetical shutdown-hook straggler that halt() already
-    * makes impossible, and at 97 queries (r11) the suite needs the room:
-    * the fully-degraded line (1-decimal total, every informational field
-    * shed, sub-second values widened to their first nonzero digit)
-    * renders ~1980 chars, which must carry ALL queries — the previous
-    * 1920 cap silently dropped the six FASTEST rows, i.e. exactly the
-    * warm interactive lookups/traversals the artifact exists to record.
+    * 1998 is the absolute max (line + '\n' = 1999 ≤ 2000 ⇒ the line
+    * arrives whole); the 80-char cushion the budget once carried was for
+    * a hypothetical shutdown-hook straggler that halt() already makes
+    * impossible, and at 98 queries (r11) the suite genuinely needs the
+    * room: per-query NAMES alone are ~1700 bytes, and the fully-degraded
+    * line (integer total, every informational field shed, sub-second
+    * values widened to their first nonzero digit) renders ~1995 chars,
+    * which must carry ALL queries — a tighter cap silently drops the
+    * FASTEST rows, i.e. exactly the warm interactive lookups/traversals
+    * the artifact exists to record. 98 queries is the practical ceiling
+    * of this encoding; a 99th would re-enter the drop-fastest fallback.
     * Per-query CPU/memory detail lives in [[DetailFile]], not on
     * stdout. */
-  val LineBudget = 1990
+  val LineBudget = 1998
 
   /** Full-fidelity metrics sidecar, written next to the sbt working dir
     * (the repo root when the driver runs) so it lands in the round
@@ -388,13 +390,13 @@ object Bench {
     // always beats echoing it back)
     if (line.length > LineBudget)
       line = render(bySlowest, 0, 0, withDetail = false, withUnit = false,
-        sfFull = false, withEmptyErrs = false, totalPrec = 1, withSf = false)
+        sfFull = false, withEmptyErrs = false, totalPrec = 0, withSf = false)
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1
       line = render(bySlowest.take(n), 0, 0, withDetail = false,
         withUnit = false, sfFull = false, withEmptyErrs = false,
-        totalPrec = 1, withSf = false)
+        totalPrec = 0, withSf = false)
     }
     line
   }
