@@ -133,10 +133,13 @@ object GraphScale {
           .select(col("src").as("start"), col("src").as("node"))
         var out = frontier.select(col("start"), lit(0).as("step"), col("node"))
         for (t <- 1 to 4) {
+          // per-step checkpoint — the union's branches must not re-run
+          // the whole join chain (O(S²/2) joins; see GraphOps.randomWalks)
           frontier = frontier.join(adj, col("node") === col("src"))
             .select(col("start"), element_at(col("nbrs"),
               (expr(s"CAST(conv(substring(md5(concat(CAST(start AS STRING), '_', CAST($t AS STRING), '_', CAST(node AS STRING))), 1, 8), 16, 10) AS BIGINT)")
                 % size(col("nbrs"))).cast("int") + 1).as("node"))
+            .localCheckpoint()
           out = out.unionByName(frontier.select(col("start"), lit(t).as("step"), col("node")))
         }
         out

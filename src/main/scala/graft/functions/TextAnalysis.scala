@@ -881,8 +881,13 @@ object TextAnalysis {
       .select(col("w").as("term"))
     val win = Window.partitionBy(col("term"))
       .orderBy(col("bm25").desc, col("doc_id"))
+    // df restricted to the 3 query terms BEFORE broadcasting: the full
+    // df table is vocabulary-sized (millions of rows at the claimed
+    // scale) and only 3 of its values are ever read
+    val dfq = dfTab.join(queryTerms, col("w") === col("term"))
+      .select(col("w"), col("df"))
     tok.join(broadcast(queryTerms), col("w") === col("term"))
-      .join(broadcast(dfTab), Seq("w"))
+      .join(broadcast(dfq), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("bm25", expr(
@@ -946,7 +951,11 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir).select(explode(words).as("w"))
     val cands = tok.agg(
       call_function("graft_mg_candidates", col("w"), lit(HeavyHittersM)).as("cands"))
-    tok.join(broadcast(cands), expr("array_contains(cands, w)"))
+    // explode the candidate array to rows and broadcast-HASH-join on the
+    // token: array_contains against the 1-row array would plan a nested
+    // loop evaluating up to m string comparisons per corpus token
+    val candRows = cands.select(explode(col("cands")).as("w"))
+    tok.join(broadcast(candRows), Seq("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(HeavyHittersK)
       .select(col("w").as("term"), col("n"))

@@ -184,7 +184,7 @@ object Algorithms {
                            iters: Int, d: Double = 0.85, snap: Int = 9,
                            ckptEvery: Int = 3): DataFrame = {
     require(snap > 0, "personalizedPageRank is defined with per-iteration snapping")
-    if (LocalExec.enabled(nodes.sparkSession) && LocalExec.smallEnough(nodes, edges))
+    if (LocalExec.enabled(nodes.sparkSession) && LocalExec.smallEnoughGraph(nodes, edges))
       return LocalExec.personalizedPageRankSnapped(nodes, edges, source, iters, d, snap)
     val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -347,7 +347,7 @@ object Algorithms {
     if (LocalExec.enabled(spark)) {
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(edges)) 1 << 21
+        else if (LocalExec.smallEnoughEdges(edges)) 1 << 21
         else 0
       if (bound > 0)
         LocalExec.kCore(edges, k, rounds, bound) match {
@@ -418,7 +418,7 @@ object Algorithms {
     if (LocalExec.enabled(nodes.sparkSession)) {
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(nodes, edges)) 1 << 21
+        else if (LocalExec.smallEnoughGraph(nodes, edges)) 1 << 21
         else 0
       if (bound > 0)
         LocalExec.labelPropagation(nodes, edges, rounds, bound) match {

@@ -57,7 +57,7 @@ object GraphXBridge {
     if (LocalExec.enabled(spark)) {
       val bound =
         if (localBounded > 0) localBounded
-        else if (LocalExec.smallEnough(g.nodes, g.edges)) 1 << 21
+        else if (LocalExec.smallEnoughGraph(g.nodes, g.edges)) 1 << 21
         else 0
       if (bound > 0)
         LocalExec.connectedComponents(g.nodes, g.edges, bound) match {
@@ -86,7 +86,7 @@ object GraphXBridge {
     * such pathological chain-of-SCCs inputs must raise it. */
   def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
                                   numIter: Int = 1024, numParts: Int = 0): DataFrame = {
-    if (LocalExec.enabled(spark) && LocalExec.smallEnough(g.nodes, g.edges))
+    if (LocalExec.enabled(spark) && LocalExec.smallEnoughGraph(g.nodes, g.edges))
       LocalExec.stronglyConnectedComponents(g.nodes, g.edges, 1 << 21) match {
         case Some(df) => return df
         case None => ()
@@ -120,7 +120,7 @@ object GraphXBridge {
   def distances(spark: SparkSession, g: PropertyGraph, source: Long,
                 numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    if (LocalExec.smallEnough(g.nodes, g.edges))
+    if (LocalExec.smallEnoughGraph(g.nodes, g.edges))
       return LocalExec.distances(g.nodes, g.edges, source)
     val gx = toGraphX(g, numParts).mapVertices((id, _) =>
       if (id == source) 0L else Long.MaxValue)
@@ -152,7 +152,7 @@ object GraphXBridge {
     * large one. */
   def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
                          target: Long, numParts: Int = 0): Long = {
-    if (LocalExec.smallEnough(g.edges))
+    if (LocalExec.smallEnoughEdges(g.edges))
       return LocalExec.shortestPathLength(g.edges, source, target)
     val Unset = Long.MaxValue
     var cur = toGraphX(g, numParts).mapVertices((id, _) => (
@@ -223,7 +223,7 @@ object GraphXBridge {
   def weightedDistances(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                         source: Long, numParts: Int = 0): DataFrame = {
     import spark.implicits._
-    if (LocalExec.smallEnough(nodes, edges))
+    if (LocalExec.smallEnoughGraph(nodes, edges))
       return LocalExec.weightedDistances(nodes, edges, source)
     val v0 = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
     val e0 = edges.select(col("src"), col("dst"), col("w")).rdd
@@ -260,7 +260,7 @@ object GraphXBridge {
     // is what snap exists for), so a plan-statistics-small graph may take
     // the one-collect local twin; raw-double runs stay on GraphX, whose
     // partition-order sum is part of their (engine-specific) semantics
-    if (snap > 0 && LocalExec.smallEnough(g.nodes, g.edges))
+    if (snap > 0 && LocalExec.smallEnoughGraph(g.nodes, g.edges))
       return LocalExec.pageRankSnapped(g.nodes, g.edges, iters, d, snap)
     def snapped(r: Double): Double =
       if (snap > 0) BigDecimal(r).setScale(snap, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -65,6 +65,18 @@ object LocalExec {
     * twin. */
   def enabled(spark: SparkSession): Boolean = budget(spark) > 0
 
+  /** Graph-shaped guards: measure the PROJECTIONS the local twins will
+    * actually collect — (id) and (src, dst) — not the caller's full
+    * relations, whose label/props columns would silently raise the bar
+    * for the driver-local fast path (Project stats scale with row
+    * width). The projections ride the identity memo, so on warm passes
+    * these are map probes. */
+  def smallEnoughGraph(nodes: DataFrame, edges: DataFrame): Boolean =
+    smallEnough(preparedIds(nodes), preparedEdges(edges))
+
+  def smallEnoughEdges(edges: DataFrame): Boolean =
+    smallEnough(preparedEdges(edges))
+
   // --- warm store -----------------------------------------------------------
 
   /** Per-JVM warm store for collected bounded relations — the in-process
@@ -203,9 +215,13 @@ object LocalExec {
     * matches a null key, so the distributed formulations all ignore such
     * edges, and `Row.getLong` on a null would otherwise read them as
     * node 0 silently. */
-  private def collectEdges(edges: DataFrame): (Array[Long], Array[Long]) =
+  private def collectEdges(edges: DataFrame): (Array[Long], Array[Long]) = {
+    // resolve the prepared projection BEFORE the outer derivedGet: a
+    // nested computeIfAbsent on the same per-Dataset map is the
+    // hash-bin-dependent ConcurrentHashMap "Recursive update" landmine
+    // (see PropertyGraph.fromNodeEdgeLists, which hit it first)
+    val prepared = preparedEdges(edges)
     derivedGet[(Array[Long], Array[Long])](edges, "edge-pairs") {
-      val prepared = preparedEdges(edges)
       warmGet[(Array[Long], Array[Long])](prepared, TagEdgePairs) {
         val rows = prepared.collect()
         val s = new Array[Long](rows.length)
@@ -215,6 +231,7 @@ object LocalExec {
         (s, d)
       }
     }
+  }
 
   /** Identity-memoized normalizing projections: the per-pass Catalyst
     * cost of re-deriving these from the same input instance is what the
@@ -230,11 +247,12 @@ object LocalExec {
 
   /** One collect job for the node-id universe (any relation with an `id`
     * column), warm-cached like [[collectEdges]]. */
-  private def collectLongs(nodes: DataFrame): Array[Long] =
+  private def collectLongs(nodes: DataFrame): Array[Long] = {
+    val prepared = preparedIds(nodes) // before the outer memo — see collectEdges
     derivedGet[Array[Long]](nodes, "longs") {
-      val prepared = preparedIds(nodes)
       warmGet[Array[Long]](prepared, TagLongs)(prepared.collect().map(_.getLong(0)))
     }
+  }
 
   private def adjacency(src: Array[Long], dst: Array[Long]): mutable.LongMap[mutable.ArrayBuffer[Long]] = {
     val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]

@@ -39,7 +39,7 @@ object Traversals {
     * equal on the real power-law graph). */
   def kHop(edges: DataFrame, source: Long, maxHops: Int,
            numParts: Int = 0, broadcastFrontier: Boolean = false): DataFrame =
-    if (LocalExec.smallEnough(edges))
+    if (LocalExec.smallEnoughEdges(edges))
       LocalExec.kHop(edges, source, maxHops)
     else
       bfs(edges, source, Some(maxHops), numParts = numParts,

@@ -781,12 +781,16 @@ object GraphOps {
     val steps = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("start"), lit(0).as("step"), col("node")))
     for (t <- 1 to WalkSteps) {
+      // checkpoint each frontier (the BFS pattern): without it the final
+      // union's branches re-execute the whole join chain independently —
+      // O(S²/2) adjacency joins per action instead of one per step
       frontier = frontier
         .join(adj, col("node") === col("src"))
         .select(col("start"),
           element_at(col("nbrs"), (expr(sparkHash32(
             s"concat(CAST(start AS STRING), '_', CAST($t AS STRING), '_', CAST(node AS STRING))"))
             % size(col("nbrs"))).cast("int") + 1).as("node"))
+        .localCheckpoint()
       steps += frontier.select(col("start"), lit(t).as("step"), col("node"))
     }
     steps.reduce(_ unionByName _)
