@@ -250,6 +250,55 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bm25: one checkpointed tf relation feeds scoring; query/df/stats broadcast; df side is 3 rows") {
+    Reset.clear(spark)
+    val p = plan(TextAnalysis.bm25Top(spark, dir))
+    assert(p.contains("Scan ExistingRDD"),
+      "tf relation must be checkpointed once and reused\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere (the stats crossJoin is a broadcast 1-row)\n" + p)
+    // the df lookup joins BROADCAST (and, per the review fix, the
+    // broadcast side is the query-term-restricted 3-row table, never the
+    // vocabulary-sized full df table — pinned by the join being a hash
+    // join, not a nested loop over an array)
+    assert(p.contains("BroadcastHashJoin"), "df/query joins must broadcast\n" + p)
+  }
+
+  test("heavyHitters phase 2 probes candidates via broadcast HASH join, never a nested loop") {
+    Reset.clear(spark)
+    val p = plan(TextAnalysis.heavyHitters(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate probe must be a broadcast hash join on the token\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "array_contains against the 1-row array would plan a nested loop\n" + p)
+  }
+
+  test("sourceMix: thresholds broadcast back; the corpus side never sort-merge-joins") {
+    Reset.clear(spark)
+    val p = plan(TextAnalysis.sourceMix(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source thresholds must broadcast onto the corpus\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle for the threshold join\n" + p)
+  }
+
+  test("outlierScore: the centroid is a broadcast constant; the scan side never shuffles for it") {
+    Reset.clear(spark)
+    val p = plan(Similarity.outlierScore(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "centroid must reach the corpus as a broadcast, not via shuffle\n" + p)
+  }
+
+  test("randomWalks: checkpointed adjacency, no cartesian in the step joins") {
+    Reset.clear(spark)
+    val p = plan(graft.operators.GraphOps.randomWalks(spark, dir))
+    assert(p.contains("Scan ExistingRDD"),
+      "adjacency (and each frontier) must be checkpointed\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "step joins must stay equi-joins on the node key\n" + p)
+    Reset.clear(spark)
+  }
+
   test("commonNeighbors/adamicAdar witness joins stay equi-joins on checkpointed adjacency") {
     import graft.operators.GraphOps
     for (df <- Seq(GraphOps.commonNeighbors(spark, dir),
