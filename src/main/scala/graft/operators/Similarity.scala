@@ -448,13 +448,19 @@ object Similarity {
     *      floor(x·2²⁴) protocol as E4 — float bits fully determine the
     *      integers, so the per-dim means are bit-identical cross-engine),
     *      collected into ONE broadcast array;
-    *   2. cosine(e, centroid) per vector via the ordered-left-fold dot
-    *      (zip_with + aggregate here — mixed float/double arrays), snap
-    *      through DECIMAL(18,10) → 6 dp, publish the bottom-K by
-    *      (cos ASC, vec_id).
+    *   2. cosine(e, centroid) per vector via the ordered-left-fold dot —
+    *      the native codegen `graft_dot` (ArrayDotProduct handles the
+    *      mixed float-corpus/double-centroid sides), snap through
+    *      DECIMAL(18,10) → 6 dp, publish the bottom-K by (cos ASC, vec_id).
     * At 100 TB: pass 1's shuffle is Dim-bounded (map-side combined),
-    * pass 2 is a stateless scan against a broadcast constant. */
+    * pass 2 is a stateless scan against a broadcast constant, and its
+    * three dots per row run as compiled primitive loops — the same
+    * per-core throughput as every other corpus scan in this stack
+    * (the previous interpreted zip_with+aggregate fold allocated an
+    * intermediate array per dot per row; see EmbedScale for the
+    * measured before/after at soak scale). */
   def outlierScore(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val cent = emb
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -465,13 +471,10 @@ object Similarity {
         (col("sum_fp").cast("double") / (col("n") * lit(KmeansFp.toDouble))).as("v"))))
         .as("cs"))
       .selectExpr("transform(cs, s -> s.v) AS cent")
-    def fold(a: String, b: String) =
-      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
     emb.join(broadcast(cent))
       .selectExpr("vec_id",
-        s"""CAST(round(CAST((${fold("embedding", "cent")})
-           | / (sqrt(${fold("embedding", "embedding")}) * sqrt(${fold("cent", "cent")}))
+        s"""CAST(round(CAST((${sparkDot("embedding", "cent")})
+           | / (sqrt(${sparkDot("embedding", "embedding")}) * sqrt(${sparkDot("cent", "cent")}))
            |AS DECIMAL(18,10)), 6) AS DOUBLE) AS centrality""".stripMargin)
       .orderBy(col("centrality").asc, col("vec_id"))
       .limit(OutlierK)

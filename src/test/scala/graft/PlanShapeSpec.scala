@@ -287,6 +287,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(Similarity.outlierScore(spark, dir))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "centroid must reach the corpus as a broadcast, not via shuffle\n" + p)
+    assert(p.contains("graft_dot"),
+      "pass 2's dots must run through the codegen graft_dot, not an " +
+        "interpreted higher-order fold\n" + p)
+    assert(!p.contains("zip_with") && !p.contains("aggregate(zip_with"),
+      "no interpreted zip_with fold may remain in the scoring scan\n" + p)
   }
 
   test("randomWalks: checkpointed adjacency, no cartesian in the step joins") {
