@@ -333,6 +333,107 @@ case class MinhashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Helper for [[IvfCentroidArgmax]] — plain static JVM code (same rule as
+  * [[Md5Head]]): one call per row from the generated code, the K×Dim
+  * scoring loop runs as ordinary JIT-compiled bytecode. */
+object IvfArgmax {
+  /** Winning centroid id by max cosine, ties to the SMALLEST cid —
+    * bit-identical to `greatest(struct(cs, -cid)...)` over the same
+    * centroid array: cs = dot(emb, ce)/(sqrt(nrm)·sqrt(cn)) with the
+    * dot the same index-order left fold as [[ArrayDotProduct]], so the
+    * doubles compared here are the exact doubles the SQL form (and the
+    * DuckDB oracle's row_number ORDER BY cs DESC, cid ASC) ranks.
+    * `cents` rows are struct<cid: bigint, ce: array<float>, cn: double>.
+    * Returns Long.MinValue for an empty centroid array (callers always
+    * aggregate ≥1 centroid; the sentinel keeps the expression
+    * non-nullable). */
+  def bestCid(emb: ArrayData, nrm: Double, cents: ArrayData): Long = {
+    val k = cents.numElements()
+    val n = emb.numElements()
+    val en = math.sqrt(nrm)
+    var bestCid = Long.MinValue
+    var bestCs = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 3)
+      val cid = row.getLong(0)
+      val ce = row.getArray(1)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += emb.getFloat(i).toDouble * ce.getFloat(i).toDouble
+        i += 1
+      }
+      val cs = acc / (en * math.sqrt(row.getDouble(2)))
+      if (cs > bestCs || (cs == bestCs && cid < bestCid)) {
+        bestCs = cs; bestCid = cid
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
+/** Native IVF centroid assignment — argmax-cosine over a broadcast
+  * centroid array in ONE compiled call per row
+  * (`graft_ivf_argmax(embedding, nrm, cents)` → bigint cid).
+  *
+  * Why: the SQL formulation (`greatest()` over K inline
+  * struct(score, -cid) expressions, each score a graft_dot) is correct
+  * and broadcast-shaped, but its generated projection method grows with
+  * K×Dim past the JVM's huge-method JIT limit — the whole-stage code
+  * still *compiles* (no fallback warning) yet runs in the bytecode
+  * interpreter, ~50× slower per row at K=16, Dim=64 (measured by the
+  * EmbedScale soak: 108 s for 1.25M rows where this expression scans
+  * 5M in a few seconds). One static helper call keeps the row method
+  * tiny and the scoring loop JIT-hot regardless of K. */
+case class IvfCentroidArgmax(emb: Expression, nrm: Expression, cents: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = emb
+  override def second: Expression = nrm
+  override def third: Expression = cents
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // float-array elements may carry parquet's default nullable flag;
+    // dense embeddings never hold nulls and getFloat reads them as 0.0
+    // (same convention as ArrayDotProduct)
+    def floatArr(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val centsOk = cents.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == LongType && floatArr(fs(1).dataType) &&
+          fs(2).dataType == DoubleType
+      case _ => false
+    }
+    if (floatArr(emb.dataType) && nrm.dataType == DoubleType && centsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_ivf_argmax expects (array<float>, double, " +
+          "array<struct<cid bigint, ce array<float>, cn double>>), got " +
+          s"${emb.dataType.catalogString}, ${nrm.dataType.catalogString}, " +
+          s"${cents.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ivf_argmax"
+
+  override def nullSafeEval(e: Any, n: Any, c: Any): Any =
+    IvfArgmax.bestCid(e.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, n, c) =>
+      s"${ev.value} = graft.functions.IvfArgmax.bestCid($e, $n, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): IvfCentroidArgmax =
+    copy(emb = newFirst, nrm = newSecond, cents = newThird)
+}
+
 /** Registration for graft's native expressions — as a session-builder call
   * (`GraftFunctions.register`) or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -434,6 +535,15 @@ object GraftFunctions {
       require(exprs.length == 2, s"graft_minhash takes (hvs, k), got ${exprs.length} args")
       require(exprs(1).foldable, "graft_minhash's k must be a constant")
       MinhashSignature(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue)
+    })
+
+  val ivfArgmaxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ivf_argmax"),
+    new ExpressionInfo(classOf[IvfCentroidArgmax].getName, "graft_ivf_argmax"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"graft_ivf_argmax takes (embedding, nrm, cents), got ${exprs.length} args")
+      IvfCentroidArgmax(exprs(0), exprs(1), exprs(2))
     })
 
   val langidDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -541,6 +651,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       sortedIntersectDescriptor._1, sortedIntersectDescriptor._2,
       sortedIntersectDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      ivfArgmaxDescriptor._1, ivfArgmaxDescriptor._2, ivfArgmaxDescriptor._3)
   }
 }
 
@@ -560,6 +672,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.minhashDescriptor)
     ext.injectFunction(GraftFunctions.dsumDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
+    ext.injectFunction(GraftFunctions.ivfArgmaxDescriptor)
   }
 }
 

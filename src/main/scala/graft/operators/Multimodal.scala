@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,49 +14,110 @@ import graft.sources.Tables
   * Media payloads are opaque `binary` columns with typed metadata alongside
   * — the pattern for image/audio/video at 100 TB: metadata columns let
   * Catalyst prune (filter by format/size) *before* any byte of payload is
-  * decoded. The decode step itself is STUBBED (no media libs in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the bytes, but the Spark-side plumbing — binary schema, per-partition
-  * batch decode via mapPartitions, chunk sampling — is real and tested.
+  * decoded. The decode step is REAL header parsing: payloads carry valid
+  * PNG / WAV (RIFF) / JPEG (JFIF) container headers (built by
+  * [[MediaCodec.encode]], CRC-correct for PNG), and `m_media_meta`'s
+  * width/height are read back out of those bytes by [[MediaCodec.decode]]
+  * inside the per-partition batch-decode plumbing — exactly where an
+  * image/ffmpeg library would sit. Only full-frame pixel decode is out of
+  * scope (no media libs in this environment); the container layer — magic,
+  * chunk/segment/RIFF walking, big- and little-endian dimension fields,
+  * format sanity against the declared tag — is parsed for real.
   *
-  * The driver parquet has no binary column, so payloads are materialized
-  * from `documents.text` (ASCII, so the DuckDB oracle can mirror byte
-  * operations with varchar operations 1:1).
+  * The driver parquet has no binary column, so payload bodies are
+  * materialized from `documents.text` (ASCII, so the DuckDB oracle can
+  * mirror body byte operations with varchar operations 1:1); the oracle
+  * checks the decoded dimensions against the planted closed forms, so a
+  * parser that misreads any header field hash-mismatches immediately.
   */
 object Multimodal {
 
   val ChunkBytes = 32
   val SampleEvery = 4
 
-  /** documents with a binary payload + media-type tag. */
+  /** documents with a (headerless) binary payload + media-type tag — the
+    * raw-bytes table the chunk sampler reads (its oracle mirrors payload
+    * bytes with varchar ops, so no binary header prefix here). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).selectExpr(
       "doc_id",
       "CAST(text AS BINARY) AS payload",
       "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1) AS format")
 
+  /** The same corpus as real container files: payload = a valid
+    * PNG/WAV/JPEG header encoding the planted metadata, then the text
+    * bytes as the (undecoded) body. Encoding is per-partition imperative
+    * work ([[MediaCodec.encode]]) — the ingest-side twin of the decode
+    * path. */
+  def mediaEncoded(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    val rdd = mediaTable(spark, dir).select("doc_id", "payload", "format")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val body = r.getAs[Array[Byte]](1)
+          val fmt = r.getString(2)
+          Row(id, fmt, MediaCodec.encode(id, fmt, body))
+        }
+      }
+    session.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
   // --- M1: metadata extraction ---------------------------------------------
 
-  /** Schema + metadata over opaque payloads: byte length, magic prefix,
-    * stub-decoded dimensions (pure functions of bytes/id — deterministic,
-    * codegen'd; a real decoder would replace the width/height exprs with a
-    * mapPartitions batch decode, cf. decodeStub below). */
-  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir).selectExpr(
-      "doc_id", "format",
-      "length(payload) AS n_bytes",
-      "lower(hex(substring(payload, 1, 4))) AS magic",
-      "16 + pmod(length(payload), 240) AS width",
-      "16 + pmod(doc_id * 7, 240) AS height")
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("magic", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
 
+  /** Schema + metadata over real container payloads: byte length and magic
+    * prefix are cheap column expressions (the prune-before-decode layer);
+    * width/height come from parsing the container header bytes in a
+    * per-partition batch ([[MediaCodec.decode]] — PNG IHDR big-endian,
+    * WAV fmt-chunk little-endian, JPEG SOF segment walk), with the parsed
+    * container checked against the declared format tag. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    val pre = mediaEncoded(spark, dir).selectExpr(
+      "doc_id", "format", "payload",
+      "CAST(length(payload) AS INT) AS n_bytes",
+      "lower(hex(substring(payload, 1, 4))) AS magic")
+    val rdd = pre.select("doc_id", "format", "n_bytes", "magic", "payload")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val (w, h) = MediaCodec.decode(r.getString(1), r.getAs[Array[Byte]](4))
+          Row(r.getLong(0), r.getString(1), r.getInt(2), r.getString(3), w, h)
+        }
+      }
+    session.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Oracle = the planted closed forms: header length / magic constants
+    * per container, dimensions per the encoder's formulas — a decode that
+    * misreads any field diverges from this. */
   val mediaMetaOracle: String =
-    """SELECT doc_id,
-      |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS format,
-      |  length(text) AS n_bytes,
-      |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
-      |  16 + (length(text) % 240) AS width,
-      |  16 + ((doc_id * 7) % 240) AS height
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS format,
+       |  CAST(length(text) + CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN ${MediaCodec.PngHeaderLen}
+       |    WHEN 1 THEN ${MediaCodec.WavHeaderLen}
+       |    ELSE ${MediaCodec.JpegHeaderLen} END AS INT) AS n_bytes,
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646'
+       |    ELSE 'ffd8ffe0' END AS magic,
+       |  CAST(CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 1 THEN 8 * (1 + doc_id % 5)
+       |    ELSE 16 + (length(text) % 240) END AS INT) AS width,
+       |  CAST(CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 1 THEN 1 + doc_id % 2
+       |    ELSE 16 + ((doc_id * 7) % 240) END AS INT) AS height
+       |FROM documents""".stripMargin
 
   // --- M2: frame/chunk sampling --------------------------------------------
 
@@ -81,36 +145,6 @@ object Multimodal {
        |  UNNEST(range(CAST(ceil(length(text) / $ChunkBytes.0) AS INT))) AS t(i)
        |WHERE i % $SampleEvery = 0""".stripMargin
 
-  // --- stubbed batch decoder (mapPartitions plumbing; test-verified) -------
-
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_pixels", LongType)))
-
-  /** Per-partition batch "decode": iterates payload rows in partition-sized
-    * batches exactly as a real decoder (image lib, ffmpeg) would — the
-    * deterministic fake derives dimensions from the byte content. This is
-    * the (d)-tier mapPartitions path reserved for genuinely imperative
-    * per-row work (SURVEY §4). */
-  def decodeStub(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("doc_id", "payload", "format").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val fmt = r.getString(2)
-        // fake decode: dimensions from payload bytes (deterministic)
-        val w = 16 + (bytes.length % 240)
-        val h = 16 + ((bytes.headOption.getOrElse(0: Byte).toInt & 0x7f) % 240)
-        Row(id, fmt, w, h, w.toLong * h)
-      }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> mediaMeta,
     "m_frame_sample" -> frameSample)
@@ -118,4 +152,146 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m_media_meta" -> mediaMetaOracle,
     "m_frame_sample" -> frameSampleOracle)
+}
+
+/** Real media-container header encode/decode — plain static JVM code
+  * called from the mapPartitions batch paths (same rule as the other
+  * codegen helpers: one call per row, the byte walking runs as ordinary
+  * JIT-compiled code).
+  *
+  * Planted metadata (mirrored by the DuckDB oracle's closed forms):
+  *  - image → PNG:  width = 16 + bodyLen % 240, height = 16 + (id*7) % 240
+  *  - audio → WAV:  sampleRate = 8000·(1 + id%5) Hz, channels = 1 + id%2;
+  *                  published as width = kHz·8-form (sampleRate/1000),
+  *                  height = channels — the generic dim0/dim1 convention
+  *                  for non-image media
+  *  - video → JPEG: same dimension forms as image (a keyframe header)
+  */
+object MediaCodec {
+
+  val PngHeaderLen = 33  // 8 sig + 25 IHDR chunk (len+type+13 data+CRC)
+  val WavHeaderLen = 44  // canonical RIFF/WAVE + fmt(16) + data chunk header
+  val JpegHeaderLen = 39 // SOI + APP0(JFIF, 18) + SOF0(19)
+
+  private def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int) = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v).array()
+  private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int) = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def readBe16(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  private def readBe32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+  private def readLe16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def readLe32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Build a payload with a REAL container header for the tagged format:
+    * a byte-level parser (ours below, or any standard tool reading only
+    * the header) recovers the planted dimensions. The body (document
+    * text) stands in for the compressed pixel/sample stream. */
+  def encode(id: Long, format: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + body.length)
+    format match {
+      case "image" =>
+        val w = 16 + Math.floorMod(body.length, 240)
+        val h = 16 + Math.floorMod(id * 7, 240).toInt
+        out.write(PngSig)
+        out.write(be32(13)) // IHDR data length
+        val typeAndData = new java.io.ByteArrayOutputStream(17)
+        typeAndData.write("IHDR".getBytes("US-ASCII"))
+        typeAndData.write(be32(w)); typeAndData.write(be32(h))
+        // bit depth 8, color type 2 (truecolor), compression/filter 0,
+        // interlace 0
+        typeAndData.write(Array[Byte](8, 2, 0, 0, 0))
+        val td = typeAndData.toByteArray
+        out.write(td)
+        val crc = new CRC32(); crc.update(td)
+        out.write(be32(crc.getValue.toInt))
+      case "audio" =>
+        val rate = 8000 * (1 + Math.floorMod(id, 5).toInt)
+        val channels = 1 + Math.floorMod(id, 2).toInt
+        out.write("RIFF".getBytes("US-ASCII"))
+        out.write(le32(36 + body.length)) // riff chunk size
+        out.write("WAVE".getBytes("US-ASCII"))
+        out.write("fmt ".getBytes("US-ASCII"))
+        out.write(le32(16))               // fmt chunk size (PCM)
+        out.write(le16(1))                // audio format 1 = PCM
+        out.write(le16(channels))
+        out.write(le32(rate))
+        out.write(le32(rate * channels * 2)) // byte rate (16-bit samples)
+        out.write(le16(channels * 2))        // block align
+        out.write(le16(16))                  // bits per sample
+        out.write("data".getBytes("US-ASCII"))
+        out.write(le32(body.length))
+      case "video" =>
+        val w = 16 + Math.floorMod(body.length, 240)
+        val h = 16 + Math.floorMod(id * 7, 240).toInt
+        out.write(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+        out.write(Array[Byte](0xff.toByte, 0xe0.toByte)) // APP0
+        out.write(be16(16))
+        out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+        out.write(Array[Byte](1, 1, 0))      // version 1.1, units 0
+        out.write(be16(72)); out.write(be16(72)) // x/y density
+        out.write(Array[Byte](0, 0))         // no thumbnail
+        out.write(Array[Byte](0xff.toByte, 0xc0.toByte)) // SOF0 baseline
+        out.write(be16(17))                  // segment length
+        out.write(8)                         // precision
+        out.write(be16(h)); out.write(be16(w))
+        out.write(3)                         // components
+        out.write(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      case other => throw new IllegalArgumentException(s"unknown format tag: $other")
+    }
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def fail(format: String, why: String) =
+    throw new IllegalArgumentException(s"$format payload: $why")
+
+  /** Parse (width, height) — for audio, (sampleRate/1000, channels) — out
+    * of the container header, verifying the container matches the declared
+    * format tag. Throws on mismatch or malformed headers: a corrupt or
+    * mislabeled 100 TB shard should surface per-row errors, not produce
+    * silent garbage dimensions. */
+  def decode(format: String, payload: Array[Byte]): (Int, Int) = format match {
+    case "image" =>
+      if (payload.length < PngHeaderLen || !payload.take(8).sameElements(PngSig))
+        fail(format, "missing PNG signature")
+      if (!(12 until 16).forall(i => payload(i) == "IHDR".charAt(i - 12).toByte))
+        fail(format, "first chunk is not IHDR")
+      val td = java.util.Arrays.copyOfRange(payload, 12, 12 + 17)
+      val crc = new CRC32(); crc.update(td)
+      if (crc.getValue.toInt != readBe32(payload, 29)) fail(format, "IHDR CRC mismatch")
+      (readBe32(payload, 16), readBe32(payload, 20))
+    case "audio" =>
+      if (payload.length < WavHeaderLen ||
+          !(payload.take(4).sameElements("RIFF".getBytes("US-ASCII"))) ||
+          !(java.util.Arrays.copyOfRange(payload, 8, 12)
+            .sameElements("WAVE".getBytes("US-ASCII"))))
+        fail(format, "not a RIFF/WAVE container")
+      if (!java.util.Arrays.copyOfRange(payload, 12, 16)
+            .sameElements("fmt ".getBytes("US-ASCII")))
+        fail(format, "missing fmt chunk")
+      (readLe32(payload, 24) / 1000, readLe16(payload, 22))
+    case "video" =>
+      if (payload.length < 4 || (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8)
+        fail(format, "missing JPEG SOI marker")
+      // walk segments to the first SOF (start-of-frame) marker
+      var p = 2
+      while (p + 8 < payload.length) {
+        if ((payload(p) & 0xff) != 0xff) fail(format, s"bad marker byte at $p")
+        val m = payload(p + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return (readBe16(payload, p + 7), readBe16(payload, p + 5))
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) p += 2 // standalone
+        else p += 2 + readBe16(payload, p + 2)
+      }
+      fail(format, "no SOF segment before body")
+    case other => fail(other, "unknown format tag")
+  }
 }

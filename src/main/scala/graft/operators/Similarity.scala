@@ -132,10 +132,15 @@ object Similarity {
 
   /** Deterministic hyperplane components: h[j][i] derived from
     * md5("p<j>|<i>") — first 4 hex digits as an int in [0, 65535],
-    * embedded as integer literals (exact in both engines). */
-  lazy val planeInts: Seq[Seq[Int]] = {
+    * embedded as integer literals (exact in both engines). The plane
+    * count is the LSH family's scale knob: bucket occupancy is N/2^planes,
+    * so a deployment sizes `planes ≈ log2(N)` to keep the within-bucket
+    * pair join bounded (the gated queries pin [[Planes]] = 8 for the
+    * bench corpus; [[graft.EmbedScale]] drives the same code at
+    * log2(N) planes). */
+  def planeIntsFor(planes: Int): Seq[Seq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until Planes).map { j =>
+    (0 until planes).map { j =>
       (0 until Dim).map { i =>
         val hex = md.digest(s"p$j|$i".getBytes("UTF-8"))
           .take(2).map("%02x".format(_)).mkString
@@ -144,10 +149,13 @@ object Similarity {
     }
   }
 
+  lazy val planeInts: Seq[Seq[Int]] = planeIntsFor(Planes)
+
   /** Bucket id expression: sign bit of each hyperplane dot, packed. */
   private def bucketExpr(embCol: String, arrayLit: Seq[Int] => String,
-                         dot: (String, String) => String): String = {
-    val bits = planeInts.zipWithIndex.map { case (h, j) =>
+                         dot: (String, String) => String,
+                         planes: Seq[Seq[Int]] = planeInts): String = {
+    val bits = planes.zipWithIndex.map { case (h, j) =>
       val d = dot(arrayLit(h), embCol)
       s"(CASE WHEN ($d) >= 0 THEN ${1 << j} ELSE 0 END)"
     }
@@ -215,9 +223,16 @@ object Similarity {
     * collisions — the dedup-by-embedding path for a 100 TB corpus. (This
     * synthetic corpus is near-orthogonal, so matches are sparse — the
     * operator's value is the plan shape, verified against the oracle.) */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(spark, dir, Planes)
+
+  /** Plane-parameterized variant — `planes ≈ log2(corpus)` keeps bucket
+    * occupancy (and so the pair join) O(1) per vector at any corpus
+    * size; the 8-plane gated query is this with the bench corpus's
+    * knob. */
+  def embedNearDup(spark: SparkSession, dir: String, planes: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot)
+    val bucket = bucketExpr("embedding", sparkArray, sparkPlaneDot, planeIntsFor(planes))
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
         s"${sparkDot("embedding", "embedding")} AS nrm", s"($bucket) AS bucket")
@@ -282,15 +297,17 @@ object Similarity {
       .agg(array_sort(collect_list(struct(
         col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))))
         .as("cents"))
-    val scored = (0 until IvfCentroids).map { i =>
-      struct(
-        expr(s"(${sparkDot("embedding", s"cents[$i].ce")}) / (sqrt(nrm) * sqrt(cents[$i].cn))").as("cs"),
-        (-col("cents")(i)("cid")).as("ncid"))
-    }
+    // argmax over the K centroids in one native call per row
+    // (graft_ivf_argmax — IvfCentroidArgmax): semantically identical to
+    // `greatest()` over K inline struct(score, -cid) expressions (max
+    // cosine, ties to the smallest cid, same fold-order doubles), but
+    // the generated row method stays tiny. The inline form's projection
+    // grew with K×Dim past the JVM's huge-method JIT threshold — it
+    // compiled without warning, then ran interpreted at ~50× the cost
+    // (EmbedScale measured 108 s/1.25M rows; this scans 5M in seconds).
     emb.join(broadcast(centRow))
-      .withColumn("best", greatest(scored: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best")("ncid")).as("cid"))
+        expr("graft_ivf_argmax(embedding, nrm, cents)").as("cid"))
   }
 
   // --- E4: k-means centroid update -------------------------------------------
