@@ -335,13 +335,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"edge set mismatch: got $got")
   }
 
-  test("M: decodeStub mapPartitions plumbing produces deterministic dims") {
-    val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
-    val decoded = graft.operators.Multimodal.decodeStub(media)
-    val n = media.count()
-    assert(decoded.count() == n)
-    val r = decoded.filter(col("doc_id") === 0).collect().head
-    assert(r.getInt(2) >= 16 && r.getInt(3) >= 16)
-    assert(r.getLong(4) == r.getInt(2).toLong * r.getInt(3))
+  test("M: mediaMeta decodes real container headers to the planted dims") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val dir = "/root/testdata/sf0.001"
+    val bodyLens = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS INT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val meta = Multimodal.mediaMeta(spark, dir).collect()
+    assert(meta.length == bodyLens.size)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (r.getInt(4), r.getInt(5))
+      r.getString(1) match {
+        case "audio" =>
+          assert(w == 8 * (1 + (id % 5)).toInt, s"doc $id: wav kHz $w")
+          assert(h == 1 + (id % 2).toInt, s"doc $id: wav channels $h")
+          assert(r.getInt(2) == bodyLens(id) + MediaCodec.WavHeaderLen)
+        case fmt => // image (PNG) and video (JPEG keyframe) share the forms
+          assert(w == 16 + bodyLens(id) % 240, s"doc $id ($fmt): width $w")
+          assert(h == 16 + ((id * 7) % 240).toInt, s"doc $id ($fmt): height $h")
+          val hdr = if (fmt == "image") MediaCodec.PngHeaderLen else MediaCodec.JpegHeaderLen
+          assert(r.getInt(2) == bodyLens(id) + hdr)
+      }
+    }
+  }
+
+  test("M: MediaCodec.decode rejects malformed and mislabeled containers") {
+    import graft.operators.MediaCodec
+    val body = "the compressed stream stand-in".getBytes("US-ASCII")
+    val png = MediaCodec.encode(5L, "image", body)
+    val wav = MediaCodec.encode(5L, "audio", body)
+    val jpg = MediaCodec.encode(5L, "video", body)
+    // round-trip sanity on the planted forms
+    assert(MediaCodec.decode("image", png) == (16 + body.length % 240, 16 + (5 * 7) % 240))
+    assert(MediaCodec.decode("audio", wav) == (8, 2))
+    assert(MediaCodec.decode("video", jpg) == (16 + body.length % 240, 16 + (5 * 7) % 240))
+    def throws(f: => Any): Boolean =
+      try { f; false } catch { case _: IllegalArgumentException => true }
+    // mislabeled: tag says one container, bytes are another
+    assert(throws(MediaCodec.decode("image", wav)), "PNG parser accepted a WAV")
+    assert(throws(MediaCodec.decode("audio", png)), "WAV parser accepted a PNG")
+    assert(throws(MediaCodec.decode("video", wav)), "JPEG parser accepted a WAV")
+    // corrupt: flip one IHDR data byte -> CRC must catch it
+    val crcBroken = png.clone(); crcBroken(17) = (crcBroken(17) ^ 0x01).toByte
+    assert(throws(MediaCodec.decode("image", crcBroken)), "PNG CRC not checked")
+    // corrupt: truncate the WAV fmt chunk tag
+    val noFmt = wav.clone(); noFmt(12) = 'X'.toByte
+    assert(throws(MediaCodec.decode("audio", noFmt)), "missing fmt chunk not caught")
+    // corrupt: JPEG with the SOF segment marker overwritten (walks to body)
+    val noSof = jpg.clone(); noSof(21) = 0xfe.toByte
+    assert(throws(MediaCodec.decode("video", noSof)), "SOF-less JPEG not caught")
+    assert(throws(MediaCodec.decode("pdf", png)), "unknown tag not rejected")
   }
 }
