@@ -96,8 +96,10 @@ object EmbedScale {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
-    val neardupPlanes = math.max(Similarity.Planes,
-      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+    // clamp at 31: the bucket pack is INT sign bits (planeIntsFor rejects
+    // more) — 31 planes already keeps occupancy O(1) past 2B vectors
+    val neardupPlanes = math.min(31, math.max(Similarity.Planes,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

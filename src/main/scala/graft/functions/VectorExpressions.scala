@@ -343,6 +343,10 @@ object IvfArgmax {
     * dot the same index-order left fold as [[ArrayDotProduct]], so the
     * doubles compared here are the exact doubles the SQL form (and the
     * DuckDB oracle's row_number ORDER BY cs DESC, cid ASC) ranks.
+    * NaN scores (a zero-norm embedding or centroid — 0/0) follow Spark's
+    * double ordering: NaN ranks ABOVE every double and ties with itself,
+    * so a degenerate corpus produces the same cid as the `greatest()`
+    * form instead of silently skipping NaN cells.
     * `cents` rows are struct<cid: bigint, ce: array<float>, cn: double>.
     * Returns Long.MinValue for an empty centroid array (callers always
     * aggregate ≥1 centroid; the sentinel keeps the expression
@@ -365,9 +369,15 @@ object IvfArgmax {
         i += 1
       }
       val cs = acc / (en * math.sqrt(row.getDouble(2)))
-      if (cs > bestCs || (cs == bestCs && cid < bestCid)) {
-        bestCs = cs; bestCid = cid
-      }
+      // Spark double ordering: NaN > any double, NaN == NaN. (-0.0 vs 0.0
+      // never ties here: acc starts at +0.0, so cs is never -0.0.)
+      val better =
+        if (java.lang.Double.isNaN(cs))
+          !java.lang.Double.isNaN(bestCs) || cid < bestCid
+        else
+          !java.lang.Double.isNaN(bestCs) &&
+            (cs > bestCs || (cs == bestCs && cid < bestCid))
+      if (better) { bestCs = cs; bestCid = cid }
       c += 1
     }
     bestCid

@@ -139,6 +139,11 @@ object Similarity {
     * bench corpus; [[graft.EmbedScale]] drives the same code at
     * log2(N) planes). */
   def planeIntsFor(planes: Int): Seq[Seq[Int]] = {
+    // bucketExpr packs the sign bits with INT `1 << j`, which wraps at
+    // j = 31 (1 << 32 == 1): more planes would silently collide distinct
+    // sign patterns onto reused bits. 31 planes ≈ a 2-billion-vector
+    // corpus at O(1) occupancy; past that, widen the pack to BIGINT.
+    require(planes <= 31, s"plane count $planes exceeds the 31-bit bucket pack")
     val md = MessageDigest.getInstance("MD5")
     (0 until planes).map { j =>
       (0 until Dim).map { i =>

@@ -65,6 +65,113 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) === 320.0)
   }
 
+  /** Seeded corpus + the K lowest vec_ids as centroids, packed exactly the
+    * way ivfAssignment packs them (one array_sort(collect_list(struct))
+    * broadcast row). */
+  private def ivfCorpus(k: Int) = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val emb = spark.range(300).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(1, 16), i -> CAST(sin(id * 31 + i) AS FLOAT)) AS embedding")
+      .selectExpr("vec_id", "embedding", "graft_dot(embedding, embedding) AS nrm")
+    val cents = emb.filter(s"vec_id < $k")
+      .selectExpr("vec_id AS cid", "embedding AS ce", "nrm AS cn")
+      .groupBy().agg(expr("array_sort(collect_list(struct(cid, ce, cn)))").as("cents"))
+    emb.crossJoin(broadcast(cents)).localCheckpoint()
+  }
+
+  /** The pre-graft_ivf_argmax reference implementation: greatest() over K
+    * inline (score, -cid) structs — correct but interpreter-cliffed at
+    * scale (the generated projection outgrows the JIT's method limit). */
+  private def greatestForm(k: Int): String = {
+    val structs = (0 until k).map(c =>
+      s"struct(graft_dot(embedding, cents[$c].ce) / (sqrt(nrm) * sqrt(cents[$c].cn)), -cents[$c].cid)")
+    s"-((greatest(${structs.mkString(", ")})).col2)"
+  }
+
+  test("graft_ivf_argmax matches greatest(struct(cs, -cid)) on codegen AND interpreted paths") {
+    val k = 16
+    val df = ivfCorpus(k)
+    def mismatches(): Long = df.selectExpr(
+      "graft_ivf_argmax(embedding, nrm, cents) AS native",
+      s"${greatestForm(k)} AS sql_form")
+      .filter("native <> sql_form").count()
+    assert(mismatches() === 0L)
+    // the corpus must actually spread across cells or agreement is vacuous
+    val distinct = df.selectExpr("graft_ivf_argmax(embedding, nrm, cents) AS c")
+      .distinct().count()
+    assert(distinct > 1, "argmax collapsed to one cell — seed corpus degenerate")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(mismatches() === 0L)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_ivf_argmax breaks exact score ties to the smallest cid") {
+    // two centroids with IDENTICAL vectors (cids 7 and 3): scores tie
+    // bit-for-bit, so the winner must be cid 3 — same rule as the SQL
+    // form's max(-cid) and the oracle's ORDER BY cs DESC, cid ASC
+    val r = spark.sql(
+      """SELECT graft_ivf_argmax(e, graft_dot(e, e), array(
+        |    named_struct('cid', 7L, 'ce', e, 'cn', graft_dot(e, e)),
+        |    named_struct('cid', 3L, 'ce', e, 'cn', graft_dot(e, e)))) AS cid
+        |FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS e)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) === 3L)
+  }
+
+  test("graft_ivf_argmax empty-centroid sentinel and NaN ordering match greatest") {
+    // empty centroid array -> Long.MinValue sentinel (callers always
+    // aggregate >= 1 centroid; slice keeps the struct element type)
+    val k = 4
+    val sentinel = ivfCorpus(k).limit(1)
+      .selectExpr("graft_ivf_argmax(embedding, nrm, slice(cents, 1, 0)) AS c")
+      .collect().head.getLong(0)
+    assert(sentinel === Long.MinValue)
+    // zero-norm EMBEDDING: every score is 0/0 = NaN; Spark's greatest
+    // ranks NaN above all doubles and NaN ties with NaN, so all cells tie
+    // and the smallest cid wins — native and SQL forms must agree. (The
+    // SQL form needs ANSI off here: ANSI double division THROWS on /0
+    // where the native loop follows IEEE 0/0 -> NaN — real corpora carry
+    // no zero vectors, and the native form degrades gracefully instead.)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val zeroEmb = try {
+      ivfCorpus(k).limit(1)
+        .selectExpr("transform(embedding, x -> CAST(0.0 AS FLOAT)) AS embedding",
+          "CAST(0.0 AS DOUBLE) AS nrm", "cents")
+        .selectExpr("graft_ivf_argmax(embedding, nrm, cents) AS native",
+          s"${greatestForm(k)} AS sql_form")
+        .collect().head
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    assert(zeroEmb.getLong(0) === 0L, "all-NaN tie must go to the smallest cid")
+    assert(zeroEmb.getLong(0) === zeroEmb.getLong(1))
+    // zero-norm CENTROID among finite ones: its lone NaN score ranks above
+    // every finite score (cid 99 wins) on both paths
+    val zeroCent = spark.sql(
+      """SELECT graft_ivf_argmax(e, graft_dot(e, e), array(
+        |    named_struct('cid', 1L, 'ce', e, 'cn', graft_dot(e, e)),
+        |    named_struct('cid', 99L, 'ce', z, 'cn', CAST(0.0 AS DOUBLE)))) AS cid
+        |FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS e,
+        |             array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS z)""".stripMargin)
+      .collect().head
+    assert(zeroCent.getLong(0) === 99L, "NaN-scored centroid must rank above finite scores")
+  }
+
+  test("planeIntsFor is deterministic, prefix-stable, and rejects bucket overflow") {
+    import graft.operators.Similarity
+    assert(Similarity.planeIntsFor(8) === Similarity.planeInts)
+    // plane j depends only on j: a bigger family extends, never reshuffles
+    assert(Similarity.planeIntsFor(12).take(8) === Similarity.planeIntsFor(8))
+    Similarity.planeIntsFor(8).foreach(h =>
+      h.foreach(v => assert(v >= 0 && v <= 0xffff)))
+    // the INT bucket pack wraps at 1 << 32 — the constructor must refuse
+    intercept[IllegalArgumentException](Similarity.planeIntsFor(32))
+    Similarity.planeIntsFor(31) // 31 is the documented max, must succeed
+  }
+
   test("interpreted path (codegen off) agrees with codegen path") {
     val df = spark.range(100).selectExpr(
       "transform(sequence(1, 32), i -> CAST(sin(id + i) AS FLOAT)) AS a",
