@@ -51,6 +51,37 @@ object GraphScale {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Planted-SCC digraph for the distributed SCC soak: nodes in blocks of
+    * [[SccBlock]] consecutive ids, each block a directed cycle (one SCC
+    * per block, label = block base = its min member); block 0's base
+    * fans out one DAG edge to every other block's base (condensation
+    * depth 1 — the coloring loop's outer-iteration count stays 2, while
+    * the within-SCC Pregel propagation still runs the full cycle
+    * circumference). The remaining edge budget is power-law INTRA-block
+    * filler (endpoint skew ∝ x^(-1/2), same family as [[powerLawEdges]]):
+    * extra edges inside a block never change the SCC partition, so the
+    * closed form `comp(v) = (v div B)·B` survives arbitrary skew — hub
+    * adjacency stress without giving up the planted answer. */
+  val SccBlock = 32L
+
+  def plantedSccEdges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame = {
+    val b = SccBlock
+    val cycle = spark.range(nNodes).selectExpr(
+      "id AS src",
+      s"CASE WHEN (id + 1) % $b = 0 THEN id + 1 - $b ELSE id + 1 END AS dst")
+    val cross = spark.range(nNodes / b)
+      .selectExpr("CAST(0 AS BIGINT) AS src", s"id * $b AS dst")
+      .filter(col("dst") =!= 0)
+    val nFill = math.max(0L, nEdges - nNodes - nNodes / b + 1)
+    val fill = spark.range(nFill)
+      .selectExpr(
+        s"CAST($nNodes * pow(pmod(xxhash64(id, 3), 1000000) / 1000000.0, 2.0) AS BIGINT) AS u",
+        s"pmod(xxhash64(id, 4), $b) AS o")
+      .selectExpr("u AS src", s"(u DIV $b) * $b + o AS dst")
+      .filter(col("src") =!= col("dst"))
+    cycle.union(cross).union(fill)
+  }
+
   def main(args: Array[String]): Unit = {
     val nEdges = args.headOption.map(_.toLong).getOrElse(10000000L)
     val nNodes = math.max(16L, nEdges / 10)
@@ -126,6 +157,23 @@ object GraphScale {
       // distributed walk sampling: adjacency via one shuffle, then
       // per-step frontier joins — 1/1000 of nodes seeded, 4 steps; check
       // = visited-step rows (walks stop at sinks, so < 5x seeds)
+      // distributed SCC (GraphX coloring) on the planted-SCC digraph:
+      // every label must equal its block base (the closed form), and the
+      // recorded check = SCC count = nNodes/SccBlock. The bridge's own
+      // self-consistency gate (labels ≤ id, labeling a fixpoint) runs on
+      // top; a soak-scale interim-coloring escape would trip either.
+      op("scc_planted")({
+        val sccEdges = plantedSccEdges(spark, nEdges, nNodes).localCheckpoint()
+        GraphXBridge.stronglyConnectedComponents(
+          spark, PropertyGraph(nodes, sccEdges))
+      })({ df =>
+        val lab = df.select(col("node"), col("comp")).localCheckpoint()
+        val bad = lab
+          .filter(expr(s"comp <> (node DIV $SccBlock) * $SccBlock")).count()
+        if (bad > 0)
+          throw new IllegalStateException(s"$bad nodes off the planted SCC labels")
+        lab.agg(countDistinct(col("comp"))).head.getLong(0)
+      }),
       op("walks_4step")({
         val adj = edges.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs")).localCheckpoint()

@@ -48,7 +48,10 @@ object Multimodal {
     * PNG/WAV/JPEG header encoding the planted metadata, then the text
     * bytes as the (undecoded) body. Encoding is per-partition imperative
     * work ([[MediaCodec.encode]]) — the ingest-side twin of the decode
-    * path. */
+    * path. `n_bytes`/`magic` ride along as CATALYST projections over the
+    * encoded payload: this is the table a 100 TB ingest would persist, and
+    * those metadata columns are what lets a format/size filter prune file
+    * reads without touching a payload byte. */
   def mediaEncoded(spark: SparkSession, dir: String): DataFrame = {
     val session = spark
     val rdd = mediaTable(spark, dir).select("doc_id", "payload", "format")
@@ -64,6 +67,9 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("format", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false))))
+      .selectExpr("doc_id", "format", "payload",
+        "CAST(length(payload) AS INT) AS n_bytes",
+        "lower(hex(substring(payload, 1, 4))) AS magic")
   }
 
   // --- M1: metadata extraction ---------------------------------------------
@@ -76,23 +82,28 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  /** Schema + metadata over real container payloads: byte length and magic
-    * prefix are cheap column expressions (the prune-before-decode layer);
-    * width/height come from parsing the container header bytes in a
-    * per-partition batch ([[MediaCodec.decode]] — PNG IHDR big-endian,
-    * WAV fmt-chunk little-endian, JPEG SOF segment walk), with the parsed
-    * container checked against the declared format tag. */
+  /** Schema + metadata over real container payloads: width/height come
+    * from parsing the container header bytes ([[MediaCodec.decode]] — PNG
+    * IHDR big-endian, WAV fmt-chunk little-endian, JPEG SOF segment walk),
+    * with the parsed container checked against the declared format tag.
+    *
+    * Plumbing: encode and decode are FUSED into one mapPartitions pass —
+    * one RDD↔Catalyst boundary, each payload serialized once (the
+    * two-hop form paid the full-payload exchange twice). n_bytes/magic
+    * are read off the same in-hand bytes here; in a persisted deployment
+    * they live as [[mediaEncoded]]'s column expressions over the stored
+    * encoded table, where Catalyst prunes on them BEFORE any decode. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     val session = spark
-    val pre = mediaEncoded(spark, dir).selectExpr(
-      "doc_id", "format", "payload",
-      "CAST(length(payload) AS INT) AS n_bytes",
-      "lower(hex(substring(payload, 1, 4))) AS magic")
-    val rdd = pre.select("doc_id", "format", "n_bytes", "magic", "payload")
+    val rdd = mediaTable(spark, dir).select("doc_id", "payload", "format")
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val (w, h) = MediaCodec.decode(r.getString(1), r.getAs[Array[Byte]](4))
-          Row(r.getLong(0), r.getString(1), r.getInt(2), r.getString(3), w, h)
+          val id = r.getLong(0)
+          val fmt = r.getString(2)
+          val payload = MediaCodec.encode(id, fmt, r.getAs[Array[Byte]](1))
+          val (w, h) = MediaCodec.decode(fmt, payload)
+          val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+          Row(id, fmt, payload.length, magic, w, h)
         }
       }
     session.createDataFrame(rdd, decodedSchema)

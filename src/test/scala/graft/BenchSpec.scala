@@ -121,6 +121,27 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.json4s.jackson.JsonMethods.parse(line)
   }
 
+  test("N+2 gated queries still fit untrimmed — headroom for the next operators") {
+    // the pre-commit gate for adding a 99th/100th query: prove the line
+    // fits with every query listed BEFORE the operator lands, instead of
+    // discovering the drop-fastest fallback in a round artifact. Names
+    // chosen longer than the registry average (worst case), timings the
+    // same worst-realistic widths as the real-suite test above.
+    val extras = Seq(
+      QueryBench("t_next_operator_name", 9.49, 0.0, 0.0, None),
+      QueryBench("d_another_new_operator", 0.04, 0.0, 0.0, None))
+    val results = SparkEntry.queries.keys.toSeq.zipWithIndex.map { case (n, i) =>
+      QueryBench(n, if (i % 10 == 9) 0.04 else 9.49, 0.0, 0.0, None)
+    } ++ extras
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(!line.contains("queries_omitted"),
+      s"${results.size} queries no longer fit untrimmed — rework the encoding " +
+        "before landing another gated operator")
+    extras.foreach(e => assert(line.contains(e.name)))
+    org.json4s.jackson.JsonMethods.parse(line)
+  }
+
   test("pathological timings (999.999 s every query) degrade by trimming, never truncation") {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(n => QueryBench(n, 999.999, 0.0, 0.0, None))

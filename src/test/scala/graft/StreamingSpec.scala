@@ -360,6 +360,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("M: persisted mediaEncoded table prunes on metadata before any decode") {
+    // the 100 TB ingest shape: the encoded table is persisted with
+    // n_bytes/magic as real columns, so a format filter reaches the
+    // parquet scan (PushedFilters) and the payload column is never read
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_enc").toString
+    graft.operators.Multimodal.mediaEncoded(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .filter(col("magic") === "89504e47").select("doc_id", "n_bytes")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("magic"),
+      s"magic filter not pushed to the scan:\n$plan")
+    assert(!plan.contains("payload"), s"payload column read for a metadata query:\n$plan")
+    val pngs = scan.count()
+    assert(pngs > 0, "no PNG rows — the magic column or filter is wrong")
+  }
+
   test("M: MediaCodec.decode rejects malformed and mislabeled containers") {
     import graft.operators.MediaCodec
     val body = "the compressed stream stand-in".getBytes("US-ASCII")
