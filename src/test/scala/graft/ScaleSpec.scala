@@ -164,4 +164,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mean = 2.0 * rows.getLong(4) / nNodes
     assert(hub > 10 * mean, s"hub degree $hub not >> mean $mean")
   }
+
+  test("planted-SCC generator: cycles + depth-1 DAG + intra-block filler, closed form holds") {
+    val b = GraphScale.SccBlock
+    val nNodes = 64 * b // 64 planted SCCs
+    val nEdges = 20000L
+    val e = GraphScale.plantedSccEdges(spark, nEdges, nNodes).localCheckpoint()
+    // every block's full cycle is present (the SCC-making edges)
+    val cycleMissing = spark.range(nNodes).selectExpr("id AS src",
+      s"CASE WHEN (id + 1) % $b = 0 THEN id + 1 - $b ELSE id + 1 END AS dst")
+      .except(e).count()
+    assert(cycleMissing == 0, s"$cycleMissing cycle edges missing")
+    // every non-cycle edge either leaves block 0's base (the DAG fan-out)
+    // or stays INSIDE its block (filler) — the invariant that keeps the
+    // SCC partition equal to the block partition
+    val offPlan = e
+      .filter(expr(s"NOT (src = 0 AND dst % $b = 0)")) // not a fan-out edge
+      .filter(expr(s"src DIV $b <> dst DIV $b")).count()
+    assert(offPlan == 0, s"$offPlan edges cross blocks outside the planted DAG")
+    // the fan-out reaches every other block (condensation depth 1)
+    val fanned = e.filter(expr(s"src = 0 AND dst % $b = 0 AND dst <> 0"))
+      .selectExpr("dst DIV " + b).distinct().count()
+    assert(fanned == nNodes / b - 1, s"fan-out hit $fanned blocks")
+    // deterministic and self-loop-free, same contract as powerLawEdges
+    assert(e.filter(col("src") === col("dst")).count() == 0)
+    // the ground truth the soak's check relies on: the driver-local
+    // Tarjan twin agrees with the closed form comp(v) = (v div B)·B on a
+    // small instance (the soak asserts the same form at 10M edges)
+    val nodes = spark.range(nNodes).select(col("id"))
+    val scc = graft.graph.GraphXBridge.stronglyConnectedComponents(
+      spark, graft.graph.PropertyGraph(nodes, e))
+    val bad = scc.filter(expr(s"comp <> (node DIV $b) * $b")).count()
+    assert(bad == 0, s"$bad nodes off the planted labels")
+  }
 }
