@@ -69,8 +69,11 @@ object Bench {
     * values widened to their first nonzero digit) renders ~1995 chars,
     * which must carry ALL queries — a tighter cap silently drops the
     * FASTEST rows, i.e. exactly the warm interactive lookups/traversals
-    * the artifact exists to record. 98 queries is the practical ceiling
-    * of this encoding; a 99th would re-enter the drop-fastest fallback.
+    * the artifact exists to record. Headroom is TEST-pinned, not
+    * guessed: BenchSpec's N+2 test renders the real registry plus two
+    * longer-than-average names at worst-realistic widths and asserts
+    * no query is trimmed — run it BEFORE landing another gated
+    * operator (the r14 registry is 99 with two more proven to fit).
     * Per-query CPU/memory detail lives in [[DetailFile]], not on
     * stdout. */
   val LineBudget = 1998

@@ -405,6 +405,71 @@ object Similarity {
        |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
        |FROM r WHERE rank <= 3""".stripMargin
 
+  /** nprobe for the multi-cell IVF probe (D7b). */
+  val NProbe = 2
+
+  /** D7b: IVF ANN with nprobe = 2 — the recall knob every IVF deployment
+    * turns: each query probes its TWO highest-cosine centroid cells
+    * instead of one, for strictly-no-worse top-k (the top-1 cell is
+    * always among the two, so the candidate pool only grows — pinned in
+    * SimilaritySpec). Corpus assignment is UNCHANGED: the same one-scan
+    * `graft_ivf_argmax` relation [[ivfAnn]] reads, each vector in
+    * exactly one cell (so the 2-cell probe cannot duplicate a pair).
+    * The query-side cell ranking is an 8×16 broadcast cross —
+    * corpus-size-free — and the probe stays a broadcast join on the
+    * cell id: at 100 TB, nprobe multiplies only probe fan-in
+    * (queries × cell occupancy), never the corpus exchange. */
+  def ivfAnn2(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignment(spark, dir).localCheckpoint()
+    val cent = assigned
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCentroids)
+      .selectExpr("vec_id AS cid", "embedding AS ce", "nrm AS cn")
+    val q2 = assigned.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn")
+      .crossJoin(broadcast(cent))
+      .selectExpr("query_id", "qe", "qn", "cid",
+        s"(${sparkDot("qe", "ce")}) / (sqrt(qn) * sqrt(cn)) AS cs")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cid ASC)"))
+      .filter(col("rk") <= NProbe)
+      .select("query_id", "qe", "qn", "cid")
+    assigned.join(broadcast(q2), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= 3)
+      .selectExpr("query_id", "neighbor_id", "rank",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val ivfAnn2Oracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM emb
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCentroids}),
+       |scored AS (SELECT emb.vec_id, emb.e, emb.nrm, cid,
+       |    (${duckDot("e", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs
+       |  FROM emb CROSS JOIN cent),
+       |assigned AS MATERIALIZED (SELECT vec_id, e, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+       |    FROM scored) WHERE rk = 1),
+       |q2 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+       |    FROM scored WHERE vec_id < $NumQueries) WHERE rk <= $NProbe),
+       |pairs AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    (${duckDot("qe", "a.e")}) / (sqrt(qn) * sqrt(a.nrm)) AS sim
+       |  FROM assigned a JOIN q2 USING (cid) WHERE a.vec_id <> q2.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM r WHERE rank <= 3""".stripMargin
+
   // --- E1: int8-quantized ANN ----------------------------------------------
 
   /** E1: scalar-quantized (int8) cosine top-k — the storage-scale path: a
@@ -530,6 +595,7 @@ object Similarity {
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_ann" -> lshAnn,
     "s_ivf_ann" -> ivfAnn,
+    "s_ivf_probe2" -> ivfAnn2,
     "s_quantized_ann" -> quantizedAnn,
     "d_embed_neardup" -> embedNearDup)
 
@@ -541,5 +607,6 @@ object Similarity {
     "s_cosine_topk" -> cosineTopKOracle,
     "s_lsh_ann" -> lshAnnOracle,
     "s_ivf_ann" -> ivfAnnOracle,
+    "s_ivf_probe2" -> ivfAnn2Oracle,
     "d_embed_neardup" -> embedNearDupOracle)
 }

@@ -138,9 +138,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"published outliers ${got.map(_._1).toSet} != true bottom-K $expectIds")
   }
 
+  test("nprobe=2 probe is strictly-no-worse than nprobe=1 at every rank") {
+    // the 2-cell candidate pool is a superset of the 1-cell pool (the
+    // top-1 cell is always among the top-2), so at each rank position
+    // the published similarity may only rise; and the result set may
+    // only grow (thin cells that starved nprobe=1 gain candidates).
+    def byRank(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Double] =
+      df.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val p1 = byRank(Similarity.ivfAnn(spark, dir))
+    val p2 = byRank(Similarity.ivfAnn2(spark, dir))
+    assert(p2.size >= p1.size, s"probe2 returned ${p2.size} < probe1's ${p1.size}")
+    p1.foreach { case (key, s1) =>
+      val s2 = p2.getOrElse(key, Double.NegativeInfinity)
+      assert(s2 >= s1 - 1e-12, s"rank $key regressed: $s2 < $s1")
+    }
+    // ...and stays bounded by brute force, same as the other ANN paths
+    val exact = byRank(Similarity.cosineTopK(spark, dir).filter("rank <= 3"))
+    p2.foreach { case (key, s) =>
+      assert(s <= exact(key) + 1e-12, s"probe2 beat brute force at $key")
+    }
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
-        Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir)).foreach { df =>
+        Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir),
+        Similarity.ivfAnn2(spark, dir)).foreach { df =>
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(rows.forall { case (q, n, _) => q != n })
       rows.groupBy(_._1).foreach { case (_, g) =>
