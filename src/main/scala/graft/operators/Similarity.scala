@@ -470,6 +470,80 @@ object Similarity {
        |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
        |FROM r WHERE rank <= 3""".stripMargin
 
+  /** Coarse prefix length and candidate pool for the truncated-dimension
+    * rerank (D7c). */
+  val CoarseDim = 16
+  val RerankPool = 20
+
+  /** Same fold as [[duckDot]] but over the first n dims only. */
+  private def duckDotN(a: String, b: String, n: Int) =
+    s"""list_reduce(list_transform(range($n),
+       |  i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** D7c: coarse-to-fine reranked ANN over dimension-truncated prefixes —
+    * the matryoshka-representation trick: score the whole corpus with
+    * only the first [[CoarseDim]] of [[Dim]] dimensions (4× fewer
+    * multiply-adds and, in a deployment that stores the prefix as its
+    * own column, 4× less scan I/O), keep the top [[RerankPool]] per
+    * query, and re-rank just that pool with full-precision cosine.
+    *
+    * Scale shape: the coarse pass is the SAME zero-exchange broadcast
+    * scan as brute force, only cheaper per row; the rerank touches
+    * queries × pool rows — corpus-size-free. Nothing shuffles but the
+    * final per-query window over ≤ pool rows. Both stages are
+    * `graft_dot` folds (the coarse stage over `slice(embedding, 1, 16)`),
+    * so scores are bit-identical to the oracle's range(16)/range(64)
+    * folds and the pool boundary (ties → smaller vec_id) is exact
+    * cross-engine. */
+  def mrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        s"slice(embedding, 1, $CoarseDim) AS pre",
+        s"${sparkDot("embedding", "embedding")} AS nrm")
+      .selectExpr("vec_id", "embedding", "pre", "nrm",
+        s"${sparkDot("pre", "pre")} AS pnrm")
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn",
+        "pre AS qpre", "pnrm AS qpn")
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "embedding", "nrm", "qe", "qn",
+        s"(${sparkDot("qpre", "pre")}) / (sqrt(qpn) * sqrt(pnrm)) AS coarse")
+      .withColumn("crk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, vec_id ASC)"))
+      .filter(col("crk") <= RerankPool)
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)"))
+      .filter(col("rank") <= 3)
+      .selectExpr("query_id", "neighbor_id", "rank",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  val mrlRerankOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm,
+       |    ${duckDotN("embedding", "embedding", CoarseDim)} AS pnrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, pnrm AS qpn
+       |  FROM emb WHERE vec_id < $NumQueries),
+       |coarse AS (SELECT query_id, emb.vec_id, emb.e, emb.nrm, qe, qn,
+       |    (${duckDotN("qe", "e", CoarseDim)}) / (sqrt(qpn) * sqrt(emb.pnrm)) AS cs
+       |  FROM emb CROSS JOIN q WHERE emb.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, vec_id, e, nrm, qe, qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS crk
+       |    FROM coarse) WHERE crk <= $RerankPool),
+       |r AS (SELECT query_id, vec_id AS neighbor_id,
+       |    (${duckDot("qe", "e")}) / (sqrt(qn) * sqrt(nrm)) AS sim
+       |  FROM pool),
+       |w AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM r)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM w WHERE rank <= 3""".stripMargin
+
   // --- E1: int8-quantized ANN ----------------------------------------------
 
   /** E1: scalar-quantized (int8) cosine top-k — the storage-scale path: a
@@ -596,6 +670,7 @@ object Similarity {
     "s_lsh_ann" -> lshAnn,
     "s_ivf_ann" -> ivfAnn,
     "s_ivf_probe2" -> ivfAnn2,
+    "s_mrl_rerank" -> mrlRerank,
     "s_quantized_ann" -> quantizedAnn,
     "d_embed_neardup" -> embedNearDup)
 
@@ -608,5 +683,6 @@ object Similarity {
     "s_lsh_ann" -> lshAnnOracle,
     "s_ivf_ann" -> ivfAnnOracle,
     "s_ivf_probe2" -> ivfAnn2Oracle,
+    "s_mrl_rerank" -> mrlRerankOracle,
     "d_embed_neardup" -> embedNearDupOracle)
 }

@@ -38,10 +38,44 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = top1(Similarity.cosineTopK(spark, dir))
     val lsh = top1(Similarity.lshAnn(spark, dir))
     val ivf = top1(Similarity.ivfAnn(spark, dir))
-    // bucketing restricts candidates, so its best hit is at most the
-    // exact best (ties allowed when the true NN shares the bucket/cell)
+    val mrl = top1(Similarity.mrlRerank(spark, dir))
+    // bucketing/prescreening restricts candidates, so the best hit is at
+    // most the exact best (ties allowed when the true NN survives the
+    // bucket/cell/coarse-pool cut)
     lsh.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"lsh query $q") }
     ivf.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"ivf query $q") }
+    mrl.foreach { case (q, s) => assert(s <= exact(q) + 1e-12, s"mrl query $q") }
+    // NO recall floor on mrl: the synthetic embeddings are random, so the
+    // 16-dim prefix carries no trained matryoshka structure and the pool
+    // legitimately misses true NNs. The distribution-free contract is
+    // pinned below instead: whatever neighbors the coarse stage picks,
+    // the PUBLISHED sims are exact full-precision cosines.
+  }
+
+  test("mrlRerank publishes exact full-precision cosines for its picked pool") {
+    val rows = Similarity.mrlRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ids = rows.flatMap(t => Seq(t._1, t._2)).distinct
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(s"vec_id IN (${ids.mkString(",")})")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // the operator's DECIMAL(18,10) -> 6 snap; valueOf (Double.toString
+    // path) mirrors Spark's Decimal(double), NOT the exact-binary ctor
+    def snap(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.foreach { case (q, n, sim) =>
+      val (a, b) = (vecs(q), vecs(n))
+      val want = snap(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      assert(sim == want, s"pair ($q, $n): published $sim, exact $want")
+    }
   }
 
   test("quantizedAnn: int8 scores bounded, and quantized ranking tracks the exact one") {
@@ -162,7 +196,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
         Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir),
-        Similarity.ivfAnn2(spark, dir)).foreach { df =>
+        Similarity.ivfAnn2(spark, dir), Similarity.mrlRerank(spark, dir)).foreach { df =>
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(rows.forall { case (q, n, _) => q != n })
       rows.groupBy(_._1).foreach { case (_, g) =>
