@@ -488,13 +488,18 @@ object Similarity {
     * query, and re-rank just that pool with full-precision cosine.
     *
     * Scale shape: the coarse pass is the SAME zero-exchange broadcast
-    * scan as brute force, only cheaper per row; the rerank touches
-    * queries × pool rows — corpus-size-free. Nothing shuffles but the
-    * final per-query window over ≤ pool rows. Both stages are
-    * `graft_dot` folds (the coarse stage over `slice(embedding, 1, 16)`),
-    * so scores are bit-identical to the oracle's range(16)/range(64)
-    * folds and the pool boundary (ties → smaller vec_id) is exact
-    * cross-engine. */
+    * scan as brute force, only cheaper per row — and its pool window
+    * shuffles SCALARS ONLY (query_id, vec_id, coarse score): computing
+    * the coarse score before the exchange keeps the 64-float vectors out
+    * of the corpus×queries shuffle (the naive form that carries the
+    * embedding columns through the window pays ~20× the shuffle bytes).
+    * The surviving pool (queries × [[RerankPool]] ids — corpus-size-free)
+    * is broadcast BACK onto the embeddings table as a hash semi-probe to
+    * fetch full vectors for the rerank, so the corpus is scanned, never
+    * exchanged. Both stages are `graft_dot` folds (the coarse stage over
+    * `slice(embedding, 1, 16)`), so scores are bit-identical to the
+    * oracle's range(16)/range(64) folds and the pool boundary (ties →
+    * smaller vec_id) is exact cross-engine. */
   def mrlRerank(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -506,12 +511,23 @@ object Similarity {
     val q = emb.filter(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS query_id", "embedding AS qe", "nrm AS qn",
         "pre AS qpre", "pnrm AS qpn")
-    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id", "embedding", "nrm", "qe", "qn",
+    // coarse pass: score against the broadcast queries, keep only the
+    // three scalar columns across the window's exchange
+    val pool = emb.select("vec_id", "pre", "pnrm")
+      .join(broadcast(q.select("query_id", "qpre", "qpn")),
+        col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
         s"(${sparkDot("qpre", "pre")}) / (sqrt(qpn) * sqrt(pnrm)) AS coarse")
       .withColumn("crk", expr(
         "row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, vec_id ASC)"))
       .filter(col("crk") <= RerankPool)
+      .select("query_id", "vec_id")
+      .localCheckpoint() // one coarse pass, reused by re-executions
+    // rerank: broadcast the tiny pool onto the corpus to recover full
+    // vectors, attach the query vectors (broadcast), full-precision sims
+    emb.select("vec_id", "embedding", "nrm")
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qe", "qn")), Seq("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id",
         s"(${sparkDot("qe", "embedding")}) / (sqrt(qn) * sqrt(nrm)) AS sim")
       .withColumn("rank", expr(
