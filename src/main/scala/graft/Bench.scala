@@ -394,6 +394,31 @@ object Bench {
     if (line.length > LineBudget)
       line = render(bySlowest, 0, 0, withDetail = false, withUnit = false,
         sfFull = false, withEmptyErrs = false, totalPrec = 0, withSf = false)
+    // compact-string stage — the last shape that still carries EVERY
+    // query: "queries" becomes one "name:secs name:secs ..." string,
+    // saving the 3 bytes/entry of object quoting that the fully-degraded
+    // dict form cannot shed. Still one json.loads-able line; the detail
+    // sidecar keeps the full dict. This exists because at 100 queries the
+    // dict form's floor is ~2020 chars (names 1325 + 4/entry overhead +
+    // sub-second values that re-widen to 3-5 chars at ANY precision), so
+    // without it the ladder would fall through to dropping the FASTEST
+    // rows — the warm interactive lookups/traversals the baseline
+    // comparison reads.
+    if (line.length > LineBudget) {
+      def num0(d: Double): String = {
+        val s = String.format(java.util.Locale.ROOT, "%.0f", Double.box(d))
+        if (s == "0" && d > 0)
+          (1 to 3).map(p => {
+            val t = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(d))
+            if (t.contains('.')) t.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else t
+          }).find(_ != "0").getOrElse("0.001")
+        else s
+      }
+      val qs = ok.sortBy(_.name).map(r => s"${r.name}:${num0(r.secs)}").mkString(" ")
+      val cand = s"""{"metric":"total","value":${num0(total)},"queries":"$qs"""" +
+        omittedErrs(errList.size) + "}"
+      if (cand.length <= LineBudget) line = cand
+    }
     var n = ok.size
     while (line.length > LineBudget && n > 0) {
       n -= 1

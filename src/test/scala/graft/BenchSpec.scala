@@ -122,34 +122,61 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("N+2 gated queries still fit untrimmed — headroom for the next operators") {
-    // the pre-commit gate for adding a 99th/100th query: prove the line
+    // the pre-commit gate for adding another gated query: prove the line
     // fits with every query listed BEFORE the operator lands, instead of
-    // discovering the drop-fastest fallback in a round artifact. Names
-    // chosen longer than the registry average (worst case), timings the
-    // same worst-realistic widths as the real-suite test above.
+    // discovering the drop-fastest fallback in a round artifact. The
+    // value model matches the REAL suite's distribution — mostly
+    // sub-second rows, which re-widen to 3-5 chars at ANY precision
+    // stage via the never-render-zero rule (the r14 overflow that 9.49 s
+    // synthetic values failed to predict: "9" is 1 char at whole-second
+    // precision, "0.2" is 3) — plus two longer-than-average names.
     val extras = Seq(
-      QueryBench("t_next_operator_name", 9.49, 0.0, 0.0, None),
+      QueryBench("t_next_operator_name", 0.31, 0.0, 0.0, None),
       QueryBench("d_another_new_operator", 0.04, 0.0, 0.0, None))
     val results = SparkEntry.queries.keys.toSeq.zipWithIndex.map { case (n, i) =>
-      QueryBench(n, if (i % 10 == 9) 0.04 else 9.49, 0.0, 0.0, None)
+      // 60% "0.x" (3 chars), 20% multi-second ints, 10% "0.0x", 10% "0.005"
+      val secs = (i % 10) match {
+        case 9           => 0.042
+        case 8           => 0.0047
+        case 6 | 7       => 1.0 + i % 3
+        case _           => 0.1 + (i % 5) * 0.2
+      }
+      QueryBench(n, secs, 0.0, 0.0, None)
     } ++ extras
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(!line.contains("queries_omitted"),
       s"${results.size} queries no longer fit untrimmed — rework the encoding " +
         "before landing another gated operator")
-    extras.foreach(e => assert(line.contains(e.name)))
-    org.json4s.jackson.JsonMethods.parse(line)
+    // EVERY query must be on the line (dict or compact-string form), with
+    // a parseable nonzero value attached
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qv = parsed \ "queries"
+    qv match {
+      case org.json4s.JString(s) =>
+        val entries = s.split(" ").map(_.split(":")).map(a => a(0) -> a(1).toDouble).toMap
+        assert(entries.size === results.size)
+        results.foreach(r => assert(entries(r.name) > 0, s"${r.name} rendered zero"))
+      case _ =>
+        results.foreach(r => assert(line.contains(s"\"${r.name}\":"), s"${r.name} missing"))
+    }
   }
 
-  test("pathological timings (999.999 s every query) degrade by trimming, never truncation") {
+  test("pathological timings (999.999 s every query) degrade compactly, never truncation") {
+    // pre-r14 this case trimmed queries; the compact-string stage now
+    // keeps every row ("name:1000" per entry fits easily) — trimming
+    // remains only as the truly-final fallback
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(n => QueryBench(n, 999.999, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
-    val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
-    assert(qs.nonEmpty, "queries must survive, possibly trimmed")
+    (parsed \ "queries") match {
+      case org.json4s.JString(s) =>
+        assert(s.split(" ").length === results.size, "compact form must keep every query")
+      case org.json4s.JObject(obj) => assert(obj.nonEmpty)
+      case other => fail(s"unexpected queries shape: $other")
+    }
   }
 
   test("mass failure still yields a parseable line under budget") {
