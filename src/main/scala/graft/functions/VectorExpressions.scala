@@ -444,6 +444,114 @@ case class IvfCentroidArgmax(emb: Expression, nrm: Expression, cents: Expression
     copy(emb = newFirst, nrm = newSecond, cents = newThird)
 }
 
+/** Helper for [[PqEncodeCodes]] — plain static JVM code (same rule as
+  * [[Md5Head]]/[[IvfArgmax]]): one call per row from the generated code,
+  * the M×K×SubDim scoring loop runs as ordinary JIT-compiled bytecode —
+  * the inline-`greatest()` alternative would regrow exactly the
+  * huge-method projection the IVF argmax had to escape (M×K×SubDim here
+  * equals the K×Dim that measured ~50× interpreted). */
+object PqEncode {
+  /** Product-quantization encode: for each of the M = books.len/k
+    * subspaces, the id (0-based within the subspace) of the codeword
+    * minimizing the L2 distance to the vector's subspace slice.
+    *
+    * `books` rows are struct<bid: bigint, be: array<float>, bn: double>,
+    * sorted by bid with bid = m·k + code; `bn` is the codeword's
+    * self-dot. The compared quantity is `bn − 2·dot(sub, be)` (the
+    * ‖x‖²-free L2 expansion — the x-norm term is constant within a
+    * subspace so the argmin is unchanged), with the dot the same
+    * index-order left fold as [[ArrayDotProduct]]: bit-identical to the
+    * doubles the DuckDB oracle's `row_number() ORDER BY dist ASC, k ASC`
+    * ranks. No division anywhere → no NaN cases. Ties break to the
+    * smallest code id (strict `<`). Returns null when the books array is
+    * empty, its size is not a multiple of k, or the embedding length is
+    * not a multiple of M — ragged layouts should surface, not encode
+    * garbage. */
+  def codes(emb: ArrayData, books: ArrayData, k: Int): ArrayData = {
+    val nBooks = books.numElements()
+    val dim = emb.numElements()
+    if (nBooks == 0 || nBooks % k != 0) return null
+    val m = nBooks / k
+    if (dim % m != 0) return null
+    val subDim = dim / m
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var bestK = -1
+      var bestDist = Double.PositiveInfinity
+      var ki = 0
+      while (ki < k) {
+        val row = books.getStruct(mi * k + ki, 3)
+        val be = row.getArray(1)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          acc += emb.getFloat(base + i).toDouble * be.getFloat(i).toDouble
+          i += 1
+        }
+        val dist = row.getDouble(2) - 2.0 * acc
+        if (dist < bestDist || bestK < 0) { bestDist = dist; bestK = ki }
+        ki += 1
+      }
+      out(mi) = bestK
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Native product-quantization encoder — all M subspace codeword argmins
+  * of a vector against a broadcast codebook in ONE compiled call per row
+  * (`graft_pq_encode(embedding, books, k)` → array<int> of length M).
+  * See [[PqEncode.codes]] for the exact semantics; the rationale is the
+  * same JIT-cliff avoidance as [[IvfCentroidArgmax]] (the SQL form's
+  * generated projection grows with M×K×SubDim = K×Dim). */
+case class PqEncodeCodes(emb: Expression, books: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = emb
+  override def right: Expression = books
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def floatArr(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val booksOk = books.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == LongType && floatArr(fs(1).dataType) &&
+          fs(2).dataType == DoubleType
+      case _ => false
+    }
+    if (floatArr(emb.dataType) && booksOk && k >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects (array<float>, " +
+          "array<struct<bid bigint, be array<float>, bn double>>, k >= 1), got " +
+          s"${emb.dataType.catalogString}, ${books.dataType.catalogString}, k=$k")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // ragged books/embedding layouts
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(e: Any, b: Any): Any =
+    PqEncode.codes(e.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, b) => s"""
+      |${ev.value} = graft.functions.PqEncode.codes($e, $b, $k);
+      |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeCodes =
+    copy(emb = newLeft, books = newRight)
+}
+
 /** Registration for graft's native expressions — as a session-builder call
   * (`GraftFunctions.register`) or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -556,6 +664,17 @@ object GraftFunctions {
       IvfCentroidArgmax(exprs(0), exprs(1), exprs(2))
     })
 
+  val pqEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeCodes].getName, "graft_pq_encode"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"graft_pq_encode takes (embedding, books, k), got ${exprs.length} args")
+      require(exprs(2).foldable, "graft_pq_encode's k must be a constant")
+      PqEncodeCodes(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue)
+    })
+
   val langidDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_langid"),
     new ExpressionInfo(classOf[GraftLangId].getName, "graft_langid"),
@@ -663,6 +782,8 @@ object GraftFunctions {
       sortedIntersectDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       ivfArgmaxDescriptor._1, ivfArgmaxDescriptor._2, ivfArgmaxDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pqEncodeDescriptor._1, pqEncodeDescriptor._2, pqEncodeDescriptor._3)
   }
 }
 
@@ -683,6 +804,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.dsumDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     ext.injectFunction(GraftFunctions.ivfArgmaxDescriptor)
+    ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
   }
 }
 

@@ -611,6 +611,129 @@ object Similarity {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, qdot FROM r WHERE rank <= $TopK""".stripMargin
 
+  // --- E2: product-quantized ANN (ADC) --------------------------------------
+
+  /** PQ layout: [[PqM]] subspaces of [[PqSubDim]] dims, [[PqK]] codewords
+    * per subspace. Codewords are the IVF centroid rows' subspace slices
+    * (vec_id in [8, 24) — the same deterministic stand-in for offline
+    * k-means training [[ivfAnn]] uses). */
+  val PqM = 4
+  val PqK = 16
+  val PqSubDim = Dim / PqM
+
+  /** Same fold as [[duckDot]] but over a [[PqSubDim]]-length slice. */
+  private def duckSubDot(a: String, b: String) =
+    s"""list_reduce(list_transform(range($PqSubDim),
+       |  i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** E2: product-quantized ANN with asymmetric-distance scoring (the
+    * FAISS-IVFPQ compression path): each corpus vector is encoded as
+    * [[PqM]] code ids (its nearest codeword per subspace, L2), and a
+    * query scores a vector by summing [[PqM]] precomputed query-to-
+    * codeword distance-table entries — the corpus embeddings are read
+    * ONCE at index build and never again at query time.
+    *
+    * Scale shape: the encode is one zero-exchange corpus scan (the M×K
+    * codebook rides in as a single broadcast row; the per-row M×K×SubDim
+    * argmin is the native `graft_pq_encode` call — the inline-SQL form
+    * would regrow the IVF argmax's interpreted-projection JIT cliff).
+    * The probe scans the CODES table only: 4 ints/vector vs 64 floats —
+    * a 16× read-volume cut, which at 100 TB of embeddings is the
+    * difference between an in-memory ANN index and re-scanning the
+    * corpus per query batch. The per-query ADC tables (M×K = 64 longs)
+    * are built from a queries×codebook broadcast cross and broadcast
+    * back; the top-k window exchanges scalars only.
+    *
+    * Determinism: distances are `bn − 2·dot` (no division → no NaN),
+    * with the dot the same index-order left fold both engines run; ADC
+    * terms snap through `floor(x · 2^24)` into BIGINT, so scores are
+    * integer-exact cross-engine and ranking ties (dist, then vec_id)
+    * are unambiguous. */
+  /** The M×K codebook rows of [[pqAnn]]: bid = m·K + code, be = the
+    * codeword's subspace slice, bn = its self-dot (the L2 expansion's
+    * constant term). */
+  private[graft] def pqBookRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + PqK)
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("embedding"))
+      .selectExpr(
+        s"CAST(m * $PqK + (vec_id - $NumQueries) AS BIGINT) AS bid",
+        s"slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS be")
+      .selectExpr("bid", "be", s"${sparkDot("be", "be")} AS bn")
+
+  /** [[pqAnn]]'s index build — (vec_id, codes array<int> of length
+    * [[PqM]]): one broadcast-join corpus scan through the native
+    * `graft_pq_encode` (not checkpointed; callers decide reuse). */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val booksRow = pqBookRows(spark, dir)
+      .agg(array_sort(collect_list(struct(col("bid"), col("be"), col("bn"))))
+        .as("books"))
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .join(broadcast(booksRow))
+      .selectExpr("vec_id", s"graft_pq_encode(embedding, books, $PqK) AS codes")
+  }
+
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val bookRows = pqBookRows(spark, dir)
+    // index build: one broadcast-join corpus scan, 4 code ids per vector
+    val codes = pqCodes(spark, dir)
+      .localCheckpoint() // built once, probed by every query
+    // per-query ADC table: fixed-point (bn − 2·dot(q_sub, be)) per
+    // codeword, packed into one bid-ordered array
+    val qtab = emb.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS query_id", "embedding AS qe")
+      .crossJoin(broadcast(bookRows))
+      .selectExpr("query_id", "bid",
+        s"""CAST(floor((bn - 2.0D * ${sparkDot(
+             s"slice(qe, CAST(bid DIV $PqK AS INT) * $PqSubDim + 1, $PqSubDim)", "be")})
+           | * CAST($KmeansFp AS DOUBLE)) AS BIGINT) AS term""".stripMargin)
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(bid, term))), s -> s.term)")
+        .as("tbl"))
+    val adc = (0 until PqM)
+      .map(m => s"element_at(tbl, $m * $PqK + element_at(codes, ${m + 1}) + 1)")
+      .mkString(" + ")
+    codes.join(broadcast(qtab), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", s"($adc) AS dist_fp")
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist_fp ASC, neighbor_id ASC)"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist_fp"))
+  }
+
+  val pqAnnOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |books AS MATERIALIZED (SELECT m * $PqK + (vec_id - $NumQueries) AS bid,
+       |    list_slice(e, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS be
+       |  FROM emb CROSS JOIN (SELECT unnest(range($PqM)) AS m) ms
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + PqK}),
+       |books2 AS MATERIALIZED (SELECT bid, be, ${duckSubDot("be", "be")} AS bn FROM books),
+       |enc AS (SELECT emb.vec_id, bid // $PqK AS m, bid % $PqK AS k,
+       |    bn - 2.0 * ${duckSubDot(
+             s"list_slice(e, (bid // $PqK) * $PqSubDim + 1, (bid // $PqK) * $PqSubDim + $PqSubDim)",
+             "be")} AS dist
+       |  FROM emb CROSS JOIN books2),
+       |codes AS MATERIALIZED (SELECT vec_id, m, k FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, k ASC) AS rk
+       |    FROM enc) WHERE rk = 1),
+       |qtab AS (SELECT q.vec_id AS query_id, bid,
+       |    CAST(floor((bn - 2.0 * ${duckSubDot(
+             s"list_slice(q.e, (bid // $PqK) * $PqSubDim + 1, (bid // $PqK) * $PqSubDim + $PqSubDim)",
+             "be")}) * CAST($KmeansFp AS DOUBLE)) AS BIGINT) AS term
+       |  FROM emb q CROSS JOIN books2 WHERE q.vec_id < $NumQueries),
+       |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(term) AS BIGINT) AS dist_fp
+       |  FROM codes c JOIN qtab t ON t.bid = c.m * $PqK + c.k AND c.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, dist_fp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist_fp ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, dist_fp FROM r WHERE rank <= 3""".stripMargin
+
   // --- E5: embedding outlier score ------------------------------------------
 
   /** How many least-central vectors the outlier query publishes. */
@@ -688,6 +811,7 @@ object Similarity {
     "s_ivf_probe2" -> ivfAnn2,
     "s_mrl_rerank" -> mrlRerank,
     "s_quantized_ann" -> quantizedAnn,
+    "s_pq_ann" -> pqAnn,
     "d_embed_neardup" -> embedNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -700,5 +824,6 @@ object Similarity {
     "s_ivf_ann" -> ivfAnnOracle,
     "s_ivf_probe2" -> ivfAnn2Oracle,
     "s_mrl_rerank" -> mrlRerankOracle,
+    "s_pq_ann" -> pqAnnOracle,
     "d_embed_neardup" -> embedNearDupOracle)
 }

@@ -193,10 +193,54 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqAnn equals an independent exact ADC recompute") {
+    // re-derive the whole PQ pipeline in plain Scala from the raw floats
+    // (codebook slices, per-vector encodes, fixed-point ADC tables,
+    // final ranking) and demand the operator's published rows match
+    // EXACTLY — codes, integer scores, ranks, tie-breaks, everything
+    val embArr = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val (m0, k0, sub) = (Similarity.PqM, Similarity.PqK, Similarity.PqSubDim)
+    assert(embArr.size >= Similarity.NumQueries + k0, "corpus too small for the codebook")
+    def dot(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { acc += a(aOff + i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val books: Map[Int, Array[Float]] = (for {
+      k <- 0 until k0; m <- 0 until m0
+    } yield (m * k0 + k) -> embArr(Similarity.NumQueries.toLong + k)
+      .slice(m * sub, (m + 1) * sub)).toMap
+    val bn = books.map { case (bid, be) => bid -> dot(be, 0, be) }
+    def codesOf(v: Array[Float]): Array[Int] = (0 until m0).map { m =>
+      var bestK = -1; var best = Double.PositiveInfinity
+      for (k <- 0 until k0) {
+        val bid = m * k0 + k
+        val d = bn(bid) - 2.0 * dot(v, m * sub, books(bid))
+        if (d < best || bestK < 0) { best = d; bestK = k }
+      }
+      bestK
+    }.toArray
+    val fp = (1 << 24).toDouble
+    def term(q: Long, bid: Int): Long =
+      math.floor((bn(bid) - 2.0 * dot(embArr(q), (bid / k0) * sub, books(bid))) * fp).toLong
+    val expected = (for {
+      q <- 0L until Similarity.NumQueries.toLong
+      (vd, i) <- embArr.keys.filter(_ != q).map { v =>
+        val cs = codesOf(embArr(v))
+        (v, (0 until m0).map(m => term(q, m * k0 + cs(m))).sum)
+      }.toSeq.sortBy { case (v, d) => (d, v) }.take(3).zipWithIndex
+    } yield (q, vd._1, i + 1, vd._2)).toSet
+    val got = Similarity.pqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("ANN results never contain the query itself and ranks are contiguous") {
     Seq(Similarity.cosineTopK(spark, dir), Similarity.lshAnn(spark, dir),
         Similarity.ivfAnn(spark, dir), Similarity.quantizedAnn(spark, dir),
-        Similarity.ivfAnn2(spark, dir), Similarity.mrlRerank(spark, dir)).foreach { df =>
+        Similarity.ivfAnn2(spark, dir), Similarity.mrlRerank(spark, dir),
+        Similarity.pqAnn(spark, dir)).foreach { df =>
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(rows.forall { case (q, n, _) => q != n })
       rows.groupBy(_._1).foreach { case (_, g) =>

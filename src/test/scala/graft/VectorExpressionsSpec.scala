@@ -160,6 +160,90 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zeroCent.getLong(0) === 99L, "NaN-scored centroid must rank above finite scores")
   }
 
+  /** Seeded corpus + a PQ codebook over M subspaces × K codes, packed
+    * exactly the way Similarity.pqAnn packs it (bid = m·K + code, be =
+    * the codeword row's subspace slice, one bid-sorted broadcast row). */
+  private def pqCorpus(m: Int, k: Int, subDim: Int) = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val dim = m * subDim
+    val emb = spark.range(300).selectExpr(
+      "id AS vec_id",
+      s"transform(sequence(1, $dim), i -> CAST(sin(id * 31 + i) AS FLOAT)) AS embedding")
+    val books = emb.filter(s"vec_id < $k")
+      .selectExpr("vec_id", s"explode(sequence(0, ${m - 1})) AS m", "embedding")
+      .selectExpr(s"CAST(m * $k + vec_id AS BIGINT) AS bid",
+        s"slice(embedding, m * $subDim + 1, $subDim) AS be")
+      .selectExpr("bid", "be", "graft_dot(be, be) AS bn")
+      .groupBy().agg(expr("array_sort(collect_list(struct(bid, be, bn)))").as("books"))
+    emb.crossJoin(broadcast(books)).localCheckpoint()
+  }
+
+  /** The inline-SQL reference formulation of one subspace's encode:
+    * least() over K (dist, code) structs — correct but carrying the same
+    * K×Dim projection growth the IVF argmax escaped. */
+  private def leastForm(m: Int, k: Int, subDim: Int): String = {
+    val structs = (0 until k).map { c =>
+      val b = s"books[${m * k + c}]"
+      s"struct($b.bn - 2.0D * graft_dot(slice(embedding, ${m * subDim + 1}, $subDim), $b.be), $c)"
+    }
+    s"(least(${structs.mkString(", ")})).col2"
+  }
+
+  test("graft_pq_encode matches least(struct(dist, code)) per subspace on codegen AND interpreted paths") {
+    val (m, k, subDim) = (4, 4, 4)
+    val df = pqCorpus(m, k, subDim)
+    val sqlCodes = (0 until m).map(mi => leastForm(mi, k, subDim)).mkString("array(", ", ", ")")
+    def mismatches(): Long = df.selectExpr(
+      s"graft_pq_encode(embedding, books, $k) AS native",
+      s"$sqlCodes AS sql_form")
+      .filter("native <> sql_form").count()
+    assert(mismatches() === 0L)
+    // the encode must actually use multiple codes per subspace
+    val distinct = df.selectExpr(s"graft_pq_encode(embedding, books, $k) AS c")
+      .distinct().count()
+    assert(distinct > 4, "PQ encode collapsed — seed corpus degenerate")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(mismatches() === 0L)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_pq_encode breaks exact distance ties to the smallest code") {
+    // two identical codewords in one subspace (codes 0 and 1): distances
+    // tie bit-for-bit, so the winner must be code 0 — same rule as
+    // least(struct(dist, code)) and the oracle's ORDER BY dist ASC, k ASC
+    val r = spark.sql(
+      """SELECT graft_pq_encode(e, array(
+        |    named_struct('bid', 0L, 'be', c, 'bn', graft_dot(c, c)),
+        |    named_struct('bid', 1L, 'be', c, 'bn', graft_dot(c, c))), 2) AS codes
+        |FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS e,
+        |             array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS c)""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Int](0) === Seq(0))
+  }
+
+  test("graft_pq_encode surfaces ragged layouts as null") {
+    val df = pqCorpus(4, 4, 4)
+    // books size not a multiple of k → null (never a silent partial encode)
+    val ragged = df.limit(1)
+      .selectExpr("graft_pq_encode(embedding, slice(books, 1, 15), 4) AS c")
+      .collect().head
+    assert(ragged.isNullAt(0))
+    // empty books → null
+    val empty = df.limit(1)
+      .selectExpr("graft_pq_encode(embedding, slice(books, 1, 0), 4) AS c")
+      .collect().head
+    assert(empty.isNullAt(0))
+    // embedding length not a multiple of M → null
+    val shortEmb = df.limit(1)
+      .selectExpr("graft_pq_encode(slice(embedding, 1, 15), books, 4) AS c")
+      .collect().head
+    assert(shortEmb.isNullAt(0))
+  }
+
   test("planeIntsFor is deterministic, prefix-stable, and rejects bucket overflow") {
     import graft.operators.Similarity
     assert(Similarity.planeIntsFor(8) === Similarity.planeInts)
