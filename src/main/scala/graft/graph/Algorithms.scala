@@ -210,6 +210,85 @@ object Algorithms {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) as EXACT integer
+    * fixed-point power iteration — a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v}
+    * a(v), each half-step renormalized to `fp` by the round's maximum:
+    * s' = (s·fp) DIV max(s). Everything is BIGINT arithmetic (sums of
+    * exact integers, then one truncating integer division), so unlike
+    * PageRank there is NO per-iteration decimal snapping protocol to
+    * keep two engines in agreement — any reduction order yields the
+    * same bits, and the DuckDB oracle reproduces the published scores
+    * exactly with the literal textbook SQL.
+    *
+    * Scale shape: the edge relation is laid out TWICE up front
+    * (hash-partitioned on dst for the authority half-step, on src for
+    * the hub half-step) and persisted; the score side of each
+    * half-step join is broadcast (node-count-sized — for graphs whose
+    * node list outgrows a broadcast, drop the hint and the same plan
+    * shuffles scores, never edges), so the per-iteration groupBy lands
+    * on the matching pre-paid partitioning and NO edge row is
+    * exchanged inside the loop. Per half-step: one broadcast-hash
+    * join + one partial-agg sum, plus a scalar max tree-reduced and
+    * broadcast back (the sanctioned 1-row scalar-attach shape). Score
+    * frames are localCheckpoint'ed per half-step — each is a
+    * node-count-sized materialization that keeps the rolling lineage
+    * O(1).
+    *
+    * Overflow bound: a node's raw score is ≤ degree·fp and the
+    * renormalizing multiply needs raw·fp < 2⁶³, so fp = 2²⁴ is safe up
+    * to max-degree 2¹⁵ (Wiki-Vote's max is ~900); at larger degree
+    * scales pass a smaller `fp` — precision degrades gracefully.
+    * Nodes with no out-edges (resp. in-edges) publish hub 0 (resp.
+    * auth 0), attached by the final left joins; inside the loop the
+    * score frames stay sparse (an absent score IS a zero contribution
+    * — inner joins drop it, exactly as the oracle's plain JOINs do). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
+           numParts: Int = 0, fp: Long = 1L << 24): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    // bounded graphs take the driver-local twin — bit-identical (exact
+    // integer protocol), and an interactive-speed answer where the
+    // distributed loop pays ~4·iters scheduled jobs of floor cost
+    if (LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.hits(nodes, edges, iters, fp)
+    val e0 = edges.select(col("src"), col("dst"))
+    def layout(key: String) =
+      (if (numParts > 0) e0.repartition(numParts, col(key))
+       else e0.repartition(col(key)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = layout("dst") // authority half-step aggregates on dst
+    val eSrc = layout("src") // hub half-step aggregates on src
+    def renorm(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("v")).as("vmax"))
+      raw.crossJoin(broadcast(m))
+        .selectExpr("node", s"(v * CAST($fp AS BIGINT)) DIV vmax AS s")
+        .localCheckpoint()
+    }
+    var hubs = nodes.select(col("id").as("node"), lit(fp).as("s"))
+      .localCheckpoint()
+    var auths: DataFrame = hubs
+    for (_ <- 1 to iters) {
+      auths = renorm(eDst
+        .join(broadcast(hubs.withColumnRenamed("node", "src")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("s")).as("v"))
+        .withColumnRenamed("dst", "node"))
+      hubs = renorm(eSrc
+        .join(broadcast(auths.withColumnRenamed("node", "dst")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("s")).as("v"))
+        .withColumnRenamed("src", "node"))
+    }
+    val out = nodes.select(col("id").as("node"))
+      .join(hubs.withColumnRenamed("s", "hub_fp"), Seq("node"), "left")
+      .join(auths.withColumnRenamed("s", "auth_fp"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+      .localCheckpoint() // materialize before the edge layouts unpersist
+    eDst.unpersist()
+    eSrc.unpersist()
+    out
+  }
+
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
     * standard distributed triangle plan: three shuffles total, no node

@@ -439,6 +439,52 @@ object LocalExec {
       ids.indices.map(j => Row(ids(j), rank(j))))
   }
 
+  /** Local twin of [[Algorithms.hits]] — the SAME exact-integer protocol
+    * (BIGINT contribution sums, truncating `(s·fp) / max` renorm per
+    * half-step), so unlike the snapped-double PageRank twins there is no
+    * reduction-order subtlety to manage: any evaluation order produces
+    * identical bits, and twin ≡ distributed ≡ oracle holds by
+    * construction. Schema: (node, hub_fp, auth_fp), all nodes, zeros for
+    * sink/source-only roles. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
+           fp: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val srcI = src.map(idx.getOrElse(_, -1))
+    val dstI = dst.map(idx.getOrElse(_, -1))
+    var hub = Array.fill(ids.length)(fp)
+    var auth = new Array[Long](ids.length)
+    for (_ <- 1 to iters) {
+      val a = new Array[Long](ids.length)
+      var i = 0
+      while (i < srcI.length) {
+        if (srcI(i) >= 0 && dstI(i) >= 0) a(dstI(i)) += hub(srcI(i))
+        i += 1
+      }
+      val amax = a.max
+      var j = 0
+      while (j < a.length) { a(j) = a(j) * fp / amax; j += 1 }
+      val h = new Array[Long](ids.length)
+      i = 0
+      while (i < srcI.length) {
+        if (srcI(i) >= 0 && dstI(i) >= 0) h(srcI(i)) += a(dstI(i))
+        i += 1
+      }
+      val hmax = h.max
+      j = 0
+      while (j < h.length) { h(j) = h(j) * fp / hmax; j += 1 }
+      hub = h
+      auth = a
+    }
+    localDF(spark, StructType(Seq(
+        StructField("node", LongType, nullable = false),
+        StructField("hub_fp", LongType, nullable = false),
+        StructField("auth_fp", LongType, nullable = false))),
+      ids.indices.map(j => Row(ids(j), hub(j), auth(j))))
+  }
+
   /** Local twin of the connected-components operators (undirected min-id
     * labels — the fixpoint of both GraphX's CC and the large/small-star
     * DataFrame loop): union-find with path compression, roots kept at the

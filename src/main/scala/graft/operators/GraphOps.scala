@@ -591,6 +591,56 @@ object GraphOps {
     }
   }
 
+  // --- G15h: HITS hubs & authorities ----------------------------------------
+
+  /** Power-iteration rounds for [[wikivoteHits]] — enough for the score
+    * ORDER to stabilize on Wiki-Vote (the published values are exact for
+    * whatever round count is chosen, so the oracle is iteration-exact
+    * either way; 10 matches the PageRank budget). */
+  val HitsIters = 10
+
+  /** G15h: HITS hubs & authorities on the real directed graph — the
+    * OTHER classic eigenvector centrality, and the one that needs the
+    * direction structure PageRank's single score collapses: a node is a
+    * good hub iff it points at good authorities and vice versa.
+    * Wiki-Vote is the right instance (voters are hubs, candidates
+    * authorities — the two rankings genuinely differ; on a symmetric
+    * graph hub ≡ auth and a swapped in/out-edge bug is invisible).
+    *
+    * Exact integer fixed-point protocol + per-half-step renorm; see
+    * [[graft.graph.Algorithms.hits]] for the scale shape (edges
+    * partitioned once per direction, zero edge exchange in the loop). */
+  def wikivoteHits(spark: SparkSession, dir: String): DataFrame = {
+    val g = wikiVote(spark)
+    Algorithms.hits(g.nodes, g.edges, HitsIters, numParts = 4)
+  }
+
+  /** DuckDB mirror of [[wikivoteHits]] — the textbook SQL, iteration
+    * unrolled; bit-exact against Spark because every quantity is BIGINT
+    * (sums of exact integers + one truncating division per renorm). */
+  private def hitsOracle(edgesSql: String, nodesSql: String, iters: Int,
+                         fp: Long): String = {
+    // MATERIALIZED is load-bearing: each round CTE is referenced twice
+    // (FROM + the scalar MAX subquery); left to DuckDB's inliner the
+    // reference chain re-expands per use — 2^iters evaluation blowup
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS v
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT node, CAST((v * CAST($fp AS BIGINT)) // (SELECT MAX(v) FROM ar$i) AS BIGINT) AS s FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS v
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT node, CAST((v * CAST($fp AS BIGINT)) // (SELECT MAX(v) FROM hr$i) AS BIGINT) AS s FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS ($nodesSql),
+       |h0 AS (SELECT id AS node, CAST($fp AS BIGINT) AS s FROM nodes),
+       |$rounds
+       |SELECT n.id AS node, CAST(COALESCE(h.s, 0) AS BIGINT) AS hub_fp,
+       |  CAST(COALESCE(a.s, 0) AS BIGINT) AS auth_fp
+       |FROM nodes n LEFT JOIN h$iters h ON h.node = n.id
+       |LEFT JOIN a$iters a ON a.node = n.id""".stripMargin
+  }
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1055,6 +1105,7 @@ object GraphOps {
     "g_wikivote_triangles" -> wikivoteTriangles,
     "g_wikivote_kcore" -> wikivoteKcore,
     "g_wikivote_lookup" -> wikivoteLookup,
+    "g_hits" -> wikivoteHits,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1125,6 +1176,7 @@ object GraphOps {
     "g_wikivote_lookup" ->
       s"""WITH base AS ($wikiEdgesSql)
          |SELECT src, dst FROM base WHERE src = $WikiLookupNode""".stripMargin,
+    "g_hits" -> hitsOracle(wikiEdgesSql, wikiNodesSql, HitsIters, 1L << 24),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

@@ -331,6 +331,51 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.foreach { case (k, v) => assert(math.abs(v - gx(k)) < 1e-12) }
   }
 
+  test("hits: matches an independent exact-integer recompute; direction structure shows") {
+    // seeded random digraph + a planted pure source (28→0) and pure sink
+    // (1→29): HITS must see the direction structure (a pure sink has hub
+    // 0, a pure source auth 0), and every published score must equal a
+    // plain-Scala rerun of the same integer protocol bit-for-bit
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.fill(120)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((28L, 0L), (1L, 29L))).distinct
+    val g = graph(edges)
+    val fp = 1L << 24
+    val iters = 6
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var hm = ids.map(_ -> fp).toMap
+    var am = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hm.getOrElse(e._1, 0L)).sum }
+      val amax = araw.values.max
+      am = araw.map { case (v, s) => v -> s * fp / amax }
+      val hraw = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => am.getOrElse(e._2, 0L)).sum }
+      val hmax = hraw.values.max
+      hm = hraw.map { case (u, s) => u -> s * fp / hmax }
+    }
+    val expected = ids.map(id =>
+      (id, hm.getOrElse(id, 0L), am.getOrElse(id, 0L))).toSet
+    val got = Algorithms.hits(g.nodes, g.edges, iters, numParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the driver-local twin route (default here) and the distributed
+    // loop must be bit-identical — exact integers make this EQUALITY,
+    // not agreement-within-tolerance
+    val dist = withLocalExecOff {
+      Algorithms.hits(g.nodes, g.edges, iters, numParts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(dist === expected)
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(29L) === ((0L, byId(29L)._2)) && byId(29L)._2 > 0L,
+      "pure sink: zero hub, nonzero auth")
+    assert(byId(28L)._1 > 0L && byId(28L)._2 === 0L,
+      "pure source: nonzero hub, zero auth")
+    assert(got.exists(t => t._2 != t._3), "hub and auth rankings must differ")
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
