@@ -289,6 +289,74 @@ object Algorithms {
     out
   }
 
+  /** Closeness-centrality substrate: BATCHED multi-source BFS — every
+    * source advances one hop per round in the SAME joins, on composite
+    * (s, node) keys. Publishes per source the exact integer pair
+    * (reach = nodes reached, dist_sum = Σ shortest distances), from
+    * which closeness in any convention (classic (n-1)/Σd, Wasserman-
+    * Faust, lin) is a driver-side formula — publishing the integers
+    * keeps the result hash-exact cross-engine with no division
+    * protocol.
+    *
+    * Scale shape: this is the form exact/sampled closeness takes on a
+    * cluster — per-source sequential BFS is a non-starter (it serializes
+    * diameter-many tiny jobs PER source), while the batched frontier
+    * amortizes every source through one join + one dedup per round. The
+    * edge relation is laid out once (hash on src, persisted); per round:
+    * one join frontier⋈edges, one (s, node) distinct, one anti-join
+    * against the compacted visited union (same O(depth²)-planning
+    * compaction as [[Traversals]]' BFS). Exact all-sources closeness is
+    * inherently |V|×reachability work at 100 TB — the standard answer is
+    * SAMPLED sources (pass a sampled `sources` frame), which changes
+    * nothing in the plan, only the frontier width. Plan-statistics-
+    * bounded graphs take the driver-local twin. */
+  def closeness(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                sources: Option[DataFrame] = None,
+                numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "closeness needs at least one BFS round")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.closeness(nodes, edges, maxRounds)
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (numParts > 0) e0.repartition(numParts, col("u"))
+             else e0.repartition(col("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcIds = sources.getOrElse(nodes).select(col("id"))
+    var frontier = srcIds.select(col("id").as("s"), col("id").as("node"))
+      .localCheckpoint()
+    val CompactEvery = 8
+    var parts = List(frontier.withColumn("d", lit(0)))
+    var round = 1
+    var done = false
+    while (!done) {
+      if (parts.length >= CompactEvery)
+        parts = List(parts.reduce(_ unionByName _).localCheckpoint())
+      val visited = parts.map(_.select(col("s"), col("node"))).reduce(_ union _)
+      val next = frontier.join(e, col("node") === col("u"))
+        .select(col("s"), col("v").as("node")).distinct()
+        .join(visited, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      if (round >= maxRounds) { parts ::= next.withColumn("d", lit(round)); done = true }
+      else if (next.isEmpty) done = true
+      else {
+        parts ::= next.withColumn("d", lit(round))
+        frontier = next
+        round += 1
+      }
+    }
+    val reached = parts.reduce(_ unionByName _).filter(col("d") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("reach"), sum(col("d").cast("long")).as("dist_sum"))
+    val out = srcIds.select(col("id").as("node"))
+      .join(reached, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("reach"), lit(0L)).as("reach"),
+        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"))
+      .localCheckpoint() // materialize before the edge layout unpersists
+    e.unpersist()
+    out
+  }
+
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
     * standard distributed triangle plan: three shuffles total, no node

@@ -485,6 +485,62 @@ object LocalExec {
       ids.indices.map(j => Row(ids(j), hub(j), auth(j))))
   }
 
+  /** Local twin of [[Algorithms.closeness]] — per-source BFS over the
+    * collected adjacency, identical (reach, dist_sum) integer pairs
+    * (distances are exact ints in both formulations, so twin ≡
+    * distributed ≡ oracle needs no tolerance). Distances beyond
+    * `maxRounds` are not counted, matching the distributed round cap. */
+  def closeness(nodes: DataFrame, edges: DataFrame,
+                maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val adjH = Array.fill(ids.length)(List.empty[Int])
+    var i = 0
+    while (i < src.length) {
+      (idx.get(src(i)), idx.get(dst(i))) match {
+        case (Some(si), Some(di)) => adjH(si) = di :: adjH(si)
+        case _ => ()
+      }
+      i += 1
+    }
+    val adj = adjH.map(_.toArray)
+    val dist = new Array[Int](ids.length)
+    val queue = new Array[Int](ids.length)
+    val rows = ids.indices.map { s =>
+      java.util.Arrays.fill(dist, -1)
+      dist(s) = 0
+      queue(0) = s
+      var head = 0
+      var tail = 1
+      var reach = 0L
+      var sum = 0L
+      while (head < tail) {
+        val u = queue(head); head += 1
+        if (dist(u) < maxRounds) {
+          val ns = adj(u)
+          var j = 0
+          while (j < ns.length) {
+            val w = ns(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(u) + 1
+              reach += 1L
+              sum += dist(w).toLong
+              queue(tail) = w; tail += 1
+            }
+            j += 1
+          }
+        }
+      }
+      Row(ids(s), reach, sum)
+    }
+    localDF(spark, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("reach", LongType, nullable = false),
+      StructField("dist_sum", LongType, nullable = false))), rows)
+  }
+
   /** Local twin of the connected-components operators (undirected min-id
     * labels — the fixpoint of both GraphX's CC and the large/small-star
     * DataFrame loop): union-find with path compression, roots kept at the

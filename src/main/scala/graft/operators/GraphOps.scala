@@ -641,6 +641,44 @@ object GraphOps {
        |LEFT JOIN a$iters a ON a.node = n.id""".stripMargin
   }
 
+  // --- G21: closeness centrality (batched multi-source BFS) ------------------
+
+  /** Round cap for [[gridCloseness]] — the 20-grid's directed diameter is
+    * 2·19 = 38; 40 leaves margin and the empty-frontier early exit stops
+    * the loop at the true depth. */
+  val ClosenessGridN = 20
+  val ClosenessRounds = 40
+
+  /** G21: exact closeness centrality over the 20×20 directed grid — all
+    * 400 sources advanced as ONE batched multi-source BFS on composite
+    * (source, node) keys. Published per node: the exact integer pair
+    * (reach, dist_sum) — every closeness convention is a driver-side
+    * formula over it, and integers keep the oracle comparison exact
+    * (no division protocol). See [[graft.graph.Algorithms.closeness]]
+    * for the batched-frontier scale shape (sampled sources at corpus
+    * scale; same plan, narrower frontier). */
+  def gridCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, ClosenessGridN)
+    Algorithms.closeness(g.nodes, g.edges, ClosenessRounds)
+  }
+
+  /** DuckDB mirror of [[gridCloseness]] — one recursive CTE seeds every
+    * node as its own source; the monotone lattice makes (s, node, d)
+    * triples unique, and MIN(d) is exact BFS distance regardless. */
+  private def closenessOracle(edgesSql: String, nNodes: Int,
+                              maxD: Int): String =
+    s"""WITH RECURSIVE base AS ($edgesSql),
+       |nodes AS (SELECT CAST(i AS BIGINT) AS id FROM range($nNodes) t(i)),
+       |bfs(s, node, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN base e ON e.src = bfs.node
+       |  WHERE bfs.d < $maxD),
+       |md AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY s, node)
+       |SELECT s AS node, CAST(COUNT(*) - 1 AS BIGINT) AS reach,
+       |  CAST(SUM(d) AS BIGINT) AS dist_sum
+       |FROM md GROUP BY s""".stripMargin
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1106,6 +1144,7 @@ object GraphOps {
     "g_wikivote_kcore" -> wikivoteKcore,
     "g_wikivote_lookup" -> wikivoteLookup,
     "g_hits" -> wikivoteHits,
+    "g_closeness" -> gridCloseness,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1177,6 +1216,8 @@ object GraphOps {
       s"""WITH base AS ($wikiEdgesSql)
          |SELECT src, dst FROM base WHERE src = $WikiLookupNode""".stripMargin,
     "g_hits" -> hitsOracle(wikiEdgesSql, wikiNodesSql, HitsIters, 1L << 24),
+    "g_closeness" -> closenessOracle(gridEdgesSql(ClosenessGridN),
+      ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

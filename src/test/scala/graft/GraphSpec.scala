@@ -376,6 +376,40 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(t => t._2 != t._3), "hub and auth rankings must differ")
   }
 
+  test("closeness: grid closed form; local twin ≡ distributed loop exactly") {
+    // directed n×n grid (right/down): from (r, c), reach is the
+    // down-right quadrant minus self, and Σ dist has the closed form
+    // Σ_{i≤R, j≤C} (i + j) = C'·T(R) + R'·T(C)  with R=rows-1-r etc.
+    val n = 6
+    val g = PropertyGraph.grid(spark, n)
+    def tri(x: Long) = x * (x + 1) / 2
+    val expected = (for (r <- 0 until n; c <- 0 until n) yield {
+      val right = (n - 1 - c).toLong
+      val down = (n - 1 - r).toLong
+      val reach = (right + 1) * (down + 1) - 1
+      val dsum = (right + 1) * tri(down) + (down + 1) * tri(right)
+      ((r * n + c).toLong, reach, dsum)
+    }).toSet
+    val local = Algorithms.closeness(g.nodes, g.edges, maxRounds = 2 * n)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(local === expected)
+    val dist = withLocalExecOff {
+      Algorithms.closeness(g.nodes, g.edges, maxRounds = 2 * n, numParts = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    assert(dist === expected)
+    // the round cap truncates identically on both routes: cap 1 counts
+    // exactly the out-degree at distance 1
+    val capped = Algorithms.closeness(g.nodes, g.edges, maxRounds = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val cappedDist = withLocalExecOff {
+      Algorithms.closeness(g.nodes, g.edges, maxRounds = 1, numParts = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    assert(capped === cappedDist)
+    assert(capped.forall { case (_, reach, dsum) => reach == dsum && reach <= 2 })
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
