@@ -151,6 +151,19 @@ object EmbedScale {
       op("ivf_ann")(Similarity.ivfAnn(spark, dir))(_.count()),
       op("quantized_ann")(Similarity.quantizedAnn(spark, dir))(_.count()),
       op("kmeans_update")(Similarity.kmeansUpdate(spark, dir))(_.count()),
+      // PQ index build alone: one graft_pq_encode corpus scan. Check =
+      // planted byte-exact copies encode to identical code arrays (the
+      // encode is a pure function of the bytes), count must be n/1000.
+      op("pq_encode") {
+        val c = Similarity.pqCodes(spark, dir).localCheckpoint()
+        c.filter(col("vec_id") % 1000 === 999).selectExpr("vec_id", "codes AS ca")
+          .join(c.filter(col("vec_id") % 1000 === 998)
+              .selectExpr("vec_id + 1 AS vec_id", "codes AS cb"),
+            Seq("vec_id"))
+          .filter(col("ca") === col("cb"))
+      }(_.count()),
+      // full PQ-ADC query path over the 4-ints-per-vector codes table
+      op("pq_ann")(Similarity.pqAnn(spark, dir))(_.count()),
       op("outlier_score")(Similarity.outlierScore(spark, dir))(idSum),
       op("outlier_fold_ref")(outlierFoldRef(spark, dir))(idSum),
       // the plane-scaled near-dup pair join; check = planted exact-dup

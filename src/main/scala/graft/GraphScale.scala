@@ -154,6 +154,24 @@ object GraphScale {
       op("ppr_hub_10it")(Algorithms.personalizedPageRank(
         nodes, edges, source = 0L, iters = 10))(
         df => (df.agg(sum(col("rank"))).head.getDouble(0) * 1e6).toLong),
+      // HITS on the power-law digraph — the exact-integer protocol at
+      // 10M edges (fp = 2^20: raw·fp < 2^63 holds to max-degree ~8M,
+      // the docstring's degree-scale knob). Check = PARTITION
+      // INVARIANCE, the at-scale form of the bit-exactness claim: a
+      // second run on a different partitioning must produce the
+      // IDENTICAL score table (symmetric except-count 0, verified
+      // distributed — no driver copy of the 1M-row result). Recorded
+      // value = nodes holding both roles (hub AND auth > 0).
+      op("hits_5it")(Algorithms.hits(nodes, edges, iters = 5, fp = 1L << 20))({ df =>
+        val a = df.localCheckpoint()
+        val b = Algorithms.hits(nodes, edges, iters = 5, numParts = 61,
+          fp = 1L << 20)
+        val diff = a.except(b).count() + b.except(a).count()
+        if (diff > 0)
+          throw new IllegalStateException(
+            s"$diff score rows differ across partitionings")
+        a.filter(col("hub_fp") > 0 && col("auth_fp") > 0).count()
+      }),
       // distributed walk sampling: adjacency via one shuffle, then
       // per-step frontier joins — 1/1000 of nodes seeded, 4 steps; check
       // = visited-step rows (walks stop at sinks, so < 5x seeds)
