@@ -836,7 +836,87 @@ object Dedup {
        |JOIN sizes sa ON sa.source = source_a
        |JOIN sizes sb ON sb.source = source_b""".stripMargin
 
+  // --- D14: containment pairs (near-superset detection) ----------------------
+
+  /** Document-frequency cap for [[containmentPairs]]' inverted-index
+    * candidate stage: only shingles appearing in at most this many docs
+    * pair their posting lists. The containment analog of
+    * [[GraphOps.commonNeighbors]]' witness-degree cap, and principled
+    * the same way: a shingle shared by many documents is boilerplate —
+    * near-zero containment signal — while a true near-superset shares
+    * ALL of the contained doc's shingles, its rare ones included, so
+    * capping df loses a pair only when the contained doc has NO rare
+    * shingle at all (i.e. is itself pure boilerplate). */
+  val ContainDfCap = 8
+
+  /** Publish threshold, in percent: containment of the smaller set in
+    * the larger must reach this. Applied as pure integer arithmetic
+    * (100·|A∩B| ≥ pct·min(|A|,|B|)) so the cut is bit-identical
+    * cross-engine — no float boundary. */
+  val ContainMinPct = 50
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir))
+
+  /** D14: near-superset pairs by shingle containment — the dedup case
+    * MinHash/Jaccard LSH is BLIND to: a short document quoted whole
+    * inside a long one has containment ~1 but Jaccard ~|A|/|B|, far
+    * below any LSH banding threshold, so the D2 candidate generator
+    * never pairs it. Candidates here come from a df-capped inverted
+    * shingle index instead (pairs sharing ≥1 RARE shingle — see
+    * [[ContainDfCap]]); the verify is the exact set intersection over
+    * the pair's checkpointed shingle sets, published as integer
+    * counts + the ppm-fixed-point containment of the smaller side
+    * (same integer-division protocol as [[sourceOverlapOf]]).
+    *
+    * Scale shape: posting lists are df-capped, so the index self-join
+    * is Σ_{df≤cap} df² ≤ cap·(total shingle occurrences) — linear in
+    * the corpus with the cap as the constant, where the uncapped join
+    * is quadratic in every boilerplate shingle's df. One shingling
+    * pass feeds the index and both verify sides (checkpointed); the
+    * candidate distinct is the one pair-bounded exchange. */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleSetsOf(docs).localCheckpoint()
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfCap)
+      .select(col("s"))
+    val idx = inv.join(rare, Seq("s")).localCheckpoint()
+    val pairs = idx.select(col("s"), col("doc_id").as("a"))
+      .join(idx.select(col("s"), col("doc_id").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
+      .selectExpr("a", "b",
+        "CAST(size(array_intersect(sa, sb)) AS BIGINT) AS n_inter",
+        "CAST(size(sa) AS BIGINT) AS n_a",
+        "CAST(size(sb) AS BIGINT) AS n_b")
+      .filter(expr(s"100 * n_inter >= $ContainMinPct * least(n_a, n_b)"))
+      .selectExpr("a", "b", "n_a", "n_b", "n_inter",
+        "n_inter * 1000000L DIV least(n_a, n_b) AS containment_x1e6")
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
+       |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND $ContainDfCap),
+       |idx AS MATERIALIZED (SELECT i.s, i.doc_id FROM inv i JOIN rare USING (s)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM idx x JOIN idx y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |v AS (SELECT a, b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.shingles) AS BIGINT) AS n_a,
+       |    CAST(len(sb.shingles) AS BIGINT) AS n_b
+       |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+       |SELECT a, b, n_a, n_b, n_inter,
+       |  CAST(n_inter * 1000000 // least(n_a, n_b) AS BIGINT) AS containment_x1e6
+       |FROM v WHERE 100 * n_inter >= $ContainMinPct * least(n_a, n_b)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_containment" -> containmentPairs,
     "d_span_dedup" -> spanDedup,
     "d_span_trim" -> spanTrim,
     "d_source_overlap" -> sourceOverlap,
@@ -851,6 +931,7 @@ object Dedup {
     "d_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "d_containment" -> containmentPairsOracle,
     "d_span_dedup" -> spanDedupOracle,
     "d_span_trim" -> spanTrimOracle,
     "d_source_overlap" -> sourceOverlapOracle,

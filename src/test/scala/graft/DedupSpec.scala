@@ -112,6 +112,45 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("srcA", "srcB")) == ((2L, 1L, 1L, 500000L))) // |A∩B|=1, J=1/2
   }
 
+  test("containmentPairs: planted quote-inside-document found at containment 1.0, jaccard far below banding range") {
+    import spark.implicits._
+    // doc 1 is quoted VERBATIM inside doc 2 (plus a long unique tail):
+    // containment of 1-in-2 is 1.0, Jaccard is tiny — the case the
+    // MinHash banding never pairs. doc 3 shares only boilerplate-free
+    // noise; doc 4 duplicates a high-df phrase everywhere to prove the
+    // df cap keeps boilerplate out of the index.
+    val boiler = "click here to subscribe now"
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // letter-only (the shingle tokenizer is [a-z]+ — digits would make
+    // every tail word collapse to the same token)
+    val tailWords = (0 until 60)
+      .map(i => s"tail${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$quote $tailWords"),
+      (3L, "completely different words in every position here today"),
+      (4L, s"$boiler $boiler $boiler extra")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val p12 = got.find(t => t._1 == 1L && t._2 == 2L)
+    assert(p12.isDefined, s"planted quote pair not found in ${got.mkString(", ")}")
+    val (_, _, nA, _, nInter, cont) = p12.get
+    assert(nInter === nA, "every shingle of the quoted doc must intersect")
+    assert(cont === 1000000L, "containment of the quote must be exactly 1.0")
+    // the semantic point, deterministically: the pair's JACCARD is far
+    // below any near-dup banding threshold (quote shingles / union with
+    // the 60-word tail) even though containment is exactly 1.0 — the
+    // asymmetric score is what surfaces quote-inside-document pairs
+    // (LSH banding catching such a pair is a low-probability fluke of
+    // the hash family, not a guarantee — which is why D14 exists)
+    val (_, _, na, nb, ni, _) = p12.get
+    assert(ni * 5 <= (na + nb - ni),
+      s"planted pair's jaccard must stay below 0.2 (n_a=$na n_b=$nb n_inter=$ni)")
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L), "noise doc must not pair")
+  }
+
   test("sourceOverlap invariants on the real corpus") {
     val rows = Dedup.sourceOverlap(spark, dir).collect()
     assert(rows.nonEmpty)

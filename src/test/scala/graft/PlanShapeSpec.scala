@@ -103,6 +103,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus-side shuffle in IVF assignment\n" + p)
   }
 
+  test("PQ encode is exchange-free and routes through the native graft_pq_encode") {
+    // the index-build scan s_pq_ann checkpoints: codebook aggregated
+    // into one broadcast row, corpus side scan+project only — and the
+    // per-row M×K×SubDim argmin must be the single compiled call, not
+    // an inline least() tree (the IVF argmax JIT-cliff lesson)
+    val p = plan(Similarity.pqCodes(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus-side shuffle in PQ encode\n" + p)
+    assert(p.contains("graft_pq_encode"), "native PQ encode missing from plan\n" + p)
+  }
+
+  test("containmentPairs: every join is an equi-join, no nested-loop fallback") {
+    val p = plan(graft.operators.Dedup.containmentPairs(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "containment verify fell off the equi-join path\n" + p)
+  }
+
   test("qualityBuckets has no corpus-wide window sort (boundary-based terciles)") {
     // an ntile window PARTITION BY lang would pipe ~half the corpus (the
     // 'en' key) through ONE sorting task; the boundary form's only
