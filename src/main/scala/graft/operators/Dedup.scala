@@ -876,23 +876,38 @@ object Dedup {
     * pass feeds the index and both verify sides (checkpointed); the
     * candidate distinct is the one pair-bounded exchange. */
   private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
-    val sh = shingleSetsOf(docs).localCheckpoint()
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the operator never touches a shingle STRING past this projection:
+    // every doc's set becomes its sorted md5-head BIGINT array
+    // (graft_md5h ≡ the DuckDB digit-arithmetic formulation — DedupSpec
+    // pins the parity), so the index exchanges and the verify both move
+    // 8-byte keys instead of ~40-byte strings — the same fixed-width-key
+    // rule the span ops apply (xxhash64 gram keys), but engine-portable,
+    // so the candidate set AND the intersection counts are bit-identical
+    // to the oracle's
+    val sh = shingleSetsOf(docs)
+      .selectExpr("doc_id", "array_sort(graft_md5h(shingles)) AS hv")
+      .localCheckpoint()
+    val inv = sh.select(col("doc_id"), explode(col("hv")).as("h"))
+    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= ContainDfCap)
-      .select(col("s"))
-    val idx = inv.join(rare, Seq("s")).localCheckpoint()
-    val pairs = idx.select(col("s"), col("doc_id").as("a"))
-      .join(idx.select(col("s"), col("doc_id").as("b")), Seq("s"))
+      .select(col("h"))
+    val idx = inv.join(rare, Seq("h")).localCheckpoint()
+    val pairs = idx.select(col("h"), col("doc_id").as("a"))
+      .join(idx.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    // exact verify as ONE sorted-long merge per candidate
+    // (graft_sorted_intersect — the triangle counter's primitive), far
+    // cheaper than string-array intersection over the ~99% of
+    // candidates the threshold rejects
     pairs
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
+      .join(sh.select(col("doc_id").as("a"), col("hv").as("ha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hv").as("hb")), Seq("b"))
       .selectExpr("a", "b",
-        "CAST(size(array_intersect(sa, sb)) AS BIGINT) AS n_inter",
-        "CAST(size(sa) AS BIGINT) AS n_a",
-        "CAST(size(sb) AS BIGINT) AS n_b")
+        "CAST(size(graft_sorted_intersect(ha, hb)) AS BIGINT) AS n_inter",
+        "CAST(size(ha) AS BIGINT) AS n_a",
+        "CAST(size(hb) AS BIGINT) AS n_b")
       .filter(expr(s"100 * n_inter >= $ContainMinPct * least(n_a, n_b)"))
       .selectExpr("a", "b", "n_a", "n_b", "n_inter",
         "n_inter * 1000000L DIV least(n_a, n_b) AS containment_x1e6")
@@ -900,16 +915,18 @@ object Dedup {
 
   val containmentPairsOracle: String =
     s"""WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
-       |sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS shingles FROM docs WHERE len(words) >= $ShingleLen),
-       |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND $ContainDfCap),
-       |idx AS MATERIALIZED (SELECT i.s, i.doc_id FROM inv i JOIN rare USING (s)),
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(list_sort(list_transform($duckShingles, s -> ${shingleHash("strpos", "substr")})), x -> CAST(x AS BIGINT)) AS hv
+       |  FROM docs WHERE len(words) >= $ShingleLen),
+       |inv AS MATERIALIZED (SELECT doc_id, unnest(hv) AS h FROM sh),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND $ContainDfCap),
+       |idx AS MATERIALIZED (SELECT i.h, i.doc_id FROM inv i JOIN rare USING (h)),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM idx x JOIN idx y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |  FROM idx x JOIN idx y ON x.h = y.h AND x.doc_id < y.doc_id),
        |v AS (SELECT a, b,
-       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
-       |    CAST(len(sa.shingles) AS BIGINT) AS n_a,
-       |    CAST(len(sb.shingles) AS BIGINT) AS n_b
+       |    CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.hv) AS BIGINT) AS n_a,
+       |    CAST(len(sb.hv) AS BIGINT) AS n_b
        |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
        |SELECT a, b, n_a, n_b, n_inter,
        |  CAST(n_inter * 1000000 // least(n_a, n_b) AS BIGINT) AS containment_x1e6
