@@ -210,6 +210,32 @@ object Algorithms {
     ranks
   }
 
+  /** One HITS half-step, pre-renorm: read scores keyed by their input
+    * role, sum contributions onto the output role. The edge layout is
+    * chosen per policy so edges never move — broadcast scores join the
+    * layout keyed on the OUTPUT key (groupBy reuses it, zero
+    * exchanges); shuffled scores join the layout keyed on the INPUT key
+    * (the score frame shuffles to the edges, the groupBy exchanges
+    * partial sums). Package-private so GraphSpec can pin the unhinted
+    * plan: exchanges carry scores, never the edge cache. */
+  private[graft] def hitsHalfStep(eSrc: DataFrame, eDst: DataFrame,
+      scores: DataFrame, inKey: String, outKey: String,
+      bcast: Boolean): DataFrame = {
+    val s = scores.withColumnRenamed("node", inKey)
+    val joined =
+      if (bcast) (if (outKey == "dst") eDst else eSrc).join(broadcast(s), Seq(inKey))
+      else (if (inKey == "src") eSrc else eDst).join(s, Seq(inKey))
+    joined.groupBy(col(outKey)).agg(sum(col("s")).as("v"))
+      .withColumnRenamed(outKey, "node")
+  }
+
+  /** Plan-statistics budget deciding [[hits]]' score-join policy: the
+    * node-id projection estimate must fit this for the score frames to
+    * carry a broadcast hint. Same order as the engine's own broadcast
+    * threshold — beyond it the unhinted loop shuffles scores (never
+    * edges) and AQE is free to re-plan per stage. */
+  val HitsBroadcastMaxBytes: Long = 32L << 20
+
   /** HITS hubs & authorities (Kleinberg 1999) as EXACT integer
     * fixed-point power iteration — a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v}
     * a(v), each half-step renormalized to `fp` by the round's maximum:
@@ -221,18 +247,28 @@ object Algorithms {
     * exactly with the literal textbook SQL.
     *
     * Scale shape: the edge relation is laid out TWICE up front
-    * (hash-partitioned on dst for the authority half-step, on src for
-    * the hub half-step) and persisted; the score side of each
-    * half-step join is broadcast (node-count-sized — for graphs whose
-    * node list outgrows a broadcast, drop the hint and the same plan
-    * shuffles scores, never edges), so the per-iteration groupBy lands
-    * on the matching pre-paid partitioning and NO edge row is
-    * exchanged inside the loop. Per half-step: one broadcast-hash
-    * join + one partial-agg sum, plus a scalar max tree-reduced and
-    * broadcast back (the sanctioned 1-row scalar-attach shape). Score
-    * frames are localCheckpoint'ed per half-step — each is a
-    * node-count-sized materialization that keeps the rolling lineage
-    * O(1).
+    * (hash-partitioned on dst AND on src) and persisted; NO edge row is
+    * exchanged inside the loop on EITHER score-join policy:
+    *
+    *  - **broadcast scores** (small node set): each half-step joins the
+    *    layout keyed on its OUTPUT key (authority step on eDst) against
+    *    a broadcast score frame, so the groupBy lands on the pre-paid
+    *    partitioning — zero exchanges per half-step.
+    *  - **shuffled scores** (node set outgrows a broadcast): each
+    *    half-step joins the layout keyed on its INPUT key (authority
+    *    step on eSrc) — the score frame shuffles TO the edges'
+    *    partitioning, then the groupBy exchanges partial-agg'd sums
+    *    (score-scale rows). Two score-sized exchanges per half-step,
+    *    never an edge exchange.
+    *
+    * The policy is decided ONCE from plan statistics (no counting job):
+    * broadcast iff the optimizer's estimate for the node-id projection
+    * fits [[HitsBroadcastMaxBytes]], overridable via `broadcastScores`.
+    * Per half-step on top of the join: one partial-agg sum, plus a
+    * scalar max tree-reduced and broadcast back (the sanctioned 1-row
+    * scalar-attach shape). Score frames are localCheckpoint'ed per
+    * half-step — each is a node-count-sized materialization that keeps
+    * the rolling lineage O(1).
     *
     * Overflow bound: a node's raw score is ≤ degree·fp and the
     * renormalizing multiply needs raw·fp < 2⁶³, so fp = 2²⁴ is safe up
@@ -243,7 +279,8 @@ object Algorithms {
     * score frames stay sparse (an absent score IS a zero contribution
     * — inner joins drop it, exactly as the oracle's plain JOINs do). */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
-           numParts: Int = 0, fp: Long = 1L << 24): DataFrame = {
+           numParts: Int = 0, fp: Long = 1L << 24,
+           broadcastScores: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     // bounded graphs take the driver-local twin — bit-identical (exact
     // integer protocol), and an interactive-speed answer where the
@@ -258,24 +295,30 @@ object Algorithms {
         .persist(StorageLevel.MEMORY_AND_DISK)
     val eDst = layout("dst") // authority half-step aggregates on dst
     val eSrc = layout("src") // hub half-step aggregates on src
+    // the one policy decision: plan-statistics only, no counting job —
+    // a score frame is two BIGINTs per node, so the node-id projection
+    // estimate is the right proxy and errs conservative
+    val bcast = broadcastScores.getOrElse(
+      nodes.select(col("id")).queryExecution.optimizedPlan.stats
+        .sizeInBytes <= BigInt(HitsBroadcastMaxBytes))
     def renorm(raw: DataFrame): DataFrame = {
       val m = raw.agg(max(col("v")).as("vmax"))
+      // greatest(vmax, 1): an all-zero round (possible once truncation
+      // has starved every score) publishes zeros instead of DIV 0;
+      // LocalExec.hits applies the same skip-on-zero guard
       raw.crossJoin(broadcast(m))
-        .selectExpr("node", s"(v * CAST($fp AS BIGINT)) DIV vmax AS s")
+        .selectExpr("node",
+          s"(v * CAST($fp AS BIGINT)) DIV greatest(vmax, CAST(1 AS BIGINT)) AS s")
         .localCheckpoint()
     }
+    def halfStep(scores: DataFrame, inKey: String, outKey: String) =
+      renorm(hitsHalfStep(eSrc, eDst, scores, inKey, outKey, bcast))
     var hubs = nodes.select(col("id").as("node"), lit(fp).as("s"))
       .localCheckpoint()
     var auths: DataFrame = hubs
     for (_ <- 1 to iters) {
-      auths = renorm(eDst
-        .join(broadcast(hubs.withColumnRenamed("node", "src")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("s")).as("v"))
-        .withColumnRenamed("dst", "node"))
-      hubs = renorm(eSrc
-        .join(broadcast(auths.withColumnRenamed("node", "dst")), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("s")).as("v"))
-        .withColumnRenamed("src", "node"))
+      auths = halfStep(hubs, inKey = "src", outKey = "dst")
+      hubs = halfStep(auths, inKey = "dst", outKey = "src")
     }
     val out = nodes.select(col("id").as("node"))
       .join(hubs.withColumnRenamed("s", "hub_fp"), Seq("node"), "left")

@@ -463,18 +463,24 @@ object LocalExec {
         if (srcI(i) >= 0 && dstI(i) >= 0) a(dstI(i)) += hub(srcI(i))
         i += 1
       }
-      val amax = a.max
+      // amax == 0 (no edges, or every edge names an unknown node) means
+      // every contribution is 0: skip the renorm and publish zeros,
+      // matching the distributed loop where the empty score frame rides
+      // the remaining inner joins as an all-zero result
+      val amax = if (a.isEmpty) 0L else a.max
       var j = 0
-      while (j < a.length) { a(j) = a(j) * fp / amax; j += 1 }
+      if (amax > 0L)
+        while (j < a.length) { a(j) = a(j) * fp / amax; j += 1 }
       val h = new Array[Long](ids.length)
       i = 0
       while (i < srcI.length) {
         if (srcI(i) >= 0 && dstI(i) >= 0) h(srcI(i)) += a(dstI(i))
         i += 1
       }
-      val hmax = h.max
+      val hmax = if (h.isEmpty) 0L else h.max
       j = 0
-      while (j < h.length) { h(j) = h(j) * fp / hmax; j += 1 }
+      if (hmax > 0L)
+        while (j < h.length) { h(j) = h(j) * fp / hmax; j += 1 }
       hub = h
       auth = a
     }

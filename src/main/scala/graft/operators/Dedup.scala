@@ -885,8 +885,15 @@ object Dedup {
     // rule the span ops apply (xxhash64 gram keys), but engine-portable,
     // so the candidate set AND the intersection counts are bit-identical
     // to the oracle's
+    // array_distinct AFTER hashing is load-bearing: md5h is 32-bit, so
+    // two distinct shingles in one document can collide — without the
+    // dedup the sorted arrays carry duplicates that graft_sorted_intersect
+    // counts pairwise while the oracle's list_intersect dedups, breaking
+    // bit-exactness with probability ~n_shingles²/2³³ per doc (≈1% for a
+    // 10k-shingle document). Both engines dedup post-hash, so both
+    // intersect true sets.
     val sh = shingleSetsOf(docs)
-      .selectExpr("doc_id", "array_sort(graft_md5h(shingles)) AS hv")
+      .selectExpr("doc_id", "array_sort(array_distinct(graft_md5h(shingles))) AS hv")
       .localCheckpoint()
     val inv = sh.select(col("doc_id"), explode(col("hv")).as("h"))
     val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -916,7 +923,7 @@ object Dedup {
   val containmentPairsOracle: String =
     s"""WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id,
-       |  list_transform(list_sort(list_transform($duckShingles, s -> ${shingleHash("strpos", "substr")})), x -> CAST(x AS BIGINT)) AS hv
+       |  list_sort(list_distinct(list_transform(list_transform($duckShingles, s -> ${shingleHash("strpos", "substr")}), x -> CAST(x AS BIGINT)))) AS hv
        |  FROM docs WHERE len(words) >= $ShingleLen),
        |inv AS MATERIALIZED (SELECT doc_id, unnest(hv) AS h FROM sh),
        |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND $ContainDfCap),

@@ -376,6 +376,118 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(t => t._2 != t._3), "hub and auth rankings must differ")
   }
 
+  test("hits: shuffled-score policy is bit-identical; exchanges carry scores, never edges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // same seeded digraph as the recompute test: the no-hint path (the
+    // 100 TB regime where the node set outgrows a broadcast) must
+    // publish the SAME bits — exact integer protocol, so equality
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.fill(120)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((28L, 0L), (1L, 29L))).distinct
+    val g = graph(edges)
+    val iters = 6
+    def run(policy: Option[Boolean]) = withLocalExecOff {
+      Algorithms.hits(g.nodes, g.edges, iters, numParts = 4,
+          broadcastScores = policy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val hinted = run(Some(true))
+    assert(run(Some(false)) === hinted)
+    assert(run(None) === hinted) // tiny node set: the stats guard picks broadcast
+
+    // plan pin for the unhinted half-step: with auto-broadcast off (the
+    // faithful stand-in for "scores too big to ship"), the plan must
+    // still read edges straight from their cached layout — every
+    // exchange carries score-scale rows, never the edge cache
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE off for the pin: executedPlan must show the static exchanges
+    // (sparkPlan predates EnsureRequirements; AQE wraps the tree) — at
+    // runtime AQE can only merge/convert these, never add an edge shuffle
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prevs = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val e0 = g.edges.select(col("src"), col("dst"))
+      val eSrc = e0.repartition(4, col("src")).persist()
+      val eDst = e0.repartition(4, col("dst")).persist()
+      eSrc.count(); eDst.count()
+      val scores = g.nodes.select(col("id").as("node"), lit(1L << 24).as("s"))
+        .localCheckpoint()
+      val hs = Algorithms.hitsHalfStep(eSrc, eDst, scores,
+        inKey = "src", outKey = "dst", bcast = false)
+      val p = hs.queryExecution.executedPlan
+      // the pin, precisely: at the score⋈edges join, the edge side reads
+      // its cached layout with NO exchange (its partitioning is the
+      // pre-paid one), the score side DOES exchange (scores travel to
+      // the edges); the groupBy exchange higher up carries partial-agg'd
+      // score-scale sums and is the expected second score exchange
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      def hasScan(s: SparkPlan) =
+        s.collect { case t: InMemoryTableScanExec => t }.nonEmpty
+      def hasShuffle(s: SparkPlan) =
+        s.collect { case e: ShuffleExchangeExec => e }.nonEmpty
+      val joins = p.collect {
+        case j: SortMergeJoinExec => (j.left, j.right)
+        case j: ShuffledHashJoinExec => (j.left, j.right)
+      }
+      assert(joins.nonEmpty, "bcast=false must plan a shuffle join\n" + p)
+      val (l, r) = joins.head
+      val (edgeSide, scoreSide) = if (hasScan(l)) (l, r) else (r, l)
+      assert(hasScan(edgeSide), "one join side must read the cached edge layout\n" + p)
+      assert(!hasShuffle(edgeSide),
+        "the edge side must land on its pre-paid partitioning, no exchange\n" + p)
+      // the score side may arrive exchange-FREE too: a checkpointed
+      // score frame keeps the hash partitioning its producing agg left
+      // it with, and that key IS the next half-step's join key — so the
+      // only required exchange is the groupBy's, which moves
+      // partial-agg'd score-scale sums. Pin exactly that: every
+      // exchange in the plan sits above a partial HashAggregate, i.e.
+      // carries combined sums, never raw edge or pre-agg rows.
+      assert(!hasScan(scoreSide), "side identification: scores carry no edge cache\n" + p)
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "the groupBy must exchange partial sums\n" + p)
+      exchanges.foreach { e =>
+        assert(e.child.collectFirst { case a: HashAggregateExec => a }.isDefined,
+          "every exchange must move partial-agg'd sums, not raw rows\n" + p)
+      }
+      assert(!p.toString.contains("BroadcastHashJoin"),
+        "bcast=false must not plan a broadcast join\n" + p)
+      eSrc.unpersist(); eDst.unpersist()
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hits: empty edge relation publishes all-zero scores on twin AND distributed paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ADVICE r14: the local twin divided by a.max==0 here while the
+    // distributed loop's empty frames ride to zeros — both must agree
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+      .selectExpr("id", "'n' AS label", "CAST(map() AS map<string,string>) AS props")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L))
+    assert(scores(Algorithms.hits(nodes, edges, iters = 3)) === expected)
+    val dist = withLocalExecOff {
+      scores(Algorithms.hits(nodes, edges, iters = 3, numParts = 2))
+    }
+    assert(dist === expected)
+    // edges referencing only unknown nodes: contributions all zero too
+    val ghost = Seq((7L, 8L)).toDF("src", "dst")
+    assert(scores(Algorithms.hits(nodes, ghost, iters = 3)) === expected)
+    val distGhost = withLocalExecOff {
+      scores(Algorithms.hits(nodes, ghost, iters = 3, numParts = 2))
+    }
+    assert(distGhost === expected)
+  }
+
   test("closeness: grid closed form; local twin ≡ distributed loop exactly") {
     // directed n×n grid (right/down): from (r, c), reach is the
     // down-right quadrant minus self, and Σ dist has the closed form
