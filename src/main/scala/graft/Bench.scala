@@ -405,19 +405,25 @@ object Bench {
     // rows — the warm interactive lookups/traversals the baseline
     // comparison reads.
     if (line.length > LineBudget) {
-      def num0(d: Double): String = {
-        val s = String.format(java.util.Locale.ROOT, "%.0f", Double.box(d))
-        if (s == "0" && d > 0)
-          (1 to 3).map(p => {
-            val t = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(d))
-            if (t.contains('.')) t.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else t
-          }).find(_ != "0").getOrElse("0.001")
-        else s
+      // ADAPTIVE precision, not flat whole-second: r14's compact line
+      // rendered a 1.71 s query as "2", which read as a ≥1.5× regression
+      // against the 2-decimal detail file for 13 healthy queries. Tiers,
+      // first fit wins: (0) sub-second 2 decimals / sub-100 s 1 decimal;
+      // (1) sub-10 s 1 decimal; (2) the whole-second floor. All tiers
+      // keep the never-render-zero widening, so sub-second entries stay
+      // honest at every tier and the one-line JSON diffs cleanly against
+      // BENCH_DETAIL down to its quantization step.
+      def adaptive(d: Double, tier: Int): String = tier match {
+        case 0 => num(d, if (d < 1) 2 else if (d < 100) 1 else 0)
+        case 1 => num(d, if (d < 10) 1 else 0)
+        case _ => num(d, 0)
       }
-      val qs = ok.sortBy(_.name).map(r => s"${r.name}:${num0(r.secs)}").mkString(" ")
-      val cand = s"""{"metric":"total","value":${num0(total)},"queries":"$qs"""" +
-        omittedErrs(errList.size) + "}"
-      if (cand.length <= LineBudget) line = cand
+      (0 to 2).iterator.map { t =>
+        val qs = ok.sortBy(_.name)
+          .map(r => s"${r.name}:${adaptive(r.secs, t)}").mkString(" ")
+        s"""{"metric":"total","value":${adaptive(total, t)},"queries":"$qs"""" +
+          omittedErrs(errList.size) + "}"
+      }.find(_.length <= LineBudget).foreach(line = _)
     }
     var n = ok.size
     while (line.length > LineBudget && n > 0) {

@@ -162,6 +162,42 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compact-string stage keeps sub-10 s entries within 0.05 s of detail fidelity") {
+    // r14's one-line JSON rendered 1.71 s as "2" — a phantom ≥1.5×
+    // regression for anyone diffing the line against BENCH_DETAIL. The
+    // adaptive tiers must keep every sub-10 s entry within the 1-decimal
+    // quantization step (0.05 s) on a realistic full-suite distribution
+    // (r14 detail shape: ~85% sub-second, the rest 1-3 s).
+    val results = SparkEntry.queries.keys.toSeq.zipWithIndex.map { case (n, i) =>
+      val secs = (i % 20) match {
+        case 17      => 1.71 // the r14 poster child
+        case 18      => 2.44
+        case 19      => 2.81
+        case j       => 0.07 + j * 0.05
+      }
+      QueryBench(n, secs, 0.0, 0.0, None)
+    }
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(!line.contains("queries_omitted"), "must fit untrimmed\n" + line)
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val entries = (parsed \ "queries") match {
+      case org.json4s.JString(s) =>
+        s.split(" ").map(_.split(":")).map(a => a(0) -> a(1).toDouble).toMap
+      case _ => // dict form fit after all — extract per-key numbers
+        (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map {
+          case (k, org.json4s.JDouble(v)) => k -> v
+          case (k, org.json4s.JInt(v)) => k -> v.toDouble
+          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+        }.toMap
+    }
+    assert(entries.size === results.size)
+    results.filter(_.secs < 10).foreach { r =>
+      assert(math.abs(entries(r.name) - r.secs) <= 0.0501,
+        s"${r.name}: line says ${entries(r.name)}, detail says ${r.secs}")
+    }
+  }
+
   test("pathological timings (999.999 s every query) degrade compactly, never truncation") {
     // pre-r14 this case trimmed queries; the compact-string stage now
     // keeps every row ("name:1000" per entry fits easily) — trimming
