@@ -175,15 +175,17 @@ object GraphScale {
       // distributed walk sampling: adjacency via one shuffle, then
       // per-step frontier joins — 1/1000 of nodes seeded, 4 steps; check
       // = visited-step rows (walks stop at sinks, so < 5x seeds)
-      // distributed SCC (GraphX coloring) on the planted-SCC digraph:
-      // every label must equal its block base (the closed form), and the
-      // recorded check = SCC count = nNodes/SccBlock. The bridge's own
-      // self-consistency gate (labels ≤ id, labeling a fixpoint) runs on
-      // top; a soak-scale interim-coloring escape would trip either.
+      // distributed SCC (the DataFrame trim+coloring loop — replaced the
+      // GraphX coloring row in r15: same labels, same 2-outer-round
+      // behavior on this depth-1 condensation, delta-frontier execution
+      // instead of full-graph Pregel supersteps; the GraphX twin's
+      // 577-777 s walls are on record in the r13/r14 GRAPH_SCALE lines)
+      // on the planted-SCC digraph: every label must equal its block
+      // base (the closed form), and the recorded check = SCC count =
+      // nNodes/SccBlock.
       op("scc_planted")({
         val sccEdges = plantedSccEdges(spark, nEdges, nNodes).localCheckpoint()
-        GraphXBridge.stronglyConnectedComponents(
-          spark, PropertyGraph(nodes, sccEdges))
+        Algorithms.scc(nodes, sccEdges)
       })({ df =>
         val lab = df.select(col("node"), col("comp")).localCheckpoint()
         val bad = lab

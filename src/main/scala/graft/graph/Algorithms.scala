@@ -332,6 +332,139 @@ object Algorithms {
     out
   }
 
+  /** Strongly connected components as a DataFrame trim+coloring loop —
+    * the at-scale replacement for the GraphX coloring SCC, same
+    * algorithm class, delta-frontier execution:
+    *
+    *  1. **Trim** (≤ `trimRounds`): nodes missing an in- or out-edge in
+    *     the active subgraph are singleton SCCs — label self, drop, and
+    *     shrink the edge set (two semi-joins).
+    *  2. **Forward min-coloring fixpoint**: color(v) = min id that can
+    *     reach v, propagated along edges. Only CHANGED colors re-join
+    *     per step (the frontier), so total propagation work is
+    *     Σ_v dist(min→v), not steps × |V|; colors live as a projection
+    *     off the per-step checkpointed join (no second materialization).
+    *  3. **Backward confirm**: from each root (color(v)=v), spread
+    *     "member of SCC color(v)" along REVERSE edges, constrained to
+    *     same-color nodes — the forward-⋂-backward reachable set IS the
+    *     SCC. Confirmed sets accumulate with the same parts-list +
+    *     periodic-compaction shape as [[Traversals]]' BFS visited set.
+    *  4. Finalize confirmed nodes, shrink active set + edges, repeat.
+    *
+    * Progress per outer round is guaranteed (the globally minimal active
+    * node is always a confirmed root); the outer count is bounded by the
+    * condensation depth, as with GraphX's loop. Why not single-pivot
+    * forward-backward divide-and-conquer: with P live partitions it
+    * finalizes ≤ P pivot SCCs per round, so a many-small-SCC graph
+    * (the planted soak: 31,250 SCCs, depth-1 condensation) serializes
+    * into thousands of rounds, where coloring finalizes EVERY root's SCC
+    * simultaneously — 2 outer rounds on that topology. Coloring's known
+    * weakness (chain-of-SCCs condensations re-color per level) is capped
+    * by `maxOuter`, same backstop semantics as the GraphX bridge.
+    *
+    * Scale shape per step: frontier shuffles onto the persisted edge
+    * layout (hash on src for forward, dst for backward — edges are laid
+    * out twice per outer round and never exchanged inside the fixpoints),
+    * one partial-agg'd min per forward step, one distinct + same-color
+    * semi-filter per backward step. Plan-statistics-bounded graphs take
+    * the driver-local Tarjan twin. Output: (node, comp), comp = the
+    * SCC's minimum member — identical labels to GraphX coloring and
+    * Tarjan. */
+  def scc(nodes: DataFrame, edges: DataFrame, maxOuter: Int = 64,
+          trimRounds: Int = 2, numParts: Int = 0): DataFrame = {
+    val spark = nodes.sparkSession
+    if (LocalExec.enabled(spark) && LocalExec.smallEnoughGraph(nodes, edges))
+      LocalExec.stronglyConnectedComponents(nodes, edges, 1 << 21) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    def layout(df: DataFrame, key: String) =
+      (if (numParts > 0) df.repartition(numParts, col(key))
+       else df.repartition(col(key)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    var act = nodes.select(col("id").as("node")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val labs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var outer = 0
+    while (act.head(1).nonEmpty) {
+      outer += 1
+      if (outer > maxOuter)
+        throw new IllegalStateException(
+          s"SCC coloring did not converge in maxOuter=$maxOuter rounds: " +
+            "condensation deeper than the cap — raise maxOuter")
+      // 1. trim: a node missing either edge role is its own SCC
+      var trimming = true
+      var trims = 0
+      while (trimming && trims < trimRounds && act.head(1).nonEmpty) {
+        trims += 1
+        val live = e.select(col("src").as("node")).distinct()
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
+          .localCheckpoint()
+        val dead = act.join(live, Seq("node"), "left_anti").localCheckpoint()
+        if (dead.head(1).isEmpty) trimming = false
+        else {
+          labs += dead.select(col("node"), col("node").as("comp"))
+          act = live
+          e = e.join(live.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(live.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).localCheckpoint()
+        }
+      }
+      if (act.head(1).nonEmpty) {
+        val eSrc = layout(e, "src")
+        val eDst = layout(e, "dst")
+        // 2. forward min-color fixpoint, delta frontier
+        var joined = act.select(col("node"), col("node").as("color"))
+          .withColumn("cand", col("color")).localCheckpoint()
+        def colors = joined.select(col("node"),
+          least(col("color"), coalesce(col("cand"), col("color"))).as("color"))
+        var frontier: DataFrame = colors
+        while (frontier.head(1).nonEmpty) {
+          val msgs = eSrc
+            .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), col("color"))
+          val best = msgs.groupBy(col("node")).agg(min(col("color")).as("cand"))
+          joined = colors.join(best, Seq("node"), "left").localCheckpoint()
+          frontier = joined.filter(col("cand") < col("color"))
+            .select(col("node"), col("cand").as("color"))
+        }
+        val cols = joined.select(col("node"), col("color")).localCheckpoint()
+        // 3. backward confirm within color, parts-list + compaction
+        val roots = cols.filter(col("color") === col("node")).localCheckpoint()
+        var fr = roots
+        var parts = List(roots)
+        var step = 0
+        while (fr.head(1).nonEmpty) {
+          step += 1
+          val msgs = eDst
+            .join(fr.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select(col("src").as("node"), col("color")).distinct()
+          val cand = msgs
+            .join(cols.withColumnRenamed("color", "c0"), Seq("node"))
+            .filter(col("color") === col("c0"))
+            .select(col("node"), col("color"))
+          val confSoFar = parts.reduce(_ unionByName _)
+          fr = cand.join(confSoFar, Seq("node"), "left_anti").localCheckpoint()
+          parts = fr :: parts
+          if (step % 8 == 0)
+            parts = List(parts.reduce(_ unionByName _).localCheckpoint())
+        }
+        val conf = parts.reduce(_ unionByName _).localCheckpoint()
+        // 4. finalize and shrink
+        labs += conf.select(col("node"), col("color").as("comp"))
+        act = act.join(conf, Seq("node"), "left_anti").localCheckpoint()
+        e = e.join(act.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(act.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+        eSrc.unpersist()
+        eDst.unpersist()
+      }
+    }
+    if (labs.isEmpty) nodes.select(col("id").as("node"), col("id").as("comp")).limit(0)
+    else labs.reduce(_ unionByName _)
+  }
+
   /** Closeness-centrality substrate: BATCHED multi-source BFS — every
     * source advances one hop per round in the SAME joins, on composite
     * (s, node) keys. Publishes per source the exact integer pair

@@ -874,8 +874,26 @@ object Dedup {
     * the corpus with the cap as the constant, where the uncapped join
     * is quadratic in every boilerplate shingle's df. One shingling
     * pass feeds the index and both verify sides (checkpointed); the
-    * candidate distinct is the one pair-bounded exchange. */
-  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    * candidate distinct is the one pair-bounded exchange.
+    *
+    * RECALL CONTRACT (pinned by DedupSpec, not just documented): with
+    * `rarestK = 0` (the gated default) a pair is a candidate iff the
+    * two docs share a shingle with 2 ≤ df ≤ [[ContainDfCap]] — so a
+    * contained doc built ONLY of over-cap boilerplate shingles is
+    * MISSED (recall 0 for that pair). With `rarestK = K > 0`, every
+    * doc additionally contributes its K globally-rarest df≥2 shingles
+    * to an ASYMMETRIC probe against the full inverted list, which
+    * restores recall 1.0 for full containment deterministically: if
+    * A ⊆ B, every shingle of A (its selected ones included) is in B,
+    * so the probe pairs (A, B) regardless of df. For partial
+    * containment c the selected shingles must land in the overlap —
+    * miss probability ≈ (1−c)^K when selection is independent of the
+    * overlap. Fallback cost is Σ_h sel(h)·df(h) ≤ K · Σ_{selected} df:
+    * output-proportional in the mutual-boilerplate worst case (where
+    * the TRUE pair set is itself quadratic), unchanged when every doc
+    * already has a sub-cap shingle. */
+  private[graft] def containmentPairsOf(docs: DataFrame,
+                                        rarestK: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // the operator never touches a shingle STRING past this projection:
     // every doc's set becomes its sorted md5-head BIGINT array
@@ -896,14 +914,35 @@ object Dedup {
       .selectExpr("doc_id", "array_sort(array_distinct(graft_md5h(shingles))) AS hv")
       .localCheckpoint()
     val inv = sh.select(col("doc_id"), explode(col("hv")).as("h"))
-    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfs = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare = dfs
       .filter(col("df") >= 2 && col("df") <= ContainDfCap)
       .select(col("h"))
     val idx = inv.join(rare, Seq("h")).localCheckpoint()
-    val pairs = idx.select(col("h"), col("doc_id").as("a"))
+    val basePairs = idx.select(col("h"), col("doc_id").as("a"))
       .join(idx.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
+    val pairs = (if (rarestK <= 0) basePairs
+    else {
+      // per-doc K rarest df≥2 shingles (df-1 shingles cannot witness a
+      // pair), selected with one doc-keyed agg — bounded per-doc state,
+      // deterministic (df, h) order — then probed ASYMMETRICALLY
+      // against the full inverted list, df cap deliberately absent:
+      // this is the branch that buys the full-containment guarantee
+      val sel = inv.join(dfs.filter(col("df") >= 2), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_list(struct(col("df"), col("h")))),
+          1, rarestK).as("sel"))
+        .select(col("doc_id").as("a"), explode(col("sel")).as("s"))
+        .select(col("a"), col("s.h").as("h"))
+      val probed = sel.join(inv.select(col("h"), col("doc_id").as("b")), Seq("h"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+      basePairs.unionByName(probed)
+    }).distinct()
     // exact verify as ONE sorted-long merge per candidate
     // (graft_sorted_intersect — the triangle counter's primitive), far
     // cheaper than string-array intersection over the ~99% of

@@ -970,8 +970,10 @@ object GraphOps {
     * a directed cycle (one SCC per region) and the regions' minimum
     * nations form a DAG chain between them (inter-SCC edges that must NOT
     * merge components; they also exercise the condensation-depth loop).
-    * Labels are each SCC's minimum member, matching both the GraphX
-    * coloring SCC and the driver-local Tarjan twin. Cross-references the
+    * Labels are each SCC's minimum member — identical across the
+    * DataFrame trim+coloring loop ([[graft.graph.Algorithms.scc]], the
+    * at-scale path), the GraphX coloring twin, and the driver-local
+    * Tarjan twin (which serves at bench SFs). Cross-references the
     * reference's directed-graph family (databases.py:129-137). */
   def scc(spark: SparkSession, dir: String): DataFrame = {
     val r = graft.sources.Tables.nation(spark, dir)
@@ -987,8 +989,7 @@ object GraphOps {
     val m = r.groupBy(col("rk")).agg(min(col("id")).as("mid"))
     val chain = m.as("a").join(m.as("b"), col("b.rk") === col("a.rk") + 1)
       .select(col("a.mid").as("src"), col("b.mid").as("dst"))
-    GraphXBridge.stronglyConnectedComponents(spark,
-      PropertyGraph(r.select(col("id")), cyc.union(chain)))
+    Algorithms.scc(r.select(col("id")), cyc.union(chain), numParts = 4)
   }
 
   /** SCC oracle: same planted graph in SQL, then mutual reachability via

@@ -151,6 +151,44 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(t => t._1 == 3L || t._2 == 3L), "noise doc must not pair")
   }
 
+  test("containmentPairs recall contract: pure-boilerplate containment missed at rarestK=0, exact at rarestK=2") {
+    import spark.implicits._
+    // the adversarial case the df cap is blind to: doc 1 is NOTHING BUT
+    // a boilerplate phrase carried by 10 other documents, so every one
+    // of its shingles has df = 11 > ContainDfCap — the capped index
+    // holds no posting for it and the default operator misses every
+    // (1, carrier) pair even though containment is exactly 1.0. That
+    // miss IS the rarestK=0 contract (pinned below, not hidden in a
+    // docstring); rarestK=2 probes doc 1's two rarest shingles against
+    // the full inverted list and must recover all 10 pairs at 1.0.
+    val boiler = "click here to subscribe to our newsletter right now today"
+    def tail(c: Char) = (0 until 20)
+      .map(i => s"u$c${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val docs = (Seq((1L, boiler)) ++
+      (2L to 11L).map(k => (k, s"$boiler ${tail(('a' + k).toChar)}")))
+      .toDF("doc_id", "text")
+    val base = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!base.exists(p => p._1 == 1L || p._2 == 1L),
+      s"rarestK=0 contract: the pure-boilerplate doc must be absent, got $base")
+    val fb = Dedup.containmentPairsOf(docs, rarestK = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val wanted = (2L to 11L).map(k => (1L, k)).toSet
+    assert(fb.keySet.filter(p => p._1 == 1L) === wanted,
+      s"rarestK=2 must recover all 10 planted pairs, got ${fb.keySet}")
+    wanted.foreach { p =>
+      val (nA, _, nInter, cont) = fb(p)
+      assert(nInter === nA && cont === 1000000L,
+        s"pair $p: full containment must verify exactly (n_a=$nA n_inter=$nInter)")
+    }
+    // carrier-carrier overlap is boilerplate-only (8 of ~28 shingles,
+    // under the 50% threshold): the fallback must not spray them through
+    assert(!fb.keySet.exists(p => p._1 > 1L),
+      s"sub-threshold carrier pairs must stay filtered, got ${fb.keySet}")
+  }
+
   test("sourceOverlap invariants on the real corpus") {
     val rows = Dedup.sourceOverlap(spark, dir).collect()
     assert(rows.nonEmpty)

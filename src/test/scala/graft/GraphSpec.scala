@@ -488,6 +488,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(distGhost === expected)
   }
 
+  test("scc: DataFrame trim+coloring ≡ GraphX coloring ≡ local Tarjan on a depth-3 condensation") {
+    // three 3-cycles chained 1→4→10 (condensation depth 3 — the coloring
+    // loop needs one outer round per level), plus a trimmable out-only
+    // tail (20→1) and in-only tail (3→21): singleton SCCs the trim stage
+    // must label without a coloring round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (1L, 4L), (4L, 10L), (20L, 1L), (3L, 21L))
+    val g = graph(edges)
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 21L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plan-stats-bounded: routes to the driver-local Tarjan twin
+    assert(rows(Algorithms.scc(g.nodes, g.edges)) === expected)
+    withLocalExecOff {
+      assert(rows(Algorithms.scc(g.nodes, g.edges, numParts = 4)) === expected,
+        "distributed DataFrame coloring loop")
+      assert(rows(GraphXBridge.stronglyConnectedComponents(spark, g, numParts = 4)) === expected,
+        "GraphX coloring twin")
+      // trim alone must finish an acyclic graph (every node a singleton)
+      val dag = graph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+      assert(rows(Algorithms.scc(dag.nodes, dag.edges, numParts = 4)) ===
+        Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    }
+  }
+
   test("closeness: grid closed form; local twin ≡ distributed loop exactly") {
     // directed n×n grid (right/down): from (r, c), reach is the
     // down-right quadrant minus self, and Σ dist has the closed form
