@@ -148,6 +148,34 @@ object GraphScale {
       op("triangles")(Algorithms.triangleCounts(nodes, edges))(
         _.agg(sum(col("n_tri"))).head.getLong(0)),
       op("bfs_hub_d10")(Traversals.kHop(edges, source = 0L, maxHops = 10))(_.count()),
+      // batched multi-source closeness with SAMPLED sources — the form
+      // exact-closeness takes at corpus scale (G21's docstring claim,
+      // measured here): 64 evenly-spaced sources advance through ONE
+      // join + dedup + anti-join per round on composite (s, node) keys.
+      // Check = EXACT (reach, dist_sum) agreement with an independent
+      // per-source recompute (GraphX Pregel SSSP) on 2 of the 64
+      // sources — the hub and a mid-mass source; recorded value =
+      // Σ reach over all sources.
+      op("closeness_s64")({
+        val step = math.max(1L, nNodes / 64)
+        val srcs = nodes.filter(col("id") % step === 0 && col("id") < step * 64)
+        Algorithms.closeness(nodes, edges, maxRounds = 40, sources = Some(srcs))
+      })({ df =>
+        val lab = df.localCheckpoint()
+        val step = math.max(1L, nNodes / 64)
+        Seq(0L, 17L * step).foreach { s =>
+          val d = GraphXBridge.distances(spark, g, s).localCheckpoint()
+          val reach = d.count() - 1 // distances includes the source at 0
+          val dsum = d.agg(sum(col("dist"))).head.getLong(0)
+          val row = lab.filter(col("node") === s)
+            .select(col("reach"), col("dist_sum")).head
+          if (row.getLong(0) != reach || row.getLong(1) != dsum)
+            throw new IllegalStateException(
+              s"source $s: batched (${row.getLong(0)}, ${row.getLong(1)}) " +
+                s"!= per-source BFS ($reach, $dsum)")
+        }
+        lab.agg(sum(col("reach"))).head.getLong(0)
+      }),
       // distributed personalized PageRank seeded at the hub (the DataFrame
       // loop — the knob is off, so the local twin cannot serve): mass in
       // ppm, a stable integer under the per-iteration snap

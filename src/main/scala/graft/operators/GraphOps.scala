@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 import graft.graph.{Algorithms, GraphXBridge, LocalExec, PropertyGraph, Traversals}
 
@@ -107,7 +107,9 @@ object GraphOps {
     * one-time bucketed write, the "pay partitioning at ingest" trade) is
     * write-once; the timed path is a single-bucket pruned scan
     * (`SelectedBucketsCount: 1 out of N`, proven in BucketingSpec). */
-  def nodeLookupFast(spark: SparkSession, dir: String): DataFrame = {
+  /** Write-once (id, name) bucketed layout behind [[nodeLookupFast]] and
+    * the `@n` lookup-count sweep axis. */
+  private def custLookupTable(spark: SparkSession, dir: String): (String, DataFrame) = {
     val table = s"graft_cust_bucketed_${math.abs(dir.hashCode)}"
     val path = s"/tmp/${graft.Reset.ScratchPrefix}bucketed_$table"
     graft.Reset.writeOnceTable(spark, table, path) {
@@ -119,7 +121,11 @@ object GraphOps {
         .format("parquet")
         .saveAsTable(table)
     }
-    val t = spark.table(table)
+    (table, spark.table(table))
+  }
+
+  def nodeLookupFast(spark: SparkSession, dir: String): DataFrame = {
+    val (table, t) = custLookupTable(spark, dir)
     LocalExec.warmRows(t) match {
       // warm-store point read (see [[nodeLookup]]); the bucket-pruned scan
       // below stays the at-scale route and the plan BucketingSpec pins
@@ -129,6 +135,48 @@ object GraphOps {
       case None => graft.sources.Bucketing.pointLookup(spark, table, "id", 42L)
     }
   }
+
+  /** Lookup-COUNT axis builder behind `g_node_lookup_fast@n…`: n point
+    * lookups against the bucketed layout — the reference's iterated
+    * bench_get_single_node (benchmark.py:138-148 drives 1000+ lookups
+    * through iterate_bench and reads the per-op curve). Keys cycle a
+    * fixed 100-id working set (present at every SF), one output row per
+    * probe, so per-op cost = wall / n directly off the sweep row.
+    *
+    * Warm route: n probes against the driver-held store — the per-QUERY
+    * floor (plan/build/collect, ~10 ms cold) amortizes over n, which is
+    * the curve this axis exists to commit. At-scale route: ONE bucket
+    * scan joined against the broadcast probe list — a batched client,
+    * never n scheduled jobs. */
+  private[graft] def nodeLookupMany(spark: SparkSession, dir: String,
+                                    n: Int): DataFrame = {
+    val (_, t) = custLookupTable(spark, dir)
+    def key(i: Long): Long = 1L + (i * 37L) % 100L
+    LocalExec.warmRows(t) match {
+      case Some(rows) =>
+        val hits = (1L to n.toLong).flatMap { i =>
+          val k = key(i)
+          rows.iterator.filter(r => !r.isNullAt(0) && r.getLong(0) == k)
+            .take(1).map(r => Row(r.get(0), r.get(1), i)).toSeq
+        }
+        LocalExec.localDF(spark, StructType(t.schema.fields.toSeq :+
+          StructField("probe", LongType, nullable = false)), hits)
+      case None =>
+        val probe = spark.range(1, n + 1)
+          .select((lit(1L) + col("id") * 37L % 100L).as("id"),
+            col("id").as("probe"))
+        t.join(broadcast(probe), Seq("id"))
+    }
+  }
+
+  /** Lookup-count axis (reference bench_get_single_node): per-op cost vs
+    * probe count, the warm-store amortization curve as committed sweep
+    * rows. */
+  private def lookupSweep: Map[String, (SparkSession, String) => DataFrame] =
+    Seq(100, 250, 500, 1000).map { n =>
+      s"g_node_lookup_fast@n$n" -> ((s: SparkSession, d: String) =>
+        nodeLookupMany(s, d, n))
+    }.toMap
 
   // --- G3: k-hop ------------------------------------------------------------
 
@@ -167,7 +215,7 @@ object GraphOps {
     * SF-derived N), plus the hops/target-depth/insert-count axes. Merged
     * over the gated map by BenchSweep. */
   val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
-    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep ++ distSweep
+    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep ++ distSweep ++ lookupSweep
 
   /** Forced-distributed twins of gated graph rows (`<name>@dist`): the
     * identical query builders with [[graft.graph.LocalExec]] disabled for

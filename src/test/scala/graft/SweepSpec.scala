@@ -276,6 +276,42 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sweep and DETAIL disagree on:\n  ${disagree.mkString("\n  ")}")
   }
 
+  test("lookup axis: every probe resolves; warm per-op cost amortizes (job count flat in n)") {
+    // semantics: n probes → n rows, keys cycling the fixed 100-id
+    // working set (37 coprime to 100 → 100 distinct keys at n=100)
+    for (n <- Seq(100, 1000)) {
+      val rows = GraphOps.sweepQueries(s"g_node_lookup_fast@n$n")(spark, dir).collect()
+      assert(rows.length === n, s"@n$n must emit one row per probe")
+      assert(rows.map(_.getLong(0)).distinct.length === 100,
+        s"@n$n must touch the full 100-key working set")
+    }
+    // the amortization claim in scale-invariant terms (walls are host-
+    // bimodal; job counts are not): after the store is warm, a 10×
+    // probe count schedules NO additional Spark jobs — per-op cost is a
+    // driver memory probe, so the per-query floor is the whole job cost
+    // at any n. (Cold passes above already warmed the store.)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      def jobsFor(n: Int): Int = {
+        org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+        jobs.set(0)
+        GraphOps.sweepQueries(s"g_node_lookup_fast@n$n")(spark, dir).collect()
+        org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+        jobs.get()
+      }
+      val j100 = jobsFor(100)
+      val j1000 = jobsFor(1000)
+      assert(j1000 <= j100,
+        s"warm lookups must not scale jobs with probe count ($j100 → $j1000)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("depth axis: ssp targets sit at increasing distances, all reachable") {
     val n = GraphOps.gridNFor(spark, dir)
     val dists = Seq(25, 50, 75, 100).map { pct =>
