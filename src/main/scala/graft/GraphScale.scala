@@ -176,6 +176,40 @@ object GraphScale {
         }
         lab.agg(sum(col("reach"))).head.getLong(0)
       }),
+      // all-sources batched Brandes stress on a 1M-node PERFECT BINARY
+      // TREE — the one large topology where exact stress is both
+      // integer-safe (σ ≡ 1 on a tree; ψ ≤ subtree size) and closed-form
+      // checkable on EVERY node: only downward paths exist, so
+      // stress(v) = ancestors(v) · descendants(v) = d · (2^(L−d) − 2).
+      // (On small-world graphs σ grows past BIGINT within ~10 hops —
+      // exact stress there is run with sampled sources AND a bounded
+      // horizon; the tree keeps the soak's check exact at full width:
+      // 2^20−1 sources advance through the same two batched passes.)
+      op("stress_tree_1m")({
+        val l = 20
+        val tn = (1L << l) - 1
+        val tNodes = spark.range(tn).select(col("id"))
+        val tEdges = spark.range((tn - 1) / 2)
+          .selectExpr("id AS src", "2*id+1 AS dst")
+          .union(spark.range((tn - 1) / 2)
+            .selectExpr("id AS src", "2*id+2 AS dst"))
+        Algorithms.stress(tNodes, tEdges, maxRounds = l + 2)
+      })({ df =>
+        val l = 20
+        val tn = (1L << l) - 1
+        // closed form per node; floor(log2) is exact here (powers of two
+        // are exact doubles and the floor never straddles one)
+        val expect = spark.range(tn).selectExpr("id AS node",
+          s"""CAST(floor(log2(id + 1)) AS BIGINT)
+             | * (CAST(pow(2, $l - floor(log2(id + 1))) AS BIGINT) - 2)
+             | AS exp_stress""".stripMargin)
+        val lab = df.localCheckpoint()
+        val bad = lab.join(expect, Seq("node"))
+          .filter(col("stress") =!= col("exp_stress")).count()
+        if (bad != 0)
+          throw new IllegalStateException(s"$bad nodes off the closed form")
+        lab.agg(sum(col("stress"))).head.getLong(0)
+      }),
       // distributed personalized PageRank seeded at the hub (the DataFrame
       // loop — the knob is off, so the local twin cannot serve): mass in
       // ppm, a stable integer under the per-iteration snap

@@ -533,6 +533,108 @@ object Algorithms {
     out
   }
 
+  /** Stress centrality (Shimbel): stress(v) = Σ_{s≠v, t≠v} σ_st(v), the
+    * COUNT of shortest s→t paths passing through v as an interior node —
+    * the integer-exact sibling of betweenness (betweenness divides each
+    * term by σ_st; stress keeps the raw count, so the whole protocol is
+    * BIGINT end-to-end and the cross-engine oracle needs no float or
+    * fixed-point recipe).
+    *
+    * Algorithm: batched multi-source Brandes over BFS DAGs, two passes on
+    * composite (s, node) keys — the same batching as [[closeness]]:
+    *
+    *  1. **Forward**: per round, the frontier joins the edge layout and
+    *     path counts sum over predecessors (σ_s(v) = Σ_{u→v, d(u)=d(v)-1}
+    *     σ_s(u)); levels are materialized per depth.
+    *  2. **Backward** (deepest level first): ψ_s(v) = 1 + Σ_{w ∈
+    *     succ_s(v)} ψ_s(w) counts shortest-path CONTINUATIONS from v
+    *     (including the empty one), level by level — joining each level's
+    *     successors against the NEXT level's ψ keeps the recursion on the
+    *     BFS DAG (cross/back edges drop out of the keyed join by
+    *     construction). Then σ_s(v)·(ψ_s(v) − 1) counts exactly the
+    *     shortest s→t paths with v interior (t = v excluded by the −1,
+    *     v = s excluded by d > 0), and stress(v) sums it over sources.
+    *
+    * Scale shape: the edge relation is laid out ONCE (hash on src,
+    * persisted) and serves BOTH passes — forward steps consume it as
+    * u→v, backward steps as v→w; no edge row is exchanged in either
+    * loop. Per round each pass costs one frontier⋈edges join plus one
+    * partial-agg'd integer sum; the backward pass adds no new exchange
+    * shape. Exact all-sources stress is |V|×reachability work at 100 TB,
+    * so the cluster form is SAMPLED sources (the `sources` frame), which
+    * narrows the composite frontier without changing the plan — identical
+    * to the closeness contract. `maxRounds` is a safety bound: a loop
+    * that hits it computes k-bounded stress (paths of length ≤ maxRounds
+    * only), the standard bounded-horizon approximation; the gated grid
+    * instance exits on the empty frontier at its true diameter.
+    * Plan-statistics-bounded graphs take the driver-local twin. */
+  def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+             sources: Option[DataFrame] = None,
+             numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "stress needs at least one BFS round")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.stress(nodes, edges, maxRounds)
+    // multi-edges would double-count σ: distinct is part of the contract
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
+    val e = (if (numParts > 0) e0.repartition(numParts, col("u"))
+             else e0.repartition(col("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcIds = sources.getOrElse(nodes).select(col("id"))
+    // forward: levels(d) = (s, node, sigma) at exact BFS depth d
+    val levels = scala.collection.mutable.ArrayBuffer(
+      srcIds.select(col("id").as("s"), col("id").as("node"),
+        lit(1L).as("sigma")).localCheckpoint())
+    val CompactEvery = 8
+    var visitedParts = List(levels(0).select(col("s"), col("node")))
+    var done = false
+    while (!done) {
+      if (visitedParts.length >= CompactEvery)
+        visitedParts = List(visitedParts.reduce(_ unionByName _).localCheckpoint())
+      val visited = visitedParts.reduce(_ union _)
+      val next = levels.last.join(e, col("node") === col("u"))
+        .select(col("s"), col("v").as("node"), col("sigma"))
+        .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty || levels.length > maxRounds) done = true
+      else {
+        levels += next
+        visitedParts ::= next.select(col("s"), col("node"))
+      }
+    }
+    // backward: ψ per level, deepest first; accumulate σ·(ψ−1) per level
+    var psi = levels.last.select(col("s"), col("node"), lit(1L).as("psi"))
+      .localCheckpoint()
+    var contribs = List(
+      levels.last.join(psi, Seq("s", "node"))
+        .select(col("node"), (col("sigma") * (col("psi") - 1L)).as("c")))
+    for (d <- levels.length - 2 to 1 by -1) {
+      val succSum = levels(d).join(e, col("node") === col("u"))
+        .select(col("s"), col("node"), col("v").as("w"))
+        .join(psi.select(col("s"), col("node").as("w"), col("psi")),
+          Seq("s", "w"))
+        .groupBy(col("s"), col("node")).agg(sum(col("psi")).as("sp"))
+      psi = levels(d).select(col("s"), col("node"), col("sigma"))
+        .join(succSum, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          (lit(1L) + coalesce(col("sp"), lit(0L))).as("psi"),
+          col("sigma"))
+        .localCheckpoint()
+      contribs ::= psi.select(col("node"),
+        (col("sigma") * (col("psi") - 1L)).as("c"))
+      psi = psi.select(col("s"), col("node"), col("psi"))
+    }
+    val out = nodes.select(col("id").as("node"))
+      .join(contribs.reduce(_ unionByName _)
+          .groupBy(col("node")).agg(sum(col("c")).as("stress")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
+      .localCheckpoint() // materialize before the edge layout unpersists
+    e.unpersist()
+    out
+  }
+
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
     * standard distributed triangle plan: three shuffles total, no node

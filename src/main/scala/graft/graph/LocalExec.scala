@@ -547,6 +547,87 @@ object LocalExec {
       StructField("dist_sum", LongType, nullable = false))), rows)
   }
 
+  /** Local twin of [[Algorithms.stress]]: textbook single-source Brandes
+    * per source over adjacency arrays — forward BFS with integer path
+    * counts σ, backward continuation counts ψ in reverse BFS order,
+    * stress(v) += σ(v)·(ψ(v) − 1) for v ≠ s. Multi-edges are deduped to
+    * match the distributed operator's DISTINCT contract; `maxRounds`
+    * bounds the BFS horizon with the same k-bounded semantics. Schema:
+    * (node: long, stress: long). */
+  def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val dedup = new java.util.HashSet[Long]()
+    val adjH = Array.fill(n)(List.empty[Int])
+    var i = 0
+    while (i < src.length) {
+      (idx.get(src(i)), idx.get(dst(i))) match {
+        case (Some(si), Some(di)) if si != di =>
+          if (dedup.add(si.toLong * n + di)) adjH(si) = di :: adjH(si)
+        case _ => ()
+      }
+      i += 1
+    }
+    val adj = adjH.map(_.toArray)
+    val stressAcc = new Array[Long](n)
+    val dist = new Array[Int](n)
+    val sigma = new Array[Long](n)
+    val psi = new Array[Long](n)
+    val queue = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      java.util.Arrays.fill(dist, -1)
+      dist(s) = 0
+      sigma(s) = 1L
+      queue(0) = s
+      var head = 0
+      var tail = 1
+      while (head < tail) {
+        val u = queue(head); head += 1
+        if (dist(u) < maxRounds) {
+          val ns = adj(u)
+          var j = 0
+          while (j < ns.length) {
+            val w = ns(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(u) + 1
+              sigma(w) = 0L
+              queue(tail) = w; tail += 1
+            }
+            if (dist(w) == dist(u) + 1) sigma(w) += sigma(u)
+            j += 1
+          }
+        }
+      }
+      // queue order is nondecreasing distance, so reverse order is a
+      // reverse-topological walk of the BFS DAG: ψ of every successor is
+      // final before it is read (only reached nodes appear as successors)
+      var k = tail - 1
+      while (k >= 0) {
+        val v = queue(k)
+        var p = 1L
+        val ns = adj(v)
+        var j = 0
+        while (j < ns.length) {
+          val w = ns(j)
+          if (dist(w) == dist(v) + 1) p += psi(w)
+          j += 1
+        }
+        psi(v) = p
+        if (v != s) stressAcc(v) += sigma(v) * (p - 1L)
+        k -= 1
+      }
+      s += 1
+    }
+    val rows = ids.indices.map(v => Row(ids(v), stressAcc(v)))
+    localDF(spark, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("stress", LongType, nullable = false))), rows)
+  }
+
   /** Local twin of the connected-components operators (undirected min-id
     * labels — the fixpoint of both GraphX's CC and the large/small-star
     * DataFrame loop): union-find with path compression, roots kept at the

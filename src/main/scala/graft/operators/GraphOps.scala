@@ -251,7 +251,8 @@ object GraphOps {
       "g_khop_grid" -> khopGrid, "g_sssp_grid" -> ssspGrid,
       "g_wsssp_grid" -> wssspGrid,
       "g_connected_components" -> connectedComponents,
-      "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc)
+      "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc,
+      "g_stress" -> gridStress)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
@@ -727,6 +728,61 @@ object GraphOps {
        |  CAST(SUM(d) AS BIGINT) AS dist_sum
        |FROM md GROUP BY s""".stripMargin
 
+  // --- G22: stress centrality (batched multi-source Brandes) ----------------
+
+  /** Same instance as [[gridCloseness]] — the 20×20 directed grid — so
+    * the two path-structure centralities publish over one graph. */
+  val StressGridN = 20
+  val StressRounds = 40
+
+  /** G22: stress centrality over the 20×20 directed grid — for every
+    * node, the COUNT of shortest s→t paths crossing it as an interior
+    * node (Shimbel's stress; the integer-exact sibling of betweenness,
+    * which only rescales each term by 1/σ_st). All 400 sources advance
+    * as ONE batched multi-source Brandes — forward BFS accumulating path
+    * counts, backward pass accumulating continuation counts — so the
+    * whole centrality is two passes of composite-key joins over one edge
+    * layout. Everything is BIGINT: no division, no float protocol, the
+    * oracle compares exact. See [[graft.graph.Algorithms.stress]] for
+    * the scale shape (sampled sources at corpus scale, same plan). */
+  def gridStress(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, StressGridN)
+    Algorithms.stress(g.nodes, g.edges, StressRounds)
+  }
+
+  /** DuckDB mirror of [[gridStress]], by a DIFFERENT formulation — an
+    * independent check, not a translation. The directed grid is a
+    * monotone DAG (every edge goes right or down), so every directed
+    * path is a shortest path and the distance constraint in
+    * stress(v) = Σ σ_sv·σ_vt [d(s,v)+d(v,t)=d(s,t)] holds automatically;
+    * the double sum then FACTORS into (Σ_s σ_sv)·(Σ_t σ_vt) — total
+    * paths in times total paths out. Path counts come from the unrolled
+    * k-step chain p_k(s,v) = Σ_u p_{k-1}(s,u)·e(u,v) (MATERIALIZED per
+    * step for the same inliner reason as the HITS oracle); k runs to the
+    * grid diameter 2(N−1). Agreement of this closed-form DAG count with
+    * Spark's Brandes ψ-accumulation is exactly what makes the gate
+    * meaningful. */
+  private def stressOracle(edgesSql: String, nNodes: Int,
+                           steps: Int): String = {
+    val chain = (2 to steps).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT p.s, e.dst AS v, CAST(SUM(p.c) AS BIGINT) AS c
+         |  FROM p${k - 1} p JOIN e ON e.src = p.v GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to steps).map(k => s"SELECT * FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT CAST(i AS BIGINT) AS id FROM range($nNodes) t(i)),
+       |p1 AS MATERIALIZED (SELECT src AS s, dst AS v, CAST(1 AS BIGINT) AS c FROM e),
+       |$chain,
+       |sigma AS ($unionAll),
+       |ins AS (SELECT v AS node, CAST(SUM(c) AS BIGINT) AS cin FROM sigma GROUP BY 1),
+       |outs AS (SELECT s AS node, CAST(SUM(c) AS BIGINT) AS cout FROM sigma GROUP BY 1)
+       |SELECT n.id AS node,
+       |  CAST(COALESCE(i.cin, 0) * COALESCE(o.cout, 0) AS BIGINT) AS stress
+       |FROM nodes n LEFT JOIN ins i ON i.node = n.id
+       |LEFT JOIN outs o ON o.node = n.id""".stripMargin
+  }
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1194,6 +1250,7 @@ object GraphOps {
     "g_wikivote_lookup" -> wikivoteLookup,
     "g_hits" -> wikivoteHits,
     "g_closeness" -> gridCloseness,
+    "g_stress" -> gridStress,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1267,6 +1324,8 @@ object GraphOps {
     "g_hits" -> hitsOracle(wikiEdgesSql, wikiNodesSql, HitsIters, 1L << 24),
     "g_closeness" -> closenessOracle(gridEdgesSql(ClosenessGridN),
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
+    "g_stress" -> stressOracle(gridEdgesSql(StressGridN),
+      StressGridN * StressGridN, 2 * (StressGridN - 1)),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

@@ -695,6 +695,52 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.nonEmpty)
   }
 
+  test("stress: planted closed forms, σ multiplicity, local twin ≡ distributed") {
+    def stressMap(g: PropertyGraph, dist: Boolean): Map[Long, Long] = {
+      val df = if (dist) withLocalExecOff(Algorithms.stress(g.nodes, g.edges, 16))
+               else Algorithms.stress(g.nodes, g.edges, 16)
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // diamond-chain a→b, a→c, b→d, c→d, d→e: σ_ad = 2 rides through d to e,
+    // so stress(d) = (a,e)·2 + (b,e) + (c,e) = 4 — pins the σ product,
+    // not just path existence
+    val diamond = graph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)))
+    val expDiamond = Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 0L)
+    assert(stressMap(diamond, dist = false) === expDiamond)
+    assert(stressMap(diamond, dist = true) === expDiamond)
+    // cyclic digraph (1→2→3→1, 2→4, 3→4, 4→5): BFS-DAG logic on a graph
+    // with cycles — hand-counted interior path counts
+    val cyclic = graph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L), (4L, 5L)))
+    val expCyclic = Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 3L, 5L -> 0L)
+    assert(stressMap(cyclic, dist = false) === expCyclic)
+    assert(stressMap(cyclic, dist = true) === expCyclic)
+  }
+
+  test("stress: sampled sources restrict the sum over s without changing the plan") {
+    import spark.implicits._
+    // path 1→2→3→4 (+ branch 1→5): from source 1 only, stress(2) counts
+    // (1,3),(1,4) and stress(3) counts (1,4)
+    val srcs = Seq(1L).toDF("id")
+    val got = Algorithms.stress(pathG.nodes, pathG.edges, 16,
+        sources = Some(srcs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("stress: grid instance — distributed Brandes ≡ local twin on all 400 nodes") {
+    val g = PropertyGraph.grid(spark, 20)
+    val local = Algorithms.stress(g.nodes, g.edges, 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = withLocalExecOff(Algorithms.stress(g.nodes, g.edges, 40))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    // two spot closed forms on the monotone lattice: corners are never
+    // interior; node (0,1) = id 1 carries exactly the paths from id 0
+    // into its down-right cone: (Σ in)·(Σ out) with Σ in = σ(0→1) = 1
+    assert(local(0L) === 0L && local(399L) === 0L)
+    assert(local(1L) > 0L)
+  }
+
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
     // per-JVM scratch namespace: a concurrent test/bench JVM must not
