@@ -493,6 +493,61 @@ object Algorithms {
     if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
         LocalExec.smallEnoughGraph(nodes, edges))
       return LocalExec.closeness(nodes, edges, maxRounds)
+    multiSourceBfsAgg(nodes, edges, maxRounds, sources, numParts) { reached =>
+      reached.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("reach"), sum(col("d").cast("long")).as("dist_sum"))
+    } { out =>
+      out.select(col("node"),
+        coalesce(col("reach"), lit(0L)).as("reach"),
+        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"))
+    }
+  }
+
+  /** Fixed-point scale for [[harmonic]]: each reached node at distance d
+    * contributes `HarmonicFp DIV d` (integer division) — the documented
+    * cross-engine convention that keeps harmonic centrality BIGINT-exact
+    * with no float protocol (the same reason closeness publishes the raw
+    * (reach, dist_sum) integers). */
+  val HarmonicFp = 1000000L
+
+  /** Harmonic centrality (Rochat / Boldi-Vigna): h(s) = Σ_{v reached}
+    * 1/d(s, v) — the closeness variant that stays meaningful on
+    * DISCONNECTED graphs (unreachable nodes contribute 0 instead of
+    * poisoning the mean). Published as the exact integer
+    * Σ `HarmonicFp DIV d`, per the fixed-point convention above.
+    *
+    * Rides the identical batched multi-source BFS as [[closeness]] —
+    * same plan, same sampled-`sources` cluster contract — only the final
+    * per-source aggregation differs. */
+  def harmonic(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+               sources: Option[DataFrame] = None,
+               numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "harmonic needs at least one BFS round")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.harmonic(nodes, edges, maxRounds)
+    multiSourceBfsAgg(nodes, edges, maxRounds, sources, numParts) { reached =>
+      reached.groupBy(col("s").as("node"))
+        .agg(sum(expr(s"CAST($HarmonicFp AS BIGINT) DIV CAST(d AS BIGINT)"))
+          .as("harmonic_fp"))
+    } { out =>
+      out.select(col("node"),
+        coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+    }
+  }
+
+  /** The batched multi-source BFS shared by [[closeness]] and
+    * [[harmonic]]: every source advances one hop per round in the SAME
+    * joins on composite (s, node) keys (see [[closeness]]'s scaladoc for
+    * the scale argument). `agg` reduces the reached (s, node, d) rows
+    * (d ≥ 1) to one row per source keyed `node`; `fill` projects the
+    * left-joined result with its zero defaults for sources that reach
+    * nothing. */
+  private def multiSourceBfsAgg(nodes: DataFrame, edges: DataFrame,
+                                maxRounds: Int, sources: Option[DataFrame],
+                                numParts: Int)
+                               (agg: DataFrame => DataFrame)
+                               (fill: DataFrame => DataFrame): DataFrame = {
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
     val e = (if (numParts > 0) e0.repartition(numParts, col("u"))
              else e0.repartition(col("u")))
@@ -520,14 +575,9 @@ object Algorithms {
         round += 1
       }
     }
-    val reached = parts.reduce(_ unionByName _).filter(col("d") > 0)
-      .groupBy(col("s").as("node"))
-      .agg(count(lit(1)).as("reach"), sum(col("d").cast("long")).as("dist_sum"))
-    val out = srcIds.select(col("id").as("node"))
-      .join(reached, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("reach"), lit(0L)).as("reach"),
-        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"))
+    val reached = agg(parts.reduce(_ unionByName _).filter(col("d") > 0))
+    val out = fill(srcIds.select(col("id").as("node"))
+        .join(reached, Seq("node"), "left"))
       .localCheckpoint() // materialize before the edge layout unpersists
     e.unpersist()
     out

@@ -547,6 +547,59 @@ object LocalExec {
       StructField("dist_sum", LongType, nullable = false))), rows)
   }
 
+  /** Local twin of [[Algorithms.harmonic]]: the same per-source BFS as
+    * [[closeness]], accumulating `HarmonicFp DIV d` per reached node —
+    * the exact fixed-point convention of the distributed operator.
+    * Schema: (node: long, harmonic_fp: long). */
+  def harmonic(nodes: DataFrame, edges: DataFrame,
+               maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val adjH = Array.fill(ids.length)(List.empty[Int])
+    var i = 0
+    while (i < src.length) {
+      (idx.get(src(i)), idx.get(dst(i))) match {
+        case (Some(si), Some(di)) => adjH(si) = di :: adjH(si)
+        case _ => ()
+      }
+      i += 1
+    }
+    val adj = adjH.map(_.toArray)
+    val dist = new Array[Int](ids.length)
+    val queue = new Array[Int](ids.length)
+    val fp = Algorithms.HarmonicFp
+    val rows = ids.indices.map { s =>
+      java.util.Arrays.fill(dist, -1)
+      dist(s) = 0
+      queue(0) = s
+      var head = 0
+      var tail = 1
+      var hsum = 0L
+      while (head < tail) {
+        val u = queue(head); head += 1
+        if (dist(u) < maxRounds) {
+          val ns = adj(u)
+          var j = 0
+          while (j < ns.length) {
+            val w = ns(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(u) + 1
+              hsum += fp / dist(w)
+              queue(tail) = w; tail += 1
+            }
+            j += 1
+          }
+        }
+      }
+      Row(ids(s), hsum)
+    }
+    localDF(spark, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("harmonic_fp", LongType, nullable = false))), rows)
+  }
+
   /** Local twin of [[Algorithms.stress]]: textbook single-source Brandes
     * per source over adjacency arrays — forward BFS with integer path
     * counts σ, backward continuation counts ψ in reverse BFS order,

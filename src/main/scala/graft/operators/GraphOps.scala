@@ -252,7 +252,7 @@ object GraphOps {
       "g_wsssp_grid" -> wssspGrid,
       "g_connected_components" -> connectedComponents,
       "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc,
-      "g_stress" -> gridStress)
+      "g_stress" -> gridStress, "g_harmonic" -> gridHarmonic)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
@@ -726,6 +726,38 @@ object GraphOps {
        |md AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY s, node)
        |SELECT s AS node, CAST(COUNT(*) - 1 AS BIGINT) AS reach,
        |  CAST(SUM(d) AS BIGINT) AS dist_sum
+       |FROM md GROUP BY s""".stripMargin
+
+  // --- G23: harmonic centrality ----------------------------------------------
+
+  /** G23: harmonic centrality over the same 20×20 directed grid — the
+    * closeness variant that stays meaningful on DISCONNECTED graphs
+    * (which this directed grid is, pairwise: upstream nodes are
+    * unreachable and simply contribute 0, where classic closeness needs
+    * a reach-qualified convention). Published as the exact integer
+    * Σ `HarmonicFp DIV d` per [[graft.graph.Algorithms.HarmonicFp]]'s
+    * fixed-point convention — integer division on both engines, no
+    * float protocol. Same batched multi-source BFS (and sampled-source
+    * cluster contract) as G21; only the final aggregation differs. */
+  def gridHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, ClosenessGridN)
+    Algorithms.harmonic(g.nodes, g.edges, ClosenessRounds)
+  }
+
+  /** DuckDB mirror of [[gridHarmonic]] — the [[closenessOracle]] BFS CTE
+    * with the harmonic fixed-point aggregation. */
+  private def harmonicOracle(edgesSql: String, nNodes: Int,
+                             maxD: Int): String =
+    s"""WITH RECURSIVE base AS ($edgesSql),
+       |nodes AS (SELECT CAST(i AS BIGINT) AS id FROM range($nNodes) t(i)),
+       |bfs(s, node, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN base e ON e.src = bfs.node
+       |  WHERE bfs.d < $maxD),
+       |md AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY s, node)
+       |SELECT s AS node,
+       |  CAST(COALESCE(SUM(CASE WHEN d > 0 THEN ${Algorithms.HarmonicFp} // d END), 0) AS BIGINT) AS harmonic_fp
        |FROM md GROUP BY s""".stripMargin
 
   // --- G22: stress centrality (batched multi-source Brandes) ----------------
@@ -1251,6 +1283,7 @@ object GraphOps {
     "g_hits" -> wikivoteHits,
     "g_closeness" -> gridCloseness,
     "g_stress" -> gridStress,
+    "g_harmonic" -> gridHarmonic,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1326,6 +1359,8 @@ object GraphOps {
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_stress" -> stressOracle(gridEdgesSql(StressGridN),
       StressGridN * StressGridN, 2 * (StressGridN - 1)),
+    "g_harmonic" -> harmonicOracle(gridEdgesSql(ClosenessGridN),
+      ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

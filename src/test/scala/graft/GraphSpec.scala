@@ -741,6 +741,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local(1L) > 0L)
   }
 
+  test("harmonic: fixed-point closed form on the path graph, twin ≡ distributed") {
+    // pathG (1→2→3→4, 1→5): h(1) = fp + fp/2 + fp/3 + fp = 2,833,333
+    // under integer division; unreachable contributes 0
+    val exp = Map(1L -> 2833333L, 2L -> 1500000L, 3L -> 1000000L,
+      4L -> 0L, 5L -> 0L)
+    def run(dist: Boolean): Map[Long, Long] = {
+      val df = if (dist) withLocalExecOff(
+          Algorithms.harmonic(pathG.nodes, pathG.edges, 16))
+        else Algorithms.harmonic(pathG.nodes, pathG.edges, 16)
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(run(dist = false) === exp)
+    assert(run(dist = true) === exp)
+  }
+
   test("edge list roundtrip preserves the edge set") {
     val g = graph(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
     // per-JVM scratch namespace: a concurrent test/bench JVM must not
