@@ -124,15 +124,16 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     //  - g_connected_components@dist / g_kcore@dist ride the SF-scaled
     //    componentSample graph → the gated ≤1.15 at-most-linear bar is
     //    meaningful for them.
-    //  - khop/sssp/wsssp (fixed 20/16 grids) and pagerank/scc (the
-    //    25-node nation graph) run a CONSTANT workload at every SF, so
-    //    an exponent bar is vacuous there — a quadratic regression
-    //    changes a constant into a bigger constant. For those the guard
-    //    is flatness (|exponent| ≤ 0.5: the workload must STAY
-    //    SF-independent) plus an absolute ceiling (≤ 30 s: catches a
-    //    catastrophic constant-factor regression — the committed rows
-    //    read 0.5-5.7 s — while staying host-drift-proof). Cross-round
-    //    absolute drift is the committed CSV diff's job.
+    //  - khop/sssp/wsssp (fixed 20/16 grids) and pagerank/scc/stress/
+    //    harmonic/betweenness (fixed grids) run a CONSTANT workload at
+    //    every SF, so an exponent bar is vacuous there — a quadratic
+    //    regression changes a constant into a bigger constant. For
+    //    those the guard is flatness (|exponent| ≤ 0.5: the workload
+    //    must STAY SF-independent) plus a PER-QUERY absolute ceiling
+    //    (3× the row's calibration measurement, below): catches a
+    //    catastrophic constant-factor regression while staying
+    //    host-drift-proof. Cross-round absolute drift is the committed
+    //    CSV diff's job.
     // Gated on the artifact carrying @dist rows (assume, not assert: a
     // pre-r11 CSV simply hasn't measured them).
     val csvPath = java.nio.file.Paths.get("BENCH_SWEEP.csv")
@@ -141,6 +142,23 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     val distQs = rows.map(_.query).distinct.filter(_.endsWith("@dist"))
     assume(distQs.nonEmpty, "sweep CSV predates the @dist overlays")
     val sfScaled = Set("g_connected_components@dist", "g_kcore@dist")
+    // Calibration wall (sf0.001 column of the committed CSV at the time
+    // each row's ceiling was set) — ceiling = 3× this, matching the
+    // documented 1.3-5× host band. A single family-wide ceiling does
+    // not survive workload diversity: the pre-r15 rows read 0.5-5.7 s,
+    // so the old shared 30 s bar looked generous — until the Brandes
+    // stress twin (honest fixed workload 19-30 s: two passes × ~38
+    // superstep job floors) joined the family and a 30.08 s committed
+    // row failed the suite with zero regression anywhere (r15 verdict
+    // item 1). Every fixed-workload @dist row MUST have an entry here;
+    // a new twin without one fails loudly below instead of inheriting
+    // a ceiling calibrated for someone else's workload.
+    val calibration = Map(
+      "g_khop_grid@dist" -> 0.60, "g_sssp_grid@dist" -> 1.48,
+      "g_wsssp_grid@dist" -> 1.39, "g_pagerank@dist" -> 0.74,
+      "g_scc@dist" -> 11.47, "g_stress@dist" -> 19.27,
+      "g_harmonic@dist" -> 12.38, "g_betweenness@dist" -> 26.33,
+      "g_eccentricity@dist" -> 12.10)
     for (q <- distQs) {
       val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
       assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
@@ -151,8 +169,12 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       else {
         assert(math.abs(e) <= 0.5,
           f"$q runs a fixed workload but its wall time tracks SF (exponent $e%.2f)")
+        val ceil = calibration.getOrElse(q,
+          fail(s"$q has no calibration entry — new fixed-workload @dist " +
+            "rows must record their first committed sf0.001 wall here")) * 3
         pts.foreach { case (sf, t) =>
-          assert(t <= 30, f"$q at sf$sf%.3f took $t%.1f s — fixed-workload ceiling blown")
+          assert(t <= ceil,
+            f"$q at sf$sf%.3f took $t%.1f s — fixed-workload ceiling ($ceil%.1f s) blown")
         }
       }
     }
