@@ -367,7 +367,10 @@ object Algorithms {
     * out twice per outer round and never exchanged inside the fixpoints),
     * one partial-agg'd min per forward step, one distinct + same-color
     * semi-filter per backward step. Plan-statistics-bounded graphs take
-    * the driver-local Tarjan twin. Output: (node, comp), comp = the
+    * the driver-local Tarjan twin. The node frame defines the graph:
+    * edges naming ids absent from `nodes` are dropped up front (a ghost
+    * endpoint must neither appear in the output nor label a real SCC —
+    * the hits contract, r15 ADVICE). Output: (node, comp), comp = the
     * SCC's minimum member — identical labels to GraphX coloring and
     * Tarjan. */
   def scc(nodes: DataFrame, edges: DataFrame, maxOuter: Int = 64,
@@ -383,8 +386,17 @@ object Algorithms {
        else df.repartition(col(key)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     var act = nodes.select(col("id").as("node")).localCheckpoint()
+    // restrict the edge set to the node list up front (same shape as the
+    // per-round shrink below): an edge naming an id absent from `nodes`
+    // would otherwise inject a ghost node into the first trim's `live`
+    // set — the loop would emit (ghost, comp) rows and a ghost id could
+    // even become a real node's SCC label, diverging from the Tarjan
+    // twin, which drops unknown-node edges (r15 ADVICE)
     var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint()
+      .filter(col("src") =!= col("dst"))
+      .join(act.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(act.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .localCheckpoint()
     val labs = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var outer = 0
     while (act.head(1).nonEmpty) {
@@ -405,9 +417,13 @@ object Algorithms {
         if (dead.head(1).isEmpty) trimming = false
         else {
           labs += dead.select(col("node"), col("node").as("comp"))
-          act = live
-          e = e.join(live.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-            .join(live.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          // live ⊆ act holds by the initial edge restriction + per-round
+          // shrink; intersect anyway so the active set can NEVER grow
+          // from edge endpoints even if a caller hands a pre-built edge
+          // frame that bypasses the guard above
+          act = act.join(live, Seq("node"), "left_semi").localCheckpoint()
+          e = e.join(act.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(act.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
             .select(col("src"), col("dst")).localCheckpoint()
         }
       }

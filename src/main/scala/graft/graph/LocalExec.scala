@@ -725,8 +725,12 @@ object LocalExec {
     * long path graphs), each SCC labeled with its MINIMUM member id —
     * the same canonical labeling GraphX's StronglyConnectedComponents
     * converges to, so the two are directly parity-comparable. Universe =
-    * nodes ∪ edge endpoints; isolated nodes are singleton SCCs. Schema:
-    * (node: long, comp: long). */
+    * `nodes`; edges naming ids absent from the node list are DROPPED —
+    * a ghost endpoint must neither appear in the output nor (as a
+    * smaller id closing a cycle) label a real node's SCC, the same
+    * node-frame-defines-the-graph contract hits hardened to (r15
+    * ADVICE). Isolated nodes are singleton SCCs. Schema: (node: long,
+    * comp: long). */
   def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame,
                                   maxRows: Int): Option[DataFrame] = {
     val spark = edges.sparkSession
@@ -734,16 +738,18 @@ object LocalExec {
       eRows <- collectBounded(preparedEdges(edges), maxRows)
       nRows <- collectBounded(preparedIds(nodes), maxRows)
     } yield {
-      val src = new Array[Long](eRows.length)
-      val dst = new Array[Long](eRows.length)
+      val known = mutable.HashSet.empty[Long]
+      nRows.foreach(r => known += r.getLong(0))
+      val kept = eRows.filter(r => known(r.getLong(0)) && known(r.getLong(1)))
+      val src = new Array[Long](kept.length)
+      val dst = new Array[Long](kept.length)
       var i = 0
-      while (i < eRows.length) {
-        src(i) = eRows(i).getLong(0); dst(i) = eRows(i).getLong(1); i += 1
+      while (i < kept.length) {
+        src(i) = kept(i).getLong(0); dst(i) = kept(i).getLong(1); i += 1
       }
       val adj = adjacency(src, dst)
       val universe = mutable.LinkedHashSet.empty[Long]
       nRows.foreach(r => universe += r.getLong(0))
-      src.foreach(universe += _); dst.foreach(universe += _)
 
       val index = mutable.LongMap.empty[Long]   // discovery order
       val lowlink = mutable.LongMap.empty[Long]

@@ -154,10 +154,15 @@ object GraphOps {
     def key(i: Long): Long = 1L + (i * 37L) % 100L
     LocalExec.warmRows(t) match {
       case Some(rows) =>
+        // id → Row built ONCE per call, probes answered as O(1) map gets:
+        // a per-probe scan of the collected rows would make the committed
+        // amortization curve partially measure repeated table scans
+        // (O(n·|table|)) rather than point-lookup cost — the reference's
+        // iterated get_single_node is a keyed index read (r15 ADVICE)
+        val byId = new java.util.HashMap[Long, Row](rows.length * 2)
+        rows.foreach(r => if (!r.isNullAt(0)) byId.putIfAbsent(r.getLong(0), r))
         val hits = (1L to n.toLong).flatMap { i =>
-          val k = key(i)
-          rows.iterator.filter(r => !r.isNullAt(0) && r.getLong(0) == k)
-            .take(1).map(r => Row(r.get(0), r.get(1), i)).toSeq
+          Option(byId.get(key(i))).map(r => Row(r.get(0), r.get(1), i))
         }
         LocalExec.localDF(spark, StructType(t.schema.fields.toSeq :+
           StructField("probe", LongType, nullable = false)), hits)

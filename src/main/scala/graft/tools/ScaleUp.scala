@@ -15,16 +15,23 @@ import org.apache.spark.sql.functions._
   * per block) with two deterministic perturbations that keep the scaled
   * corpus honest for the dedup/ANN families:
   *
-  *  - **documents**: replica text gets a salt token spliced after every
-  *    4th word, derived from (blk, position) ONLY — so within-block
-  *    duplicate/near-dup structure is preserved exactly (identical texts
-  *    stay identical, planted near-dup pairs keep their overlap: same
-  *    salts at same positions), while CROSS-block copies of the same doc
-  *    share no 3+-gram shingle (every shingle window contains a
-  *    block-specific salt) and never become near-dup pairs. Outputs of
-  *    the dedup family therefore scale ~linearly in k instead of
-  *    quadratically in replica pairs. n_chars is recomputed to keep the
-  *    `n_chars = length(text)` corpus invariant.
+  *  - **documents**: replica text gets a salt token spliced after EVERY
+  *    word, derived from (blk, preceding word) ONLY. Position period 1
+  *    ≤ ShingleLen means every 3-gram shingle window contains at least
+  *    one salt, so CROSS-block copies of the same doc share no shingle
+  *    and never become near-dup pairs — outputs of the dedup family
+  *    scale ~linearly in k instead of quadratically in replica pairs
+  *    (the r15 salt sat after every 4TH word, leaving ~half of each
+  *    doc's windows salt-free and cross-block replicas at ~50%
+  *    containment — d_containment grew ~94× at factor 10). Deriving the
+  *    salt VALUE from the preceding word (not the absolute word index)
+  *    makes within-block structure offset-independent: identical texts
+  *    stay identical, and a word span shared by two replica docs salts
+  *    identically wherever it sits, so planted near-dup overlap is
+  *    preserved exactly (the r15 index-derived salts only aligned when
+  *    the shared span started at the same offset mod the period).
+  *    n_chars is recomputed to keep the `n_chars = length(text)` corpus
+  *    invariant.
   *  - **embeddings**: replica vectors get a ±0.1% per-coordinate
   *    deterministic jitter (hash of vec_id, blk, i), which preserves
   *    cluster/label geometry but breaks the exact-tie explosion ten
@@ -98,14 +105,15 @@ object ScaleUp {
       "event_id" -> off("event_id"),
       "user_id" -> off("user_id"))
 
-    // documents: block 0 verbatim; replicas salted by (blk, word index)
-    // only — see the scaladoc for why the salt must NOT depend on doc_id.
-    // Salt token: pure [a-z], so every tokenizer regex in the repo sees
-    // it as one ordinary (never-matching-a-lexicon) word.
+    // documents: block 0 verbatim; replicas salted by (blk, preceding
+    // word) only — see the scaladoc for why the salt must depend on
+    // neither doc_id nor the absolute word index. Salt token: pure
+    // [a-z], so every tokenizer regex in the repo sees it as one
+    // ordinary (never-matching-a-lexicon) word.
     val saltedText = expr(
-      """array_join(flatten(transform(split(text, ' '), (w, i) ->
-        |  CASE WHEN blk > 0 AND i % 4 = 3
-        |    THEN array(w, translate(lower(conv(CAST(pmod(xxhash64(blk, i), 60466176) AS STRING), 10, 36)),
+      """array_join(flatten(transform(split(text, ' '), w ->
+        |  CASE WHEN blk > 0
+        |    THEN array(w, translate(lower(conv(CAST(pmod(xxhash64(blk, w), 60466176) AS STRING), 10, 36)),
         |                            '0123456789', 'qwertyuiop'))
         |    ELSE array(w) END)), ' ')""".stripMargin)
     rep("documents", 8)(
@@ -117,8 +125,14 @@ object ScaleUp {
     rep("embeddings", 4)(
       "vec_id" -> off("vec_id"),
       "embedding" -> expr(
+        // blk stays inside the hash (cross-block decorrelation) but NOT
+        // as a multiplier: ±(0.1%·blk) would reach ±0.9% at factor 10
+        // and break the geometry-preservation claim at higher factors
+        // (r15 ADVICE) — every replica gets the documented ±0.1%
         """transform(embedding, (x, i) ->
-          |  CAST(x * (1.0D + blk * (CAST(pmod(xxhash64(vec_id, blk, i), 21) AS DOUBLE) - 10.0D) * 1e-4D) AS FLOAT))"""
+          |  CASE WHEN blk > 0
+          |    THEN CAST(x * (1.0D + (CAST(pmod(xxhash64(vec_id, blk, i), 21) AS DOUBLE) - 10.0D) * 1e-4D) AS FLOAT)
+          |    ELSE x END)"""
           .stripMargin))
   }
 }

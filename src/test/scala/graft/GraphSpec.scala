@@ -518,6 +518,29 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scc: edges naming unknown node ids are dropped on twin AND distributed paths") {
+    import spark.implicits._
+    // cycle 1→2→3→1 plus GHOST edges: 0↔1 (id 0 absent from the node
+    // list — unguarded, the coloring loop's first trim would inject 0
+    // into the active set via live = endpoints(e), emit a (0, comp)
+    // row, and 0 — the minimal id in the cycle it closes — would LABEL
+    // node 1's SCC) and 7→8 (both endpoints absent). The driver-local
+    // Tarjan twin drops unknown-node edges; the distributed loop must
+    // agree (r15 ADVICE).
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+      .selectExpr("id", "'n' AS label", "CAST(map() AS map<string,string>) AS props")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (0L, 1L), (1L, 0L), (7L, 8L))
+      .toDF("src", "dst")
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Algorithms.scc(nodes, edges)) === expected, "Tarjan twin")
+    withLocalExecOff {
+      assert(rows(Algorithms.scc(nodes, edges, numParts = 4)) === expected,
+        "distributed coloring loop must drop ghost-node edges")
+    }
+  }
+
   test("closeness: grid closed form; local twin ≡ distributed loop exactly") {
     // directed n×n grid (right/down): from (r, c), reach is the
     // down-right quadrant minus self, and Σ dist has the closed form
