@@ -182,9 +182,12 @@ object GraphScale {
       // checkable on EVERY node: only downward paths exist, so
       // stress(v) = ancestors(v) · descendants(v) = d · (2^(L−d) − 2).
       // (On small-world graphs σ grows past BIGINT within ~10 hops —
-      // exact stress there is run with sampled sources AND a bounded
-      // horizon; the tree keeps the soak's check exact at full width:
-      // 2^20−1 sources advance through the same two batched passes.)
+      // since r16 that is ENFORCED, not a caveat: both stress routes
+      // carry per-level overflow guards that fail loud (GraphSpec pins
+      // it on a planted layered digraph); exact stress there is run
+      // with sampled sources AND a bounded horizon. The tree keeps the
+      // soak's check exact at full width: 2^20−1 sources advance
+      // through the same two batched passes.)
       op("stress_tree_1m")({
         val l = 20
         val tn = (1L << l) - 1

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -633,7 +633,26 @@ object Algorithms {
     * that hits it computes k-bounded stress (paths of length ≤ maxRounds
     * only), the standard bounded-horizon approximation; the gated grid
     * instance exits on the empty frontier at its true diameter.
-    * Plan-statistics-bounded graphs take the driver-local twin. */
+    * Plan-statistics-bounded graphs take the driver-local twin.
+    *
+    * Overflow contract: on dense graphs σ grows ~multiplicatively per
+    * hop and outgrows BIGINT within ~10 hops — a silent wrap would
+    * publish WRONG counts with no error. Each loop therefore proves the
+    * NEXT round's sums cannot wrap before running them: a forward
+    * group-sum adds ≤ max-in-degree σ terms, a backward one ≤
+    * max-out-degree ψ terms. The proof is static-bound-first (σ at
+    * depth d ≤ maxInDeg^d, ψ bounded by the out-degree geometric sum) —
+    * FREE, zero jobs on low-degree topologies like the gated grid/tree —
+    * and only when the static bound stops proving safety does the loop
+    * pay one scalar max-agg per round (the HITS-renorm shape) to check,
+    * and re-tighten from, the measured maximum. The contribution column
+    * σ·(ψ−1) and its per-node sum over sources are computed in
+    * DECIMAL(38,0), which cannot wrap; one post-agg scalar check turns
+    * "true stress exceeds BIGINT" into a loud failure. The degree
+    * budgets are conservative (max σ × max degree may flag a graph
+    * whose actual sums stay in range); the twin's guard is exact
+    * (`Math.addExact`). Both fail LOUD with [[ArithmeticException]] —
+    * never a wrapped result. */
   def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
              sources: Option[DataFrame] = None,
              numParts: Int = 0): DataFrame = {
@@ -647,17 +666,50 @@ object Algorithms {
              else e0.repartition(col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcIds = sources.getOrElse(nodes).select(col("id"))
+    // overflow budgets (see the scaladoc's overflow contract): degree
+    // maxima are one-time scalar jobs on the laid-out edge relation.
+    // Each loop first tries the FREE static bound (σ at depth d ≤
+    // maxInDeg^d; ψ i levels above the deepest ≤ Σ maxOutDeg^j) and
+    // only schedules the per-level scalar max agg when the static bound
+    // can no longer prove the next sums safe — the gated grid/tree
+    // instances (degree ≤ 2) run ZERO guard jobs, a dense graph pays
+    // one scalar agg per round until it either proves safe or fails
+    // loud instead of wrapping.
+    def maxGroupCount(key: String): Long = {
+      val r = e.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val maxInDeg = maxGroupCount("v")
+    val maxOutDeg = maxGroupCount("u")
+    val LongMax = BigInt(Long.MaxValue)
+    def overflow(what: String): Nothing = throw new ArithmeticException(
+      s"stress: $what would overflow BIGINT — shortest-path counts on " +
+        "this graph exceed the 2^63 budget (σ grows ~multiplicatively " +
+        "per hop on dense graphs); sample sources, bound the horizon, " +
+        "or use an approximate centrality")
+    def maxLong(df: DataFrame, c: Column): Long = {
+      val r = df.agg(max(c)).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     // forward: levels(d) = (s, node, sigma) at exact BFS depth d
     val levels = scala.collection.mutable.ArrayBuffer(
       srcIds.select(col("id").as("s"), col("id").as("node"),
         lit(1L).as("sigma")).localCheckpoint())
     val CompactEvery = 8
     var visitedParts = List(levels(0).select(col("s"), col("node")))
+    var sigmaBound = BigInt(1) // static bound on max σ at levels.last
     var done = false
     while (!done) {
       if (visitedParts.length >= CompactEvery)
         visitedParts = List(visitedParts.reduce(_ unionByName _).localCheckpoint())
       val visited = visitedParts.reduce(_ union _)
+      if (maxInDeg > 1 && sigmaBound * maxInDeg > LongMax) {
+        val actual = maxLong(levels.last, col("sigma"))
+        if (actual > Long.MaxValue / maxInDeg)
+          overflow(s"a σ predecessor sum (max σ $actual × in-degree $maxInDeg)")
+        sigmaBound = BigInt(actual) // measured max re-tightens the bound
+      }
       val next = levels.last.join(e, col("node") === col("u"))
         .select(col("s"), col("v").as("node"), col("sigma"))
         .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
@@ -667,15 +719,31 @@ object Algorithms {
       else {
         levels += next
         visitedParts ::= next.select(col("s"), col("node"))
+        sigmaBound *= math.max(1L, maxInDeg)
       }
     }
-    // backward: ψ per level, deepest first; accumulate σ·(ψ−1) per level
+    // backward: ψ per level, deepest first; accumulate σ·(ψ−1) per level.
+    // The contribution column is computed in DECIMAL(38,0): the per-row
+    // product and the final per-node sum over sources then CANNOT wrap
+    // (38 digits of headroom), and the single post-agg scalar check below
+    // turns "the true stress exceeds BIGINT" into a loud failure instead
+    // of a wrapped column — no per-level product guard needed.
+    val decC = (col("sigma").cast("decimal(38,0)") *
+      (col("psi") - lit(1L)).cast("decimal(38,0)")).as("c")
     var psi = levels.last.select(col("s"), col("node"), lit(1L).as("psi"))
       .localCheckpoint()
     var contribs = List(
-      levels.last.join(psi, Seq("s", "node"))
-        .select(col("node"), (col("sigma") * (col("psi") - 1L)).as("c")))
+      levels.last.join(psi, Seq("s", "node")).select(col("node"), decC))
+    var psiBound = BigInt(1) // static bound on max ψ in the current frame
     for (d <- levels.length - 2 to 1 by -1) {
+      // ψ-sum guard, static-bound-first like the forward σ guard: the
+      // succSum below adds ≤ maxOutDeg ψ terms from the previous frame
+      if (maxOutDeg > 1 && psiBound * maxOutDeg + 1 > LongMax) {
+        val actual = maxLong(psi, col("psi"))
+        if (actual > (Long.MaxValue - 1L) / maxOutDeg)
+          overflow(s"a ψ successor sum (max ψ $actual × out-degree $maxOutDeg)")
+        psiBound = BigInt(actual)
+      }
       val succSum = levels(d).join(e, col("node") === col("u"))
         .select(col("s"), col("node"), col("v").as("w"))
         .join(psi.select(col("s"), col("node").as("w"), col("psi")),
@@ -687,13 +755,22 @@ object Algorithms {
           (lit(1L) + coalesce(col("sp"), lit(0L))).as("psi"),
           col("sigma"))
         .localCheckpoint()
-      contribs ::= psi.select(col("node"),
-        (col("sigma") * (col("psi") - 1L)).as("c"))
+      psiBound = psiBound * math.max(1L, maxOutDeg) + 1
+      contribs ::= psi.select(col("node"), decC)
       psi = psi.select(col("s"), col("node"), col("psi"))
     }
+    val summed = contribs.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("c")).as("stress_dec"))
+      .localCheckpoint()
+    val fin = summed.agg(max(col("stress_dec")),
+      sum(when(col("stress_dec").isNull, 1L).otherwise(0L))).head()
+    if ((!fin.isNullAt(0) && fin.getDecimal(0)
+          .compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0) ||
+        (!fin.isNullAt(1) && fin.getLong(1) > 0L))
+      overflow("the per-node stress sum over sources")
     val out = nodes.select(col("id").as("node"))
-      .join(contribs.reduce(_ unionByName _)
-          .groupBy(col("node")).agg(sum(col("c")).as("stress")),
+      .join(summed.select(col("node"),
+          col("stress_dec").cast("long").as("stress")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
       .localCheckpoint() // materialize before the edge layout unpersists

@@ -605,8 +605,27 @@ object LocalExec {
     * counts σ, backward continuation counts ψ in reverse BFS order,
     * stress(v) += σ(v)·(ψ(v) − 1) for v ≠ s. Multi-edges are deduped to
     * match the distributed operator's DISTINCT contract; `maxRounds`
-    * bounds the BFS horizon with the same k-bounded semantics. Schema:
-    * (node: long, stress: long). */
+    * bounds the BFS horizon with the same k-bounded semantics. Every
+    * accumulation runs through `Math.addExact`/`multiplyExact` — the
+    * EXACT form of the distributed loop's conservative per-level budget
+    * guard: on dense graphs σ outgrows BIGINT within ~10 hops, and the
+    * contract is a loud [[ArithmeticException]], never a silently
+    * wrapped count. Schema: (node: long, stress: long). */
+  /** Exact overflow-loud arithmetic for the Brandes twins — same
+    * [[ArithmeticException]] contract as the distributed loops' budget
+    * guards, with the intrinsic-backed exact ops (zero cost until the
+    * overflow actually happens). */
+  private def overflowLoud(e: ArithmeticException): Nothing =
+    throw new ArithmeticException(
+      "stress: shortest-path counts overflow BIGINT on this graph " +
+        "(σ grows ~multiplicatively per hop on dense graphs); sample " +
+        "sources, bound the horizon, or use an approximate centrality" +
+        s" [${e.getMessage}]")
+  private def addGuarded(a: Long, b: Long): Long =
+    try Math.addExact(a, b) catch { case e: ArithmeticException => overflowLoud(e) }
+  private def mulGuarded(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b) catch { case e: ArithmeticException => overflowLoud(e) }
+
   def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (src, dst) = collectEdges(edges)
@@ -650,7 +669,7 @@ object LocalExec {
               sigma(w) = 0L
               queue(tail) = w; tail += 1
             }
-            if (dist(w) == dist(u) + 1) sigma(w) += sigma(u)
+            if (dist(w) == dist(u) + 1) sigma(w) = addGuarded(sigma(w), sigma(u))
             j += 1
           }
         }
@@ -666,11 +685,12 @@ object LocalExec {
         var j = 0
         while (j < ns.length) {
           val w = ns(j)
-          if (dist(w) == dist(v) + 1) p += psi(w)
+          if (dist(w) == dist(v) + 1) p = addGuarded(p, psi(w))
           j += 1
         }
         psi(v) = p
-        if (v != s) stressAcc(v) += sigma(v) * (p - 1L)
+        if (v != s)
+          stressAcc(v) = addGuarded(stressAcc(v), mulGuarded(sigma(v), p - 1L))
         k -= 1
       }
       s += 1

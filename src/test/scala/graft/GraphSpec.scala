@@ -764,6 +764,41 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local(1L) > 0L)
   }
 
+  test("stress: σ overflow fails LOUD on twin AND distributed paths (never a wrapped count)") {
+    import org.apache.spark.sql.functions.col
+    import graft.graph.LocalExec
+    // layered complete digraph: 13 layers × 64 nodes, every node in
+    // layer l wired to every node in layer l+1. From a layer-0 source,
+    // σ at layer k is 64^(k-1), which crosses 2^63 inside layer 12's
+    // predecessor sums (64^11 = 2^66) — unguarded, the sums wrap
+    // silently and publish WRONG counts (the r15 GraphScale caveat,
+    // now enforced behavior on both routes).
+    val w = 64L
+    val layers = 13
+    val nodes = spark.range(w * layers).select(col("id"))
+    val lyr = spark.range(layers - 1).select(col("id").as("l"))
+    val heads = spark.range(w).select(col("id").as("ai"))
+    val tails = spark.range(w).select(col("id").as("bi"))
+    val edges = lyr.crossJoin(heads).crossJoin(tails)
+      .select((col("l") * w + col("ai")).as("src"),
+        ((col("l") + 1) * w + col("bi")).as("dst"))
+    // twin: exact Math.addExact guard trips at the actual wrap point
+    val twinErr = intercept[ArithmeticException] {
+      LocalExec.stress(nodes, edges, maxRounds = 64).collect()
+    }
+    assert(twinErr.getMessage.contains("stress"))
+    // distributed: the conservative per-level budget (max σ × max
+    // in-degree) trips BEFORE any sum can wrap; a single layer-0 source
+    // keeps the superstep fan spec-sized and routes distributed (the
+    // sources parameter bypasses the twin)
+    val distErr = intercept[ArithmeticException] {
+      Algorithms.stress(nodes, edges, maxRounds = 64,
+        sources = Some(spark.range(1).select(col("id"))), numParts = 4)
+        .collect()
+    }
+    assert(distErr.getMessage.contains("stress"))
+  }
+
   test("harmonic: fixed-point closed form on the path graph, twin ≡ distributed") {
     // pathG (1→2→3→4, 1→5): h(1) = fp + fp/2 + fp/3 + fp = 2,833,333
     // under integer division; unreachable contributes 0
