@@ -552,6 +552,35 @@ object Algorithms {
     }
   }
 
+  /** Forward eccentricity: ecc(s) = max_{v reached} d(s, v), the third
+    * trivial aggregation on the shared batched multi-source BFS (the
+    * level builder of [[closeness]]/[[harmonic]]), published with the
+    * reach count so the caller can distinguish "eccentric radius 0
+    * because isolated" from a real 0 and compute diameter/radius as
+    * driver-side maxima over CONNECTED sources. Unreachable nodes are
+    * excluded (the forward-reachability convention of the closeness
+    * family on this directed substrate); `maxRounds` caps the horizon
+    * with the same k-bounded semantics. Same sampled-`sources` cluster
+    * contract — diameter estimation at scale is sampled eccentricity
+    * maxima. Output: (node, ecc, reach). */
+  def eccentricity(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                   sources: Option[DataFrame] = None,
+                   numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "eccentricity needs at least one BFS round")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.eccentricity(nodes, edges, maxRounds)
+    multiSourceBfsAgg(nodes, edges, maxRounds, sources, numParts) { reached =>
+      reached.groupBy(col("s").as("node"))
+        .agg(max(col("d").cast("long")).as("ecc"),
+          count(lit(1)).as("reach"))
+    } { out =>
+      out.select(col("node"),
+        coalesce(col("ecc"), lit(0L)).as("ecc"),
+        coalesce(col("reach"), lit(0L)).as("reach"))
+    }
+  }
+
   /** The batched multi-source BFS shared by [[closeness]] and
     * [[harmonic]]: every source advances one hop per round in the SAME
     * joins on composite (s, node) keys (see [[closeness]]'s scaladoc for
@@ -653,13 +682,37 @@ object Algorithms {
     * whose actual sums stay in range); the twin's guard is exact
     * (`Math.addExact`). Both fail LOUD with [[ArithmeticException]] —
     * never a wrapped result. */
-  def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
-             sources: Option[DataFrame] = None,
-             numParts: Int = 0): DataFrame = {
-    require(maxRounds >= 1, "stress needs at least one BFS round")
-    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
-        LocalExec.smallEnoughGraph(nodes, edges))
-      return LocalExec.stress(nodes, edges, maxRounds)
+  /** Shared overflow-loud failure for the Brandes-family operators. */
+  private def brandesOverflow(op: String, what: String): Nothing =
+    throw new ArithmeticException(
+      s"$op: $what would overflow BIGINT — shortest-path counts on " +
+        "this graph exceed the 2^63 budget (σ grows ~multiplicatively " +
+        "per hop on dense graphs); sample sources, bound the horizon, " +
+        "or use an approximate centrality")
+
+  private def maxLongAgg(df: DataFrame, c: Column): Long = {
+    val r = df.agg(max(c)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Result of the forward σ pass shared by [[stress]] and
+    * [[betweenness]]: the persisted edge layout (caller unpersists), the
+    * source id frame, the per-depth (s, node, sigma) level frames, the
+    * per-level σ upper bounds the overflow guard maintained (static
+    * degree power, re-tightened to the measured max whenever a
+    * measurement was forced), and the degree maxima. */
+  private final case class BrandesForward(
+      e: DataFrame, srcIds: DataFrame, levels: IndexedSeq[DataFrame],
+      sigmaBounds: IndexedSeq[BigInt], maxInDeg: Long, maxOutDeg: Long)
+
+  /** Forward σ pass of the batched multi-source Brandes operators: per
+    * round, the frontier joins the edge layout and path counts sum over
+    * predecessors; levels materialize per depth. Carries the
+    * static-bound-first σ-overflow guard (see [[stress]]'s overflow
+    * contract). */
+  private def brandesForward(op: String, nodes: DataFrame, edges: DataFrame,
+                             maxRounds: Int, sources: Option[DataFrame],
+                             numParts: Int): BrandesForward = {
     // multi-edges would double-count σ: distinct is part of the contract
     val e0 = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
     val e = (if (numParts > 0) e0.repartition(numParts, col("u"))
@@ -668,13 +721,12 @@ object Algorithms {
     val srcIds = sources.getOrElse(nodes).select(col("id"))
     // overflow budgets (see the scaladoc's overflow contract): degree
     // maxima are one-time scalar jobs on the laid-out edge relation.
-    // Each loop first tries the FREE static bound (σ at depth d ≤
-    // maxInDeg^d; ψ i levels above the deepest ≤ Σ maxOutDeg^j) and
-    // only schedules the per-level scalar max agg when the static bound
-    // can no longer prove the next sums safe — the gated grid/tree
-    // instances (degree ≤ 2) run ZERO guard jobs, a dense graph pays
-    // one scalar agg per round until it either proves safe or fails
-    // loud instead of wrapping.
+    // The loop first tries the FREE static bound (σ at depth d ≤
+    // maxInDeg^d) and only schedules the per-level scalar max agg when
+    // the static bound can no longer prove the next sums safe — the
+    // gated grid/tree/ladder instances run ZERO guard jobs, a dense
+    // graph pays one scalar agg per round until it either proves safe
+    // or fails loud instead of wrapping.
     def maxGroupCount(key: String): Long = {
       val r = e.groupBy(col(key)).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head()
@@ -683,32 +735,25 @@ object Algorithms {
     val maxInDeg = maxGroupCount("v")
     val maxOutDeg = maxGroupCount("u")
     val LongMax = BigInt(Long.MaxValue)
-    def overflow(what: String): Nothing = throw new ArithmeticException(
-      s"stress: $what would overflow BIGINT — shortest-path counts on " +
-        "this graph exceed the 2^63 budget (σ grows ~multiplicatively " +
-        "per hop on dense graphs); sample sources, bound the horizon, " +
-        "or use an approximate centrality")
-    def maxLong(df: DataFrame, c: Column): Long = {
-      val r = df.agg(max(c)).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
     // forward: levels(d) = (s, node, sigma) at exact BFS depth d
     val levels = scala.collection.mutable.ArrayBuffer(
       srcIds.select(col("id").as("s"), col("id").as("node"),
         lit(1L).as("sigma")).localCheckpoint())
+    val sigmaBounds = scala.collection.mutable.ArrayBuffer(BigInt(1))
     val CompactEvery = 8
     var visitedParts = List(levels(0).select(col("s"), col("node")))
-    var sigmaBound = BigInt(1) // static bound on max σ at levels.last
     var done = false
     while (!done) {
       if (visitedParts.length >= CompactEvery)
         visitedParts = List(visitedParts.reduce(_ unionByName _).localCheckpoint())
       val visited = visitedParts.reduce(_ union _)
-      if (maxInDeg > 1 && sigmaBound * maxInDeg > LongMax) {
-        val actual = maxLong(levels.last, col("sigma"))
+      if (maxInDeg > 1 && sigmaBounds.last * maxInDeg > LongMax) {
+        val actual = maxLongAgg(levels.last, col("sigma"))
         if (actual > Long.MaxValue / maxInDeg)
-          overflow(s"a σ predecessor sum (max σ $actual × in-degree $maxInDeg)")
-        sigmaBound = BigInt(actual) // measured max re-tightens the bound
+          brandesOverflow(op,
+            s"a σ predecessor sum (max σ $actual × in-degree $maxInDeg)")
+        // measured max re-tightens the bound
+        sigmaBounds(sigmaBounds.length - 1) = BigInt(actual)
       }
       val next = levels.last.join(e, col("node") === col("u"))
         .select(col("s"), col("v").as("node"), col("sigma"))
@@ -719,9 +764,27 @@ object Algorithms {
       else {
         levels += next
         visitedParts ::= next.select(col("s"), col("node"))
-        sigmaBound *= math.max(1L, maxInDeg)
+        sigmaBounds += sigmaBounds.last * math.max(1L, maxInDeg)
       }
     }
+    BrandesForward(e, srcIds, levels.toIndexedSeq, sigmaBounds.toIndexedSeq,
+      maxInDeg, maxOutDeg)
+  }
+
+  def stress(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+             sources: Option[DataFrame] = None,
+             numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "stress needs at least one BFS round")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.stress(nodes, edges, maxRounds)
+    val fw = brandesForward("stress", nodes, edges, maxRounds, sources, numParts)
+    val e = fw.e
+    val levels = fw.levels
+    val maxOutDeg = fw.maxOutDeg
+    val LongMax = BigInt(Long.MaxValue)
+    def overflow(what: String): Nothing = brandesOverflow("stress", what)
+    def maxLong(df: DataFrame, c: Column): Long = maxLongAgg(df, c)
     // backward: ψ per level, deepest first; accumulate σ·(ψ−1) per level.
     // The contribution column is computed in DECIMAL(38,0): the per-row
     // product and the final per-node sum over sources then CANNOT wrap
@@ -773,6 +836,129 @@ object Algorithms {
           col("stress_dec").cast("long").as("stress")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
+      .localCheckpoint() // materialize before the edge layout unpersists
+    e.unpersist()
+    out
+  }
+
+  /** Fixed-point scale for [[betweenness]] — published scores are
+    * `bc_fp = Fp × bc(v)` under the per-term truncating-division
+    * protocol below. A POWER OF TWO (2²⁴) by design: on instances whose
+    * path counts are all dyadic (every σ a power of two, e.g. the
+    * pinned diamond-ladder gate where σ ≤ 2⁹), every protocol division
+    * is exact and the published value is EXACTLY Fp × the rational
+    * betweenness — the same "pick the convention that makes the gate
+    * exact" move as stress publishing raw counts and harmonic
+    * publishing `HarmonicFp DIV d`. */
+  val BetweennessFp = 1L << 24
+
+  /** Betweenness centrality (Brandes): bc(v) = Σ_{s≠v≠t} σ_st(v)/σ_st —
+    * the canonical path centrality; stress without the 1/σ_st
+    * normalization removed, which is what forces a division protocol.
+    *
+    * Algorithm: the [[brandesForward]] σ pass shared with [[stress]],
+    * then the δ-accumulation backward pass in BIGINT fixed point —
+    * per level, deepest first:
+    *
+    *   δ_fp(v) = Σ_{w ∈ succ_DAG(v)} (σ_sv · (Fp + δ_fp(w))) DIV σ_sw
+    *
+    * (Brandes' δ(v) = Σ_w (σ_sv/σ_sw)(1 + δ(w)) scaled by Fp, with ONE
+    * truncating integer division per DAG edge term.) Published:
+    * bc_fp(v) = Σ_s δ_fp(v), BIGINT end to end. Why fixed point instead
+    * of doubles: the per-term integer convention is deterministic under
+    * ANY summation order (partial aggregation reorders freely; float δ
+    * would carry nondeterministic low bits through the recursion), it
+    * is hash-exact cross-engine, and on dyadic-σ instances it is EXACT
+    * (every division divides; see [[BetweennessFp]]). On general graphs
+    * each term truncates < 1 fp unit, so the absolute error of bc_fp/Fp
+    * is < (accumulated DAG-edge terms)/Fp — with Fp = 2²⁴, negligible
+    * against the score scale; the convention (round-toward-zero per
+    * term) is pinned, so twin ≡ distributed stays exact equality.
+    *
+    * Scale shape: identical to [[stress]] — one persisted edge layout
+    * serves both passes, no edge rows exchanged in any loop, sampled
+    * `sources` narrow the composite frontier without changing the plan
+    * (the standard cluster form: Brandes-subset betweenness). Overflow:
+    * the forward guard is [[brandesForward]]'s; the backward pass
+    * measures max δ_fp per level (one scalar agg, the HITS-renorm
+    * shape) and proves each round's σ·(Fp+δ) dividends and their
+    * ≤ max-out-degree sums fit BIGINT before computing them, failing
+    * loud; the final per-node sum over sources runs in DECIMAL(38,0)
+    * with one post-agg check, like stress. Plan-statistics-bounded
+    * graphs take the driver-local twin. Output: (node, bc_fp). */
+  def betweenness(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                  sources: Option[DataFrame] = None,
+                  numParts: Int = 0, fp: Long = BetweennessFp): DataFrame = {
+    require(maxRounds >= 1, "betweenness needs at least one BFS round")
+    require(fp >= 1L, "betweenness needs a positive fixed-point scale")
+    if (sources.isEmpty && LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.betweenness(nodes, edges, maxRounds, fp)
+    val fw = brandesForward("betweenness", nodes, edges, maxRounds,
+      sources, numParts)
+    val e = fw.e
+    val levels = fw.levels
+    val LongMax = BigInt(Long.MaxValue)
+    val outFan = math.max(1L, fw.maxOutDeg)
+    def overflow(what: String): Nothing = brandesOverflow("betweenness", what)
+    val zeros = nodes.select(col("id").as("node"), lit(0L).as("bc_fp"))
+    if (levels.length < 3) { // paths of length ≤ 1 have no interior node
+      e.unpersist()
+      return zeros.localCheckpoint()
+    }
+    // backward: δ_fp per level, deepest first. Frame: (s, node, sig_w,
+    // delta) — sig_w is the level's own σ, consumed as the DIVISOR when
+    // the level above joins it as its successor set.
+    var delta = levels.last.select(col("s"), col("node"),
+      col("sigma").as("sig_w"), lit(0L).as("delta")).localCheckpoint()
+    var deltaMax = 0L // measured max δ_fp in the current (successor) frame
+    // deepest level always has δ = 0: no contribution frame for it
+    var contribs = List.empty[DataFrame]
+    for (d <- levels.length - 2 to 1 by -1) {
+      // term guard: every dividend is ≤ maxσ(level d)·(Fp + maxδ), and a
+      // δ group-sum adds ≤ maxOutDeg such terms (each quotient ≤ its
+      // dividend) — static σ bound first, measured σ only if needed
+      val fpPlusDelta = BigInt(fp) + BigInt(deltaMax)
+      if (fw.sigmaBounds(d) * fpPlusDelta * outFan > LongMax) {
+        val actualSig = BigInt(maxLongAgg(levels(d), col("sigma")))
+        if (actualSig * fpPlusDelta * outFan > LongMax)
+          overflow(s"a δ term σ·(Fp+δ) (max σ $actualSig, max δ " +
+            s"$deltaMax, out-degree fan $outFan)")
+      }
+      val succ = levels(d).join(e, col("node") === col("u"))
+        .select(col("s"), col("node"), col("sigma").as("sig_v"),
+          col("v").as("w"))
+        .join(delta.select(col("s"), col("node").as("w"), col("sig_w"),
+            col("delta").as("dw")),
+          Seq("s", "w"))
+        .select(col("s"), col("node"),
+          expr(s"(sig_v * (${fp}L + dw)) DIV sig_w").as("t"))
+        .groupBy(col("s"), col("node")).agg(sum(col("t")).as("delta"))
+      delta = levels(d).select(col("s"), col("node"),
+          col("sigma").as("sig_w"))
+        .join(succ, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sig_w"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deltaMax = maxLongAgg(delta, col("delta"))
+      contribs ::= delta.select(col("node"),
+        col("delta").cast("decimal(38,0)").as("c"))
+    }
+    // per-node sum over sources in DECIMAL(38,0) (cannot wrap) + one
+    // post-agg scalar check, same shape as stress
+    val summed = contribs.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("c")).as("bc_dec"))
+      .localCheckpoint()
+    val fin = summed.agg(max(col("bc_dec")),
+      sum(when(col("bc_dec").isNull, 1L).otherwise(0L))).head()
+    if ((!fin.isNullAt(0) && fin.getDecimal(0)
+          .compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0) ||
+        (!fin.isNullAt(1) && fin.getLong(1) > 0L))
+      overflow("the per-node betweenness sum over sources")
+    val out = zeros.select(col("node"))
+      .join(summed.select(col("node"), col("bc_dec").cast("long").as("bc_fp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("bc_fp"), lit(0L)).as("bc_fp"))
       .localCheckpoint() // materialize before the edge layout unpersists
     e.unpersist()
     out

@@ -547,6 +547,61 @@ object LocalExec {
       StructField("dist_sum", LongType, nullable = false))), rows)
   }
 
+  /** Local twin of [[Algorithms.eccentricity]]: the closeness twin's
+    * per-source BFS publishing (max distance, reach) — integers on both
+    * formulations, so twin ≡ distributed ≡ oracle is exact equality.
+    * Schema: (node: long, ecc: long, reach: long). */
+  def eccentricity(nodes: DataFrame, edges: DataFrame,
+                   maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val adjH = Array.fill(ids.length)(List.empty[Int])
+    var i = 0
+    while (i < src.length) {
+      (idx.get(src(i)), idx.get(dst(i))) match {
+        case (Some(si), Some(di)) => adjH(si) = di :: adjH(si)
+        case _ => ()
+      }
+      i += 1
+    }
+    val adj = adjH.map(_.toArray)
+    val dist = new Array[Int](ids.length)
+    val queue = new Array[Int](ids.length)
+    val rows = ids.indices.map { s =>
+      java.util.Arrays.fill(dist, -1)
+      dist(s) = 0
+      queue(0) = s
+      var head = 0
+      var tail = 1
+      var ecc = 0L
+      var reach = 0L
+      while (head < tail) {
+        val u = queue(head); head += 1
+        if (dist(u) < maxRounds) {
+          val ns = adj(u)
+          var j = 0
+          while (j < ns.length) {
+            val w = ns(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(u) + 1
+              reach += 1L
+              if (dist(w) > ecc) ecc = dist(w).toLong
+              queue(tail) = w; tail += 1
+            }
+            j += 1
+          }
+        }
+      }
+      Row(ids(s), ecc, reach)
+    }
+    localDF(spark, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("ecc", LongType, nullable = false),
+      StructField("reach", LongType, nullable = false))), rows)
+  }
+
   /** Local twin of [[Algorithms.harmonic]]: the same per-source BFS as
     * [[closeness]], accumulating `HarmonicFp DIV d` per reached node —
     * the exact fixed-point convention of the distributed operator.
@@ -699,6 +754,91 @@ object LocalExec {
     localDF(spark, StructType(Seq(
       StructField("node", LongType, nullable = false),
       StructField("stress", LongType, nullable = false))), rows)
+  }
+
+  /** Local twin of [[Algorithms.betweenness]]: textbook single-source
+    * Brandes per source, with the δ recursion carried in the SAME
+    * BIGINT fixed-point convention as the distributed operator — per
+    * DAG-edge term `σ(v)·(fp + δ_fp(w)) / σ(w)` with truncating
+    * division, so twin ≡ distributed is exact EQUALITY on every graph
+    * (the convention, not just the limit, is pinned). Accumulations run
+    * through the exact-overflow helpers (loud [[ArithmeticException]],
+    * never a wrap). Schema: (node: long, bc_fp: long). */
+  def betweenness(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                  fp: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val (src, dst) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val dedup = new java.util.HashSet[Long]()
+    val adjH = Array.fill(n)(List.empty[Int])
+    var i = 0
+    while (i < src.length) {
+      (idx.get(src(i)), idx.get(dst(i))) match {
+        case (Some(si), Some(di)) if si != di =>
+          if (dedup.add(si.toLong * n + di)) adjH(si) = di :: adjH(si)
+        case _ => ()
+      }
+      i += 1
+    }
+    val adj = adjH.map(_.toArray)
+    val bcAcc = new Array[Long](n)
+    val dist = new Array[Int](n)
+    val sigma = new Array[Long](n)
+    val delta = new Array[Long](n)
+    val queue = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      java.util.Arrays.fill(dist, -1)
+      java.util.Arrays.fill(delta, 0L)
+      dist(s) = 0
+      sigma(s) = 1L
+      queue(0) = s
+      var head = 0
+      var tail = 1
+      while (head < tail) {
+        val u = queue(head); head += 1
+        if (dist(u) < maxRounds) {
+          val ns = adj(u)
+          var j = 0
+          while (j < ns.length) {
+            val w = ns(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(u) + 1
+              sigma(w) = 0L
+              queue(tail) = w; tail += 1
+            }
+            if (dist(w) == dist(u) + 1) sigma(w) = addGuarded(sigma(w), sigma(u))
+            j += 1
+          }
+        }
+      }
+      // reverse BFS order = reverse-topological on the BFS DAG: δ of
+      // every successor is final before it is read
+      var k = tail - 1
+      while (k >= 0) {
+        val v = queue(k)
+        var dsum = 0L
+        val ns = adj(v)
+        var j = 0
+        while (j < ns.length) {
+          val w = ns(j)
+          if (dist(w) == dist(v) + 1)
+            dsum = addGuarded(dsum,
+              mulGuarded(sigma(v), addGuarded(fp, delta(w))) / sigma(w))
+          j += 1
+        }
+        delta(v) = dsum
+        if (v != s) bcAcc(v) = addGuarded(bcAcc(v), dsum)
+        k -= 1
+      }
+      s += 1
+    }
+    val rows = ids.indices.map(v => Row(ids(v), bcAcc(v)))
+    localDF(spark, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("bc_fp", LongType, nullable = false))), rows)
   }
 
   /** Local twin of the connected-components operators (undirected min-id

@@ -97,6 +97,34 @@ object PropertyGraph {
     PropertyGraph(nodes, right.union(down).withColumn("label", lit("grid")))
   }
 
+  /** K-diamond ladder DAG — the betweenness gate's pinned instance.
+    * Junction c_0, then for each diamond i (width wᵢ): wᵢ parallel
+    * interior nodes wired c_{i-1} → each interior → c_i. Ids are
+    * sequential along the ladder (junction i sits at i + Σ_{j≤i} wⱼ).
+    * Every s→t path count is a product of the widths of the full
+    * diamonds between s and t, so with widths restricted to POWERS OF
+    * TWO every σ is dyadic — the property that makes the fixed-point
+    * betweenness protocol EXACT on this instance (see
+    * [[graft.graph.Algorithms.betweenness]]). Generated via
+    * `spark.range` per diamond, never materialized on the driver. */
+  def diamondLadder(spark: SparkSession, widths: Seq[Int]): PropertyGraph =
+    memoized(spark, s"ladder-${widths.mkString("_")}") {
+    require(widths.nonEmpty && widths.forall(w => w >= 1 && (w & (w - 1)) == 0),
+      "ladder widths must be powers of two (dyadic σ is the instance's point)")
+    val offsets = widths.scanLeft(0L)((acc, w) => acc + w + 1) // junction ids
+    val n = offsets.last + 1
+    val nodes = spark.range(n).select(col("id"), lit("rung").as("label"),
+      expr("CAST(map() AS map<string,string>)").as("props"))
+    val edges = widths.zipWithIndex.map { case (w, i) =>
+      val in = spark.range(w).select(lit(offsets(i)).as("src"),
+        (col("id") + offsets(i) + 1).as("dst"))
+      val out = spark.range(w).select((col("id") + offsets(i) + 1).as("src"),
+        lit(offsets(i + 1)).as("dst"))
+      in.union(out)
+    }.reduce(_ union _).withColumn("label", lit("ladder"))
+    PropertyGraph(nodes, edges)
+  }
+
   /** Nation adjacency: nations sharing a region form a clique (dense small
     * graph for triangle counting / PageRank, mirroring the reference's
     * fully-traversable toy graphs). Directed both ways. */

@@ -257,7 +257,9 @@ object GraphOps {
       "g_wsssp_grid" -> wssspGrid,
       "g_connected_components" -> connectedComponents,
       "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc,
-      "g_stress" -> gridStress, "g_harmonic" -> gridHarmonic)
+      "g_stress" -> gridStress, "g_harmonic" -> gridHarmonic,
+      "g_betweenness" -> ladderBetweenness,
+      "g_eccentricity" -> gridEccentricity)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
@@ -765,6 +767,36 @@ object GraphOps {
        |  CAST(COALESCE(SUM(CASE WHEN d > 0 THEN ${Algorithms.HarmonicFp} // d END), 0) AS BIGINT) AS harmonic_fp
        |FROM md GROUP BY s""".stripMargin
 
+  // --- G25: eccentricity / diameter substrate --------------------------------
+
+  /** G25: forward eccentricity over the same 20×20 directed grid as the
+    * closeness family — per node, the max distance to any reachable
+    * node plus the reach count (so diameter = max ecc and radius =
+    * min ecc over reach-complete sources are driver-side formulas).
+    * The third trivial aggregation on the ONE batched multi-source BFS
+    * all three of G21/G23/G25 share — same plan, same sampled-source
+    * cluster contract, integers end to end. */
+  def gridEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.grid(spark, ClosenessGridN)
+    Algorithms.eccentricity(g.nodes, g.edges, ClosenessRounds)
+  }
+
+  /** DuckDB mirror of [[gridEccentricity]] — the [[closenessOracle]] BFS
+    * CTE with MAX(d) + reach aggregation. */
+  private def eccentricityOracle(edgesSql: String, nNodes: Int,
+                                 maxD: Int): String =
+    s"""WITH RECURSIVE base AS ($edgesSql),
+       |nodes AS (SELECT CAST(i AS BIGINT) AS id FROM range($nNodes) t(i)),
+       |bfs(s, node, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN base e ON e.src = bfs.node
+       |  WHERE bfs.d < $maxD),
+       |md AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY s, node)
+       |SELECT s AS node, CAST(MAX(d) AS BIGINT) AS ecc,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS reach
+       |FROM md GROUP BY s""".stripMargin
+
   // --- G22: stress centrality (batched multi-source Brandes) ----------------
 
   /** Same instance as [[gridCloseness]] — the 20×20 directed grid — so
@@ -818,6 +850,84 @@ object GraphOps {
        |  CAST(COALESCE(i.cin, 0) * COALESCE(o.cout, 0) AS BIGINT) AS stress
        |FROM nodes n LEFT JOIN ins i ON i.node = n.id
        |LEFT JOIN outs o ON o.node = n.id""".stripMargin
+  }
+
+  // --- G24: betweenness centrality (fixed-point batched Brandes) ------------
+
+  /** Widths of the pinned diamond-ladder instance (see
+    * [[graft.graph.PropertyGraph.diamondLadder]]): alternating 2/4, so
+    * every path count σ is a power of two ≤ 2⁹ — each divides
+    * [[graft.graph.Algorithms.BetweennessFp]] (2²⁴), making every
+    * protocol division exact: the published bc_fp IS Fp × the rational
+    * betweenness, hash-comparable with no float tolerance. The 20×20
+    * grid (stress's instance) can NOT serve here: its σ ratios are
+    * binomial (thirds, sevenths…), so any finite fixed point truncates
+    * and the ORDER of truncation becomes engine-specific. */
+  val LadderWidths: Seq[Int] = Seq(2, 4, 2, 4, 2, 4)
+  val LadderRounds = 16 // ladder diameter is 2·6 = 12; margin + early exit
+
+  /** G24: betweenness centrality over the diamond-ladder DAG — for every
+    * node, Σ_{s≠v≠t} σ_st(v)/σ_st published as the exact fixed-point
+    * BIGINT bc_fp = 2²⁴·bc. All sources advance as ONE batched
+    * multi-source Brandes (the σ forward pass shared with G22 stress;
+    * the δ backward pass carries the division). See
+    * [[graft.graph.Algorithms.betweenness]] for the per-term truncating
+    * protocol and the sampled-sources cluster contract (Brandes-subset
+    * betweenness: same plan, narrower composite frontier). */
+  def ladderBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.diamondLadder(spark, LadderWidths)
+    Algorithms.betweenness(g.nodes, g.edges, LadderRounds)
+  }
+
+  /** Ladder edge list as inline SQL VALUES — the topology shared with
+    * the Spark-side generator (same id convention: junction i at
+    * i + Σ_{j≤i} wⱼ); tiny (2·Σw rows), so VALUES beats a range
+    * construction for oracle readability. */
+  private def ladderEdgesSql(widths: Seq[Int]): String = {
+    val offsets = widths.scanLeft(0L)((acc, w) => acc + w + 1)
+    val rows = widths.zipWithIndex.flatMap { case (w, i) =>
+      (1 to w).flatMap { k =>
+        Seq(s"(${offsets(i)}, ${offsets(i) + k})",
+          s"(${offsets(i) + k}, ${offsets(i + 1)})")
+      }
+    }
+    s"""SELECT CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst
+       |FROM (VALUES ${rows.mkString(", ")}) t(s, d)""".stripMargin
+  }
+
+  private def ladderNodeCount(widths: Seq[Int]): Int =
+    widths.sum + widths.length + 1
+
+  /** DuckDB mirror of [[ladderBetweenness]], by a DIFFERENT formulation —
+    * the σ-factoring family of the stress oracle: on the ladder every
+    * directed path is a shortest path (all s→t paths have equal
+    * length), so bc_fp(v) = Σ_{s,t} (Fp·σ_sv·σ_vt) // σ_st as a TRIPLE
+    * JOIN over the all-pairs path-count table, built by the same
+    * unrolled k-step chain as the stress oracle. The `//` is exact here
+    * (every σ_st is a power of two dividing Fp), so agreement with
+    * Spark's recursive δ-accumulation — a completely different
+    * evaluation order — is exactly what the gate certifies. */
+  private def betweennessOracle(edgesSql: String, nNodes: Int,
+                                steps: Int, fp: Long): String = {
+    val chain = (2 to steps).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT p.s, e.dst AS v, CAST(SUM(p.c) AS BIGINT) AS c
+         |  FROM p${k - 1} p JOIN e ON e.src = p.v GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to steps).map(k => s"SELECT * FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT CAST(i AS BIGINT) AS id FROM range($nNodes) t(i)),
+       |p1 AS MATERIALIZED (SELECT src AS s, dst AS v, CAST(1 AS BIGINT) AS c FROM e),
+       |$chain,
+       |sigma AS ($unionAll),
+       |bc AS (SELECT sv.v AS node,
+       |    CAST(SUM(($fp * sv.c * vt.c) // st.c) AS BIGINT) AS bc_fp
+       |  FROM sigma sv
+       |  JOIN sigma vt ON vt.s = sv.v
+       |  JOIN sigma st ON st.s = sv.s AND st.v = vt.v
+       |  GROUP BY 1)
+       |SELECT n.id AS node, CAST(COALESCE(b.bc_fp, 0) AS BIGINT) AS bc_fp
+       |FROM nodes n LEFT JOIN bc b ON b.node = n.id""".stripMargin
   }
 
   // --- G16: common-neighbor link scoring ------------------------------------
@@ -1289,6 +1399,8 @@ object GraphOps {
     "g_closeness" -> gridCloseness,
     "g_stress" -> gridStress,
     "g_harmonic" -> gridHarmonic,
+    "g_betweenness" -> ladderBetweenness,
+    "g_eccentricity" -> gridEccentricity,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1365,6 +1477,11 @@ object GraphOps {
     "g_stress" -> stressOracle(gridEdgesSql(StressGridN),
       StressGridN * StressGridN, 2 * (StressGridN - 1)),
     "g_harmonic" -> harmonicOracle(gridEdgesSql(ClosenessGridN),
+      ClosenessGridN * ClosenessGridN, ClosenessRounds),
+    "g_betweenness" -> betweennessOracle(ladderEdgesSql(LadderWidths),
+      ladderNodeCount(LadderWidths), 2 * LadderWidths.length,
+      Algorithms.BetweennessFp),
+    "g_eccentricity" -> eccentricityOracle(gridEdgesSql(ClosenessGridN),
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,

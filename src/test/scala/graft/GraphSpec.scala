@@ -575,6 +575,38 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.forall { case (_, reach, dsum) => reach == dsum && reach <= 2 })
   }
 
+  test("eccentricity: grid closed form; local twin ≡ distributed loop exactly") {
+    // directed n×n grid: from (r, c) the farthest reachable node is the
+    // bottom-right corner, so ecc = (n−1−r) + (n−1−c); reach is the
+    // down-right quadrant minus self (the closeness closed form)
+    val n = 6
+    val g = PropertyGraph.grid(spark, n)
+    val expected = (for (r <- 0 until n; c <- 0 until n) yield {
+      val right = (n - 1 - c).toLong
+      val down = (n - 1 - r).toLong
+      ((r * n + c).toLong, right + down, (right + 1) * (down + 1) - 1)
+    }).toSet
+    def run(dist: Boolean): Set[(Long, Long, Long)] = {
+      val df = if (dist) withLocalExecOff(
+          Algorithms.eccentricity(g.nodes, g.edges, 2 * n, numParts = 4))
+        else Algorithms.eccentricity(g.nodes, g.edges, 2 * n)
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    assert(run(dist = false) === expected)
+    assert(run(dist = true) === expected)
+    // diameter as the driver-side max — 2(n−1) on the grid
+    assert(expected.map(_._2).max === 2L * (n - 1))
+    // round cap truncates identically on both routes
+    val capped = Algorithms.eccentricity(g.nodes, g.edges, maxRounds = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val cappedDist = withLocalExecOff {
+      Algorithms.eccentricity(g.nodes, g.edges, maxRounds = 1, numParts = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    assert(capped === cappedDist)
+    assert(capped.forall { case (_, ecc, reach) => ecc <= 1 && reach <= 2 })
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
@@ -797,6 +829,88 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
     }
     assert(distErr.getMessage.contains("stress"))
+  }
+
+  test("betweenness: ladder closed form — fixed-point protocol is EXACT, twin ≡ distributed") {
+    // diamond ladder, widths 2/4 alternating: every σ is a power of two
+    // dividing Fp = 2^24, so every protocol division is exact and the
+    // published bc_fp must equal Fp × the rational betweenness, which
+    // has the closed form below (σ-factoring: all paths between a pair
+    // cross every junction between them): for junction id j (ids are
+    // stage-ordered), bc = (#ids < j)·(#ids > j); for an interior of
+    // diamond i, bc = before·after/wᵢ with before = offsets(i)+1 and
+    // after = n − offsets(i+1).
+    val widths = Seq(2, 4, 2, 4, 2, 4)
+    val fp = Algorithms.BetweennessFp
+    val g = graft.graph.PropertyGraph.diamondLadder(spark, widths)
+    val offsets = widths.scanLeft(0L)((a, w) => a + w + 1)
+    val n = offsets.last + 1
+    val expected = (0L until n).map { id =>
+      if (offsets.contains(id)) id -> fp * id * (n - 1 - id)
+      else {
+        val i = offsets.lastIndexWhere(_ < id)
+        id -> fp * (offsets(i) + 1) * (n - offsets(i + 1)) / widths(i)
+      }
+    }.toMap
+    def run(dist: Boolean): Map[Long, Long] = {
+      val df = if (dist) withLocalExecOff(
+          Algorithms.betweenness(g.nodes, g.edges, 16, numParts = 4))
+        else Algorithms.betweenness(g.nodes, g.edges, 16)
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(run(dist = false) === expected, "local twin vs closed form")
+    assert(run(dist = true) === expected, "distributed δ-accumulation vs closed form")
+  }
+
+  test("betweenness: grid — distributed ≡ twin exactly (truncation CONVENTION pinned, not a tolerance)") {
+    // the 8×8 grid has non-dyadic σ ratios (binomials), so the per-term
+    // truncating division actually truncates — both routes must still
+    // agree EXACTLY because the convention (one round-toward-zero per
+    // DAG-edge term, then order-independent integer sums) is the same
+    val g = PropertyGraph.grid(spark, 8)
+    val local = Algorithms.betweenness(g.nodes, g.edges, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = withLocalExecOff(
+        Algorithms.betweenness(g.nodes, g.edges, 20, numParts = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    // corners are never interior; the fp-scaled scores sit within one
+    // truncated unit per term of Fp × the true rational value — spot:
+    // node 1 = (0,1) carries σ(0→1)·(paths 1→cone)/σ — positive
+    assert(local(0L) === 0L && local(63L) === 0L && local(1L) > 0L)
+  }
+
+  test("betweenness: sampled sources = Brandes-subset restriction") {
+    import spark.implicits._
+    // pathG (1→2→3→4, 1→5), source 1 only: σ ≡ 1, so bc_fp is exact:
+    // node 2 is interior to (1,3),(1,4); node 3 to (1,4)
+    val fp = Algorithms.BetweennessFp
+    val got = Algorithms.betweenness(pathG.nodes, pathG.edges, 16,
+        sources = Some(Seq(1L).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L * fp, 3L -> fp, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("betweenness: σ overflow fails LOUD on the twin (distributed forward guard shared with stress)") {
+    import org.apache.spark.sql.functions.col
+    import graft.graph.LocalExec
+    // same layered digraph family as the stress overflow spec, twin
+    // route (the distributed forward σ guard is brandesForward, already
+    // pinned by the stress test on the identical code path)
+    val w = 64L
+    val layers = 13
+    val nodes = spark.range(w * layers).select(col("id"))
+    val lyr = spark.range(layers - 1).select(col("id").as("l"))
+    val heads = spark.range(w).select(col("id").as("ai"))
+    val tails = spark.range(w).select(col("id").as("bi"))
+    val edges = lyr.crossJoin(heads).crossJoin(tails)
+      .select((col("l") * w + col("ai")).as("src"),
+        ((col("l") + 1) * w + col("bi")).as("dst"))
+    val err = intercept[ArithmeticException] {
+      LocalExec.betweenness(nodes, edges, maxRounds = 64,
+        fp = Algorithms.BetweennessFp).collect()
+    }
+    assert(err.getMessage.contains("stress"))
   }
 
   test("harmonic: fixed-point closed form on the path graph, twin ≡ distributed") {
