@@ -213,6 +213,64 @@ object GraphScale {
           throw new IllegalStateException(s"$bad nodes off the closed form")
         lab.agg(sum(col("stress"))).head.getLong(0)
       }),
+      // batched multi-source HARMONIC with the same 64 sampled sources —
+      // rides the identical level builder as closeness_s64 (one join +
+      // dedup + anti-join per round); check = EXACT harmonic_fp
+      // agreement with an independent per-source recompute (GraphX
+      // Pregel SSSP distances folded through the same `HarmonicFp DIV d`
+      // fixed-point formula) on 2 of the 64 sources; recorded value =
+      // Σ harmonic_fp over all sources.
+      op("harmonic_s64")({
+        val step = math.max(1L, nNodes / 64)
+        val srcs = nodes.filter(col("id") % step === 0 && col("id") < step * 64)
+        Algorithms.harmonic(nodes, edges, maxRounds = 40, sources = Some(srcs))
+      })({ df =>
+        val lab = df.localCheckpoint()
+        val step = math.max(1L, nNodes / 64)
+        Seq(0L, 17L * step).foreach { s =>
+          val d = GraphXBridge.distances(spark, g, s).localCheckpoint()
+          val r = d.filter(col("dist") > 0).agg(sum(expr(
+            s"CAST(${Algorithms.HarmonicFp} AS BIGINT) DIV CAST(dist AS BIGINT)"))).head
+          val hsum = if (r.isNullAt(0)) 0L else r.getLong(0)
+          val row = lab.filter(col("node") === s).select(col("harmonic_fp")).head
+          if (row.getLong(0) != hsum)
+            throw new IllegalStateException(
+              s"source $s: batched ${row.getLong(0)} != per-source SSSP harmonic $hsum")
+        }
+        lab.agg(sum(col("harmonic_fp"))).head.getLong(0)
+      }),
+      // all-sources fixed-point Brandes BETWEENNESS on the same 1M-node
+      // perfect binary tree: σ ≡ 1 on a tree, so every protocol division
+      // is exact ((1·(Fp+δ)) DIV 1) and betweenness coincides with
+      // stress — bc_fp(v) = Fp · ancestors(v) · descendants(v), closed-
+      // form checkable on EVERY node. This is the δ backward pass (the
+      // code stress does NOT run) at 2^20−1 sources through ~20 levels,
+      // with the per-level δ-max guard agg in the measured wall.
+      op("betweenness_tree_1m")({
+        val l = 20
+        val tn = (1L << l) - 1
+        val tNodes = spark.range(tn).select(col("id"))
+        val tEdges = spark.range((tn - 1) / 2)
+          .selectExpr("id AS src", "2*id+1 AS dst")
+          .union(spark.range((tn - 1) / 2)
+            .selectExpr("id AS src", "2*id+2 AS dst"))
+        Algorithms.betweenness(tNodes, tEdges, maxRounds = l + 2)
+      })({ df =>
+        val l = 20
+        val tn = (1L << l) - 1
+        val expect = spark.range(tn).selectExpr("id AS node",
+          s"""CAST(${Algorithms.BetweennessFp} AS BIGINT)
+             | * CAST(floor(log2(id + 1)) AS BIGINT)
+             | * (CAST(pow(2, $l - floor(log2(id + 1))) AS BIGINT) - 2)
+             | AS exp_bc""".stripMargin)
+        val lab = df.localCheckpoint()
+        val bad = lab.join(expect, Seq("node"))
+          .filter(col("bc_fp") =!= col("exp_bc")).count()
+        if (bad != 0)
+          throw new IllegalStateException(s"$bad nodes off the closed form")
+        lab.agg(sum(col("bc_fp").cast("decimal(38,0)"))).head
+          .getDecimal(0).longValue() / Algorithms.BetweennessFp
+      }),
       // distributed personalized PageRank seeded at the hub (the DataFrame
       // loop — the knob is off, so the local twin cannot serve): mass in
       // ppm, a stable integer under the per-iteration snap
