@@ -157,8 +157,8 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "g_khop_grid@dist" -> 0.60, "g_sssp_grid@dist" -> 1.48,
       "g_wsssp_grid@dist" -> 1.39, "g_pagerank@dist" -> 0.74,
       "g_scc@dist" -> 11.47, "g_stress@dist" -> 19.27,
-      "g_harmonic@dist" -> 12.38, "g_betweenness@dist" -> 26.33,
-      "g_eccentricity@dist" -> 12.10)
+      "g_harmonic@dist" -> 12.38, "g_betweenness@dist" -> 7.43,
+      "g_eccentricity@dist" -> 19.38)
     for (q <- distQs) {
       val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
       assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
