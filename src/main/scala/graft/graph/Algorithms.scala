@@ -964,6 +964,53 @@ object Algorithms {
     out
   }
 
+  /** Newman modularity of a node partition, published EXACTLY: per
+    * community c, the intra-edge count L_c, the degree mass D_c
+    * (Σ degrees of members), and the integer numerator
+    * `q_num_4m2 = 4·m·L_c − D_c²` — since Q = Σ_c (L_c/m − (D_c/2m)²),
+    * the score is Q = Σ_c q_num_4m2 / (4m²), a driver-side formula over
+    * BIGINT columns: no float or fixed-point protocol, the same
+    * publish-the-integers move as closeness. The partition-quality
+    * score every community pipeline (LPA, CC, Louvain-style refinement)
+    * is evaluated by.
+    *
+    * Semantics: `edges` is treated as an undirected simple graph
+    * (canonicalized least/greatest, deduped, self-loops dropped);
+    * `communities` = (node, community) defines membership, and an edge
+    * with an unlabeled endpoint is dropped (the node-frame-defines-the-
+    * graph contract). Output one row per community holding ≥1 edge
+    * endpoint: (community, l_intra, d_sum, q_num_4m2, m_edges).
+    *
+    * Scale shape: one canonicalize-dedup shuffle, two hash joins
+    * against the membership frame (broadcast when the dimension is
+    * small — Catalyst's call), one count and two partial-agg'd
+    * group-bys. No iteration, no driver loop; m ≤ 2³¹ keeps
+    * 4·m·L_c and D_c² far inside BIGINT (both ≤ 4m²). */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cm = communities.select(col("node"), col("community"))
+    val lab = e
+      .join(cm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(cm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .select(col("ca"), col("cb"))
+      .localCheckpoint() // one labeled-edge pass feeds count + both aggs
+    val m = lab.count()
+    val intra = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_intra"))
+    val deg = lab.select(col("ca").as("community"))
+      .unionAll(lab.select(col("cb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_sum"))
+    deg.join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("l_intra"), lit(0L)).as("l_intra"),
+        col("d_sum"),
+        (lit(4L) * m * coalesce(col("l_intra"), lit(0L)) -
+          col("d_sum") * col("d_sum")).as("q_num_4m2"),
+        lit(m).as("m_edges"))
+  }
+
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
     * standard distributed triangle plan: three shuffles total, no node

@@ -930,6 +930,54 @@ object GraphOps {
        |FROM nodes n LEFT JOIN bc b ON b.node = n.id""".stripMargin
   }
 
+  // --- G26: modularity scoring -----------------------------------------------
+
+  /** G26: Newman modularity of the nation partition over the bipartite
+    * order graph — customers and suppliers labeled by their nation, so
+    * cross-nation orders are CROSS-community edges and the partition
+    * quality is nontrivial (unlike CC/LPA partitions, where every edge
+    * is intra by construction). Published per community as exact BIGINT
+    * (l_intra, d_sum, q_num_4m2 = 4mL−D², m) — Q = Σ q_num/(4m²) is a
+    * driver-side formula; see [[graft.graph.Algorithms.modularity]]. */
+  def nationModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = PropertyGraph.bipartiteEdgesRaw(spark, dir)
+    val cust = graft.sources.Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("node"),
+      col("c_nationkey").cast("long").as("community"))
+    val supp = graft.sources.Tables.supplier(spark, dir).select(
+      (col("s_suppkey").cast("long") + Off).as("node"),
+      col("s_nationkey").cast("long").as("community"))
+    Algorithms.modularity(e, cust.unionByName(supp))
+  }
+
+  /** DuckDB mirror of [[nationModularity]] — the same integer recipe in
+    * plain SQL over the same parquet tables. */
+  private val modularityOracle: String =
+    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+       |    CAST(l_suppkey + $Off AS BIGINT) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |comm AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS node,
+       |    CAST(c_nationkey AS BIGINT) AS community FROM customer
+       |  UNION ALL
+       |  SELECT CAST(s_suppkey + $Off AS BIGINT),
+       |    CAST(s_nationkey AS BIGINT) FROM supplier),
+       |lab AS (SELECT ca.community AS ca, cb.community AS cb
+       |  FROM e JOIN comm ca ON ca.node = e.a JOIN comm cb ON cb.node = e.b),
+       |m AS (SELECT COUNT(*) AS m FROM lab),
+       |deg AS (SELECT community, COUNT(*) AS d FROM
+       |  (SELECT ca AS community FROM lab UNION ALL SELECT cb FROM lab)
+       |  GROUP BY 1),
+       |intra AS (SELECT ca AS community, COUNT(*) AS l FROM lab
+       |  WHERE ca = cb GROUP BY 1)
+       |SELECT d.community,
+       |  CAST(COALESCE(i.l, 0) AS BIGINT) AS l_intra,
+       |  CAST(d.d AS BIGINT) AS d_sum,
+       |  CAST(4 * (SELECT m FROM m) * COALESCE(i.l, 0) - d.d * d.d AS BIGINT)
+       |    AS q_num_4m2,
+       |  CAST((SELECT m FROM m) AS BIGINT) AS m_edges
+       |FROM deg d LEFT JOIN intra i ON i.community = d.community""".stripMargin
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1401,6 +1449,7 @@ object GraphOps {
     "g_harmonic" -> gridHarmonic,
     "g_betweenness" -> ladderBetweenness,
     "g_eccentricity" -> gridEccentricity,
+    "g_modularity" -> nationModularity,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1483,6 +1532,7 @@ object GraphOps {
       Algorithms.BetweennessFp),
     "g_eccentricity" -> eccentricityOracle(gridEdgesSql(ClosenessGridN),
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
+    "g_modularity" -> modularityOracle,
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

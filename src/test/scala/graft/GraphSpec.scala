@@ -607,6 +607,26 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.forall { case (_, ecc, reach) => ecc <= 1 && reach <= 2 })
   }
 
+  test("modularity: two triangles + bridge gives the textbook Q = 5/14 exactly") {
+    import spark.implicits._
+    // communities = the triangles; the bridge 3−4 is the one cross
+    // edge. m = 7; each community: L = 3, D = 2+2+3 = 7 →
+    // q_num = 4·7·3 − 49 = 35 per side, Q = 70/(4·49) = 5/14 — the
+    // standard worked example. Noise edges exercise the contract:
+    // (2,1) deduped against (1,2), (3,3) self-loop dropped, (6,99)
+    // names an unlabeled node and is dropped.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (2L, 1L), (3L, 3L), (6L, 99L)).toDF("src", "dst")
+    val comm = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val got = Algorithms.modularity(edges, comm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === Set((10L, 3L, 7L, 35L, 7L), (20L, 3L, 7L, 35L, 7L)))
+    val q = got.toSeq.map(_._4).sum.toDouble / (4.0 * 7 * 7)
+    assert(math.abs(q - 5.0 / 14) < 1e-15)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
