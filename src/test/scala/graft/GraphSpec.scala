@@ -911,6 +911,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 0L, 2L -> 2L * fp, 3L -> fp, 4L -> 0L, 5L -> 0L))
   }
 
+  test("betweenness: Wiki-Vote sampled sources — partition-INVARIANT exact scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the at-scale determinism claim on a REAL skewed digraph: the
+    // fixed-point protocol is pure integer arithmetic, so two runs on
+    // DIFFERENT partitionings (different join/agg orders throughout)
+    // must produce the IDENTICAL score table — the HITS-style
+    // partition-invariance check, here under genuinely truncating
+    // divisions (Wiki-Vote σ ratios are not dyadic). 8 sampled sources
+    // = the Brandes-subset cluster form.
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    val srcs = Seq(3L, 6L, 30L, 72L, 214L, 572L, 1166L, 2565L).toDF("id")
+    def run(parts: Int) =
+      Algorithms.betweenness(g.nodes, g.edges, maxRounds = 12,
+        sources = Some(srcs), numParts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = run(4)
+    val b = run(7)
+    assert(a === b, "sampled betweenness must be partition-invariant")
+    assert(a.values.exists(_ > 0L), "some node must carry positive score")
+  }
+
   test("betweenness: σ overflow fails LOUD on the twin (distributed forward guard shared with stress)") {
     import org.apache.spark.sql.functions.col
     import graft.graph.LocalExec
