@@ -55,6 +55,34 @@ object ScaleUp {
     * below overflow under the id arithmetic any query applies. */
   val BlockOffset = 100000000L
 
+  /** The replica-document salting expression over columns (text, blk) —
+    * exposed so ScaleUpSpec can pin the two properties the dedup gate's
+    * honesty rests on (the r15 advice failure class): (1) a salt after
+    * EVERY word means no 3-gram window of a blk>0 replica survives from
+    * the original, so cross-block copies share no shingle; (2) the salt
+    * VALUE is a pure function of (blk, preceding word), so a word span
+    * shared by two docs in one block salts identically at ANY offset —
+    * within-block near-dup structure is offset-independent. Salt token:
+    * pure [a-z], one ordinary never-matching-a-lexicon word to every
+    * tokenizer regex in the repo. */
+  /** The replica-embedding jitter over columns (vec_id, embedding, blk):
+    * flat ±0.1% per coordinate at EVERY block (blk stays inside the
+    * hash for cross-block decorrelation but is NOT a multiplier — the
+    * r15 advice bug scaled the perturbation to ±0.9% at factor 10,
+    * breaking the geometry-preservation claim); block 0 verbatim. */
+  val JitteredEmbeddingSql: String =
+    """transform(embedding, (x, i) ->
+      |  CASE WHEN blk > 0
+      |    THEN CAST(x * (1.0D + (CAST(pmod(xxhash64(vec_id, blk, i), 21) AS DOUBLE) - 10.0D) * 1e-4D) AS FLOAT)
+      |    ELSE x END)""".stripMargin
+
+  val SaltedTextSql: String =
+    """array_join(flatten(transform(split(text, ' '), w ->
+      |  CASE WHEN blk > 0
+      |    THEN array(w, translate(lower(conv(CAST(pmod(xxhash64(blk, w), 60466176) AS STRING), 10, 36)),
+      |                            '0123456789', 'qwertyuiop'))
+      |    ELSE array(w) END)), ' ')""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -107,15 +135,8 @@ object ScaleUp {
 
     // documents: block 0 verbatim; replicas salted by (blk, preceding
     // word) only — see the scaladoc for why the salt must depend on
-    // neither doc_id nor the absolute word index. Salt token: pure
-    // [a-z], so every tokenizer regex in the repo sees it as one
-    // ordinary (never-matching-a-lexicon) word.
-    val saltedText = expr(
-      """array_join(flatten(transform(split(text, ' '), w ->
-        |  CASE WHEN blk > 0
-        |    THEN array(w, translate(lower(conv(CAST(pmod(xxhash64(blk, w), 60466176) AS STRING), 10, 36)),
-        |                            '0123456789', 'qwertyuiop'))
-        |    ELSE array(w) END)), ' ')""".stripMargin)
+    // neither doc_id nor the absolute word index.
+    val saltedText = expr(SaltedTextSql)
     rep("documents", 8)(
       "doc_id" -> off("doc_id"),
       "text" -> saltedText,
@@ -124,15 +145,6 @@ object ScaleUp {
     // embeddings: ±0.1% deterministic per-coordinate jitter on replicas
     rep("embeddings", 4)(
       "vec_id" -> off("vec_id"),
-      "embedding" -> expr(
-        // blk stays inside the hash (cross-block decorrelation) but NOT
-        // as a multiplier: ±(0.1%·blk) would reach ±0.9% at factor 10
-        // and break the geometry-preservation claim at higher factors
-        // (r15 ADVICE) — every replica gets the documented ±0.1%
-        """transform(embedding, (x, i) ->
-          |  CASE WHEN blk > 0
-          |    THEN CAST(x * (1.0D + (CAST(pmod(xxhash64(vec_id, blk, i), 21) AS DOUBLE) - 10.0D) * 1e-4D) AS FLOAT)
-          |    ELSE x END)"""
-          .stripMargin))
+      "embedding" -> expr(JitteredEmbeddingSql))
   }
 }
