@@ -1011,6 +1011,89 @@ object Algorithms {
         lit(m).as("m_edges"))
   }
 
+  /** Greedy agglomerative modularity clustering — the parallel form of
+    * Clauset-Newman-Moore: per round, every community nominates the
+    * neighbor community with the best modularity gain (ΔQ > 0 only,
+    * ties broken toward the smaller id), and MUTUAL nominations merge
+    * (label = the pair's min id). Mutual-best matching is what makes
+    * the parallel greedy both deterministic and monotone: unlike
+    * synchronous per-NODE Louvain moves — whose label swaps oscillate
+    * (two nodes exchanging communities forever) and make the operator
+    * ungateable — a mutual merge strictly increases Q every round and a
+    * converged partition is a fixpoint, so running extra rounds is a
+    * no-op and a fixed round count is exact, not an approximation knob.
+    *
+    * Gains compare as EXACT integers: ΔQ(A,B) ∝ 2m·e_AB − D_A·D_B
+    * (× 2m² clears the denominators), computed in DECIMAL(38,0) so the
+    * product cannot wrap on graphs past 2³¹ edges. With the min-id tie
+    * break the whole trajectory is reproducible cross-engine — the
+    * DuckDB oracle unrolls the same rounds in SQL.
+    *
+    * Scale shape per round: one labeled-edge pass (two hash joins
+    * against the community map), one pair-weight aggregation, one
+    * degree-mass aggregation, a per-community window top-1 (exchange on
+    * community id), and a semi-join mutual check — no driver loop, no
+    * collect; the community map is the only state (localCheckpoint per
+    * round, O(1) lineage). Edges naming ids outside `nodes` are dropped
+    * (the node-frame contract). Output: (node, community). */
+  def greedyModularity(nodes: DataFrame, edges: DataFrame,
+                       rounds: Int, numParts: Int = 0): DataFrame = {
+    require(rounds >= 1, "greedyModularity needs at least one round")
+    val ids = nodes.select(col("id"))
+    val e0base = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    val e0 = (if (numParts > 0) e0base.repartition(numParts, col("a"))
+              else e0base).localCheckpoint()
+    val m = e0.count()
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    var comm = ids.select(col("id").as("node"), col("id").as("community"))
+      .localCheckpoint()
+    val dec = "decimal(38,0)"
+    for (_ <- 1 to rounds) {
+      val lab = e0
+        .join(comm.select(col("node").as("a"), col("community").as("ca")),
+          Seq("a"))
+        .join(comm.select(col("node").as("b"), col("community").as("cb")),
+          Seq("b"))
+      val w = lab.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("x"),
+          greatest(col("ca"), col("cb")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      val d = comm.join(deg, Seq("node"))
+        .groupBy(col("community")).agg(sum(col("k")).as("d"))
+      val cand = w.select(col("x").as("c"), col("y").as("p"), col("w"))
+        .unionByName(w.select(col("y").as("c"), col("x").as("p"), col("w")))
+        .join(d.select(col("community").as("c"), col("d").as("dc")), Seq("c"))
+        .join(d.select(col("community").as("p"), col("d").as("dp")), Seq("p"))
+        .select(col("c"), col("p"),
+          (lit(2L).cast(dec) * lit(m).cast(dec) * col("w").cast(dec) -
+            col("dc").cast(dec) * col("dp").cast(dec)).as("gain"))
+        .filter(col("gain") > 0)
+      val best = cand.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("c"))
+              .orderBy(col("gain").desc, col("p").asc)))
+        .filter(col("rn") === 1).select(col("c"), col("p"))
+      val mutual = best
+        .join(best.select(col("p").as("c"), col("c").as("p")),
+          Seq("c", "p"), "left_semi")
+        .filter(col("c") < col("p")) // one row per merged pair; label = c
+      val relabel = mutual.select(col("p").as("community"), col("c").as("newc"))
+      comm = comm.join(relabel, Seq("community"), "left")
+        .select(col("node"),
+          coalesce(col("newc"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    comm
+  }
+
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
     * standard distributed triangle plan: three shuffles total, no node

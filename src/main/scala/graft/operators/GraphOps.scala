@@ -978,6 +978,76 @@ object GraphOps {
        |  CAST((SELECT m FROM m) AS BIGINT) AS m_edges
        |FROM deg d LEFT JOIN intra i ON i.community = d.community""".stripMargin
 
+  // --- G27: greedy modularity clustering -------------------------------------
+
+  /** Merge rounds for [[communityCluster]]: the sampled component graph
+    * converges (no positive mutual merge remains) well inside 5 rounds
+    * at the gated SFs; extra rounds are no-ops by the fixpoint property,
+    * so the fixed count is exact on both engines. */
+  val GreedyModRounds = 5
+
+  /** G27: community detection by greedy agglomerative modularity
+    * (parallel CNM via mutual-best matching) over the sparse sampled
+    * component graph — the deterministic, gateable member of the
+    * Louvain family: synchronous per-node moves oscillate (label swaps)
+    * and sequential Louvain is visit-order-dependent, while mutual-best
+    * pair merges are order-free and monotone in Q. See
+    * [[graft.graph.Algorithms.greedyModularity]]. Output labels =
+    * each community's min member id; quality is scorable with G26. */
+  def communityCluster(spark: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph.componentSample(spark, dir)
+    Algorithms.greedyModularity(g.nodes, g.edges, GreedyModRounds)
+  }
+
+  /** DuckDB mirror of [[communityCluster]] — the same mutual-best merge
+    * rounds unrolled in SQL (integer gains 2m·e_AB − D_A·D_B, the same
+    * min-id tie break via ROW_NUMBER). */
+  private def greedyModularityOracle(edgesSql: String, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      // every CTE referenced more than once per round (comm, w, d,
+      // best) is MATERIALIZED: DuckDB inlines plain CTEs, and a
+      // comm(r-1) inlined into four places per round makes the unrolled
+      // expression tree EXPONENTIAL in the round count — the same
+      // inliner trap the HITS/stress oracles pin with MATERIALIZED
+      s"""lab$r AS (SELECT ca.c AS ca, cb.c AS cb FROM e
+         |  JOIN comm${r - 1} ca ON ca.node = e.src
+         |  JOIN comm${r - 1} cb ON cb.node = e.dst),
+         |w$r AS MATERIALIZED (SELECT LEAST(ca, cb) AS x,
+         |    GREATEST(ca, cb) AS y, COUNT(*) AS w
+         |  FROM lab$r WHERE ca <> cb GROUP BY 1, 2),
+         |d$r AS MATERIALIZED (SELECT c0.c AS community, SUM(deg.k) AS d
+         |  FROM comm${r - 1} c0 JOIN deg ON deg.node = c0.node GROUP BY 1),
+         |cand$r AS (SELECT t.c, t.p,
+         |    2 * (SELECT m FROM mm) * t.w - a.d * b.d AS gain
+         |  FROM (SELECT x AS c, y AS p, w FROM w$r
+         |        UNION ALL SELECT y AS c, x AS p, w FROM w$r) t
+         |  JOIN d$r a ON a.community = t.c
+         |  JOIN d$r b ON b.community = t.p),
+         |best$r AS MATERIALIZED (SELECT c, p FROM (
+         |    SELECT c, p, ROW_NUMBER() OVER
+         |      (PARTITION BY c ORDER BY gain DESC, p ASC) AS rn
+         |    FROM cand$r WHERE gain > 0) WHERE rn = 1),
+         |mutual$r AS (SELECT a.c, a.p FROM best$r a
+         |  JOIN best$r b ON b.c = a.p AND b.p = a.c WHERE a.c < a.p),
+         |comm$r AS MATERIALIZED (SELECT c0.node, COALESCE(mu.c, c0.c) AS c
+         |  FROM comm${r - 1} c0 LEFT JOIN mutual$r mu ON mu.p = c0.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED ($edgesSql),
+       |e AS MATERIALIZED (SELECT LEAST(src, dst) AS src,
+       |  GREATEST(src, dst) AS dst FROM base WHERE src <> dst),
+       |n0 AS (SELECT DISTINCT src AS node FROM
+       |  (SELECT src FROM e UNION SELECT dst FROM e) t(src)),
+       |deg AS MATERIALIZED (SELECT node, COUNT(*) AS k FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |  GROUP BY node),
+       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |comm0 AS (SELECT node, node AS c FROM n0),
+       |$roundsSql
+       |SELECT node, CAST(c AS BIGINT) AS community FROM comm$rounds"""
+      .stripMargin
+  }
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1450,6 +1520,7 @@ object GraphOps {
     "g_betweenness" -> ladderBetweenness,
     "g_eccentricity" -> gridEccentricity,
     "g_modularity" -> nationModularity,
+    "g_greedy_modularity" -> communityCluster,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1533,6 +1604,8 @@ object GraphOps {
     "g_eccentricity" -> eccentricityOracle(gridEdgesSql(ClosenessGridN),
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_modularity" -> modularityOracle,
+    "g_greedy_modularity" -> greedyModularityOracle(sparseEdgesSql,
+      GreedyModRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

@@ -627,6 +627,32 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(q - 5.0 / 14) < 1e-15)
   }
 
+  test("greedyModularity: two triangles + bridge converge to the triangle communities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // hand-traced mutual-best trajectory: round 1 merges {1,2} and
+    // {5,6} (gain 10 each, beating the 8s toward node 3/4); round 2
+    // folds 3 into {1,2} and 4 into {5,6} (gain 16); round 3 finds the
+    // cross-bridge merge at gain 14 − 49 < 0 and stops. Labels = min
+    // member.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    def run(rounds: Int): Map[Long, Long] =
+      Algorithms.greedyModularity(nodes, edges, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(4)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // converged partition is a fixpoint: extra rounds are no-ops
+    assert(run(6) === got)
+    // and the partition scores the textbook Q: Σ q_num/(4m²) = 70/196 = 5/14
+    val comm = got.toSeq.toDF("node", "community")
+    val qNum = Algorithms.modularity(edges, comm)
+      .agg(sum(org.apache.spark.sql.functions.col("q_num_4m2"))).head.getLong(0)
+    assert(qNum === 70L)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
