@@ -1048,6 +1048,65 @@ object GraphOps {
       .stripMargin
   }
 
+  // --- G28/G29: graph-level structure metrics ---------------------------------
+
+  /** G28: directed degree assortativity moments on the real Wiki-Vote
+    * graph — per edge u→v, x = outdeg(u) and y = indeg(v); published as
+    * the ONE exact integer row (m, Σx, Σy, Σxy, Σx², Σy²), from which
+    * Pearson's r = (mΣxy − ΣxΣy)/√((mΣx²−(Σx)²)(mΣy²−(Σy)²)) is a
+    * driver-side formula — the closeness publish-the-integers move
+    * again: moments are BIGINT-exact, the correlation needs no float
+    * protocol. Scale shape: two degree aggs, two hash joins onto the
+    * edge relation, one global agg (partial-combined) — no iteration.
+    * Moment magnitudes are ≤ m·maxdeg², far inside BIGINT here;
+    * trillion-edge corpora would lift the moments to DECIMAL. */
+  def wikivoteAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = wikiVote(spark).edges.select(col("src"), col("dst"))
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    e.join(outd, Seq("src")).join(ind, Seq("dst"))
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+  }
+
+  private val assortativityOracle: String =
+    s"""WITH e AS MATERIALIZED ($wikiEdgesSql),
+       |outd AS (SELECT src, COUNT(*) AS x FROM e GROUP BY src),
+       |ind AS (SELECT dst, COUNT(*) AS y FROM e GROUP BY dst)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+       |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       |  CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       |  CAST(SUM(y * y) AS BIGINT) AS sum_y2
+       |FROM e JOIN outd ON outd.src = e.src JOIN ind ON ind.dst = e.dst"""
+      .stripMargin
+
+  /** G29: reciprocity of the directed Wiki-Vote graph — of m directed
+    * edges, how many have their reverse present (self-loops excluded
+    * from both counts). Published as the exact integer pair
+    * (m_edges, reciprocal); r = reciprocal/m driver-side. One
+    * self-semi-join on the canonical edge layout. */
+  def wikivoteReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = wikiVote(spark).edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rec = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("m_edges")).crossJoin(
+      rec.agg(count(lit(1)).as("reciprocal")))
+  }
+
+  private val reciprocityOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst
+       |  FROM ($wikiEdgesSql) WHERE src <> dst)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS m_edges,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e a
+       |   WHERE EXISTS (SELECT 1 FROM e b
+       |     WHERE b.src = a.dst AND b.dst = a.src)) AS reciprocal"""
+      .stripMargin
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1521,6 +1580,8 @@ object GraphOps {
     "g_eccentricity" -> gridEccentricity,
     "g_modularity" -> nationModularity,
     "g_greedy_modularity" -> communityCluster,
+    "g_assortativity" -> wikivoteAssortativity,
+    "g_reciprocity" -> wikivoteReciprocity,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1606,6 +1667,8 @@ object GraphOps {
     "g_modularity" -> modularityOracle,
     "g_greedy_modularity" -> greedyModularityOracle(sparseEdgesSql,
       GreedyModRounds),
+    "g_assortativity" -> assortativityOracle,
+    "g_reciprocity" -> reciprocityOracle,
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),
