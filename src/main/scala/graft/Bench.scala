@@ -63,17 +63,17 @@ object Bench {
     * 1998 is the absolute max (line + '\n' = 1999 ≤ 2000 ⇒ the line
     * arrives whole); the 80-char cushion the budget once carried was for
     * a hypothetical shutdown-hook straggler that halt() already makes
-    * impossible, and at 98 queries (r11) the suite genuinely needs the
-    * room: per-query NAMES alone are ~1700 bytes, and the fully-degraded
-    * line (integer total, every informational field shed, sub-second
-    * values widened to their first nonzero digit) renders ~1995 chars,
-    * which must carry ALL queries — a tighter cap silently drops the
-    * FASTEST rows, i.e. exactly the warm interactive lookups/traversals
-    * the artifact exists to record. Headroom is TEST-pinned, not
+    * impossible, and at 112 queries (r16) the suite genuinely needs the
+    * room: per-query NAMES alone are ~1700 bytes, which is why the
+    * ladder's final fitting shapes shed the names (resolvable from the
+    * registry, pinned by a hash) rather than the values' fidelity —
+    * the r16 registry outgrew every name-carrying shape, and the
+    * whole-second tier it degraded to turned a committed artifact into
+    * 25 phantom ~2× regressions. Headroom is TEST-pinned, not
     * guessed: BenchSpec's N+2 test renders the real registry plus two
     * longer-than-average names at worst-realistic widths and asserts
-    * no query is trimmed — run it BEFORE landing another gated
-    * operator (the r14 registry is 99 with two more proven to fit).
+    * no query is trimmed AND every value round-trips within 0.05 s —
+    * run it BEFORE landing another gated operator.
     * Per-query CPU/memory detail lives in [[DetailFile]], not on
     * stdout. */
   val LineBudget = 1998
@@ -82,6 +82,94 @@ object Bench {
     * (the repo root when the driver runs) so it lands in the round
     * snapshot commit. */
   val DetailFile = "BENCH_DETAIL.json"
+
+  /** Trailing zeros carry no information and the stdout budget is bytes:
+    * format at `prec`, then drop redundant fraction digits ("10.0" →
+    * "10", "0.40" → "0.4") — still a valid JSON number, same meaning. A
+    * SUCCESSFUL timing must never render as bare 0 (that reads like the
+    * silently-timed-as-zero failure mode the line's contract rules out):
+    * when rounding at `prec` erases the value, widen to the first
+    * precision that shows a nonzero digit, floor 0.001. */
+  def num(d: Double, prec: Int): String = {
+    def fmt(p: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(d))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val s = fmt(prec)
+    if (s == "0" && d > 0)
+      ((prec + 1) to 3).map(fmt).find(_ != "0").getOrElse("0.001")
+    else s
+  }
+
+  /** Full diff fidelity at minimum bytes: the coarsest rendering whose
+    * quantization error stays within 0.05 s for every query a human
+    * would diff against BENCH_DETAIL — sub-second values at 2 decimals
+    * (error ≤ 5 ms), everything under 100 s at 1 decimal (error ≤
+    * 50 ms), whole seconds beyond (a 100 s+ query's half-second is
+    * noise). The compact stages of [[benchLine]] never render coarser
+    * than this: the r16 whole-second floor turned 0.52 s into "1" and
+    * a committed round artifact into 25 phantom ~2× regressions. */
+  def fidNum(d: Double): String = num(d, if (d < 1) 2 else if (d < 100) 1 else 0)
+
+  /** 12-hex-digit SHA-256 over the newline-joined name list — stamps the
+    * values-array line shape with WHICH registry (names, in the array's
+    * sorted order) the values belong to, so [[decodeQueries]] fails loud
+    * on a registry drift instead of silently mis-labelling timings. */
+  def namesHash(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(names.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Committed decoder for every shape [[benchLine]] emits — the dict,
+    * the "name:secs" compact string, and the values-only array (where
+    * names are resolved from `registryNames` minus the line's error
+    * keys, sorted, and VERIFIED against the line's `qh` registry hash).
+    * Returns name → wall seconds for the successful queries. BenchSpec
+    * round-trips it against the real registry; tools diffing a round's
+    * one-line JSON against BENCH_DETAIL use it instead of re-guessing
+    * the encoding. */
+  def decodeQueries(line: String, registryNames: Seq[String] = Nil): Map[String, Double] = {
+    import org.json4s._
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    def numOf(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case JLong(l) => l.toDouble
+      case other => throw new IllegalArgumentException(s"non-numeric entry: $other")
+    }
+    val errNames: Set[String] = (parsed \ "errors") match {
+      case JObject(o) => o.map(_._1).toSet
+      case JArray(vs) => vs.collect { case JString(s) => s }.toSet
+      case _ => Set.empty
+    }
+    (parsed \ "queries") match {
+      case JObject(obj) => obj.map { case (k, v) => k -> numOf(v) }.toMap
+      case JString(s) =>
+        s.split(' ').iterator.filter(_.nonEmpty).map { e =>
+          val i = e.lastIndexOf(':')
+          e.substring(0, i) -> e.substring(i + 1).toDouble
+        }.toMap
+      case JArray(vs) =>
+        val names = registryNames.filterNot(errNames).distinct.sorted
+        require(names.size == vs.size,
+          s"values-array line carries ${vs.size} entries but the caller's " +
+            s"registry resolves ${names.size} successful names")
+        (parsed \ "qh") match {
+          case JString(h) => require(h == namesHash(names),
+            "registry hash mismatch: the caller's name list is not the one " +
+              "this line encoded")
+          case _ => throw new IllegalArgumentException(
+            "values-array line is missing its qh registry hash")
+        }
+        names.zip(vs.map(numOf)).toMap
+      case JNothing => Map.empty
+      case other =>
+        throw new IllegalArgumentException(s"unexpected queries shape: $other")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,24 +400,6 @@ object Bench {
     val ok = results.filter(_.err.isEmpty)
     val errList = results.collect { case QueryBench(k, _, _, _, Some(e), _) => (k, e) }
     val total = ok.map(_.secs).sum
-    // trailing zeros carry no information and the budget is bytes: format
-    // at `prec`, then drop redundant fraction digits ("10.0" → "10",
-    // "0.40" → "0.4") — still a valid JSON number, same meaning. A
-    // SUCCESSFUL timing must never render as bare 0 (that reads like the
-    // silently-timed-as-zero failure mode this line's contract rules out):
-    // when rounding at `prec` erases the value, widen to the first
-    // precision that shows a nonzero digit, floor 0.001.
-    def num(d: Double, prec: Int): String = {
-      def fmt(p: Int): String = {
-        val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(d))
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-        else s
-      }
-      val s = fmt(prec)
-      if (s == "0" && d > 0)
-        ((prec + 1) to 3).map(fmt).find(_ != "0").getOrElse("0.001")
-      else s
-    }
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
                withDetail: Boolean = true, withUnit: Boolean = true,
                sfFull: Boolean = true, withEmptyErrs: Boolean = true,
@@ -394,36 +464,58 @@ object Bench {
     if (line.length > LineBudget)
       line = render(bySlowest, 0, 0, withDetail = false, withUnit = false,
         sfFull = false, withEmptyErrs = false, totalPrec = 0, withSf = false)
-    // compact-string stage — the last shape that still carries EVERY
-    // query: "queries" becomes one "name:secs name:secs ..." string,
-    // saving the 3 bytes/entry of object quoting that the fully-degraded
-    // dict form cannot shed. Still one json.loads-able line; the detail
-    // sidecar keeps the full dict. This exists because at 100 queries the
-    // dict form's floor is ~2020 chars (names 1325 + 4/entry overhead +
-    // sub-second values that re-widen to 3-5 chars at ANY precision), so
-    // without it the ladder would fall through to dropping the FASTEST
-    // rows — the warm interactive lookups/traversals the baseline
-    // comparison reads.
+    // compact-string stage — still carries EVERY query as one
+    // "name:secs name:secs ..." string, saving the 3 bytes/entry of
+    // object quoting that the fully-degraded dict form cannot shed.
+    // ONE precision only — [[fidNum]]'s full diff fidelity (sub-second
+    // 2 decimals / sub-100 s 1 decimal: every sub-10 s entry within
+    // 0.05 s of the detail file). The r16 registry killed the coarser
+    // tiers this stage used to degrade through: at 112 queries the
+    // whole-second tier rendered 0.52 s as "1" and the committed round
+    // artifact read as 25 phantom ~2× regressions against BENCH_DETAIL.
+    // A stage that only fits by blurring the values is worse than one
+    // that does not fit — past this point the ladder sheds NAMES (the
+    // registry carries them), never value fidelity.
     if (line.length > LineBudget) {
-      // ADAPTIVE precision, not flat whole-second: r14's compact line
-      // rendered a 1.71 s query as "2", which read as a ≥1.5× regression
-      // against the 2-decimal detail file for 13 healthy queries. Tiers,
-      // first fit wins: (0) sub-second 2 decimals / sub-100 s 1 decimal;
-      // (1) sub-10 s 1 decimal; (2) the whole-second floor. All tiers
-      // keep the never-render-zero widening, so sub-second entries stay
-      // honest at every tier and the one-line JSON diffs cleanly against
-      // BENCH_DETAIL down to its quantization step.
-      def adaptive(d: Double, tier: Int): String = tier match {
-        case 0 => num(d, if (d < 1) 2 else if (d < 100) 1 else 0)
-        case 1 => num(d, if (d < 10) 1 else 0)
-        case _ => num(d, 0)
-      }
-      (0 to 2).iterator.map { t =>
-        val qs = ok.sortBy(_.name)
-          .map(r => s"${r.name}:${adaptive(r.secs, t)}").mkString(" ")
-        s"""{"metric":"total","value":${adaptive(total, t)},"queries":"$qs"""" +
+      val qs = ok.sortBy(_.name)
+        .map(r => s"${r.name}:${fidNum(r.secs)}").mkString(" ")
+      val cand =
+        s"""{"metric":"total","value":${fidNum(total)},"queries":"$qs"""" +
           omittedErrs(errList.size) + "}"
-      }.find(_.length <= LineBudget).foreach(line = _)
+      if (cand.length <= LineBudget) line = cand
+    }
+    // values-array stage — the registry outgrew every name-carrying
+    // shape (112 queries × ~14-char names is ~1700 bytes of names
+    // alone against a 1998-byte window), so the NAMES move off the
+    // line: "queries" becomes a JSON array of wall seconds in
+    // SORTED-BY-NAME order over the successful queries, still at full
+    // diff fidelity, plus "qn" (entry count), "qh" (hash of the name
+    // list, so a consumer resolving names from SparkEntry.queries
+    // order can PROVE it resolved the right registry) and the detail
+    // pointer (whose file carries the full name→secs dict).
+    // [[decodeQueries]] is the committed decoder; BenchSpec round-trips
+    // it against the real registry. ~6 bytes/query means this shape
+    // holds past 280 queries — the drop-fastest fallback below survives
+    // only as the truly-final guard.
+    if (line.length > LineBudget) {
+      val sortedOk = ok.sortBy(_.name)
+      val qv = sortedOk.map(r => fidNum(r.secs)).mkString("[", ",", "]")
+      // error NAMES ride along as a JSON array (decodeQueries needs them
+      // to resolve which registry names the values belong to; messages
+      // live in the detail file) — degraded to a bare count only if even
+      // the name list cannot fit
+      def cand(errsPart: String): String =
+        s"""{"metric":"total","value":${jsonNum3(total)},"unit":"sec",""" +
+          s""""queries":$qv,"qn":${sortedOk.size},""" +
+          s""""qh":"${namesHash(sortedOk.map(_.name))}","detail":"$detail"""" +
+          errsPart + "}"
+      val withErrNames = cand(
+        if (errList.isEmpty) ""
+        else errList.map(e => s"\"${e._1}\"").mkString(""","errors":[""", ",", "]"))
+      val fit =
+        if (withErrNames.length <= LineBudget) Some(withErrNames)
+        else Some(cand(omittedErrs(errList.size))).filter(_.length <= LineBudget)
+      fit.foreach(line = _)
     }
     var n = ok.size
     while (line.length > LineBudget && n > 0) {

@@ -229,7 +229,11 @@ object GraphScale {
         val step = math.max(1L, nNodes / 64)
         Seq(0L, 17L * step).foreach { s =>
           val d = GraphXBridge.distances(spark, g, s).localCheckpoint()
-          val r = d.filter(col("dist") > 0).agg(sum(expr(
+          // bound the recompute to the SAME 40-hop horizon the batched
+          // operator ran under (maxRounds = 40 above): an unbounded SSSP
+          // would count nodes past the cap and throw a spuriously-loud
+          // mismatch on any checked source whose eccentricity exceeds it
+          val r = d.filter(col("dist") > 0 && col("dist") <= 40).agg(sum(expr(
             s"CAST(${Algorithms.HarmonicFp} AS BIGINT) DIV CAST(dist AS BIGINT)"))).head
           val hsum = if (r.isNullAt(0)) 0L else r.getLong(0)
           val row = lab.filter(col("node") === s).select(col("harmonic_fp")).head

@@ -743,7 +743,10 @@ object Algorithms {
     val CompactEvery = 8
     var visitedParts = List(levels(0).select(col("s"), col("node")))
     var done = false
-    while (!done) {
+    // round cap checked BEFORE building the next frame: a capped run
+    // must not pay (and then discard) one extra join+dedup+checkpoint
+    // round — the same front-door counter multiSourceBfsAgg uses
+    while (!done && levels.length <= maxRounds) {
       if (visitedParts.length >= CompactEvery)
         visitedParts = List(visitedParts.reduce(_ unionByName _).localCheckpoint())
       val visited = visitedParts.reduce(_ union _)
@@ -760,7 +763,7 @@ object Algorithms {
         .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("s", "node"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty || levels.length > maxRounds) done = true
+      if (next.isEmpty) done = true
       else {
         levels += next
         visitedParts ::= next.select(col("s"), col("node"))
@@ -984,8 +987,14 @@ object Algorithms {
     * Scale shape: one canonicalize-dedup shuffle, two hash joins
     * against the membership frame (broadcast when the dimension is
     * small — Catalyst's call), one count and two partial-agg'd
-    * group-bys. No iteration, no driver loop; m ≤ 2³¹ keeps
-    * 4·m·L_c and D_c² far inside BIGINT (both ≤ 4m²). */
+    * group-bys. No iteration, no driver loop.
+    *
+    * Overflow contract (fail-loud, the Brandes-family rule): the
+    * BIGINT-safe bound is m ≤ 2³⁰ — the extreme term is D_c² ≤ (2m)² =
+    * 4m², which hits 2⁶² at m = 2³⁰ and WRAPS at 2³¹ under non-ANSI
+    * long multiply; a graph past the bound throws here instead of
+    * publishing a silently-wrapped q_num_4m2 (corpora past ~10⁹ edges
+    * would lift the numerator to DECIMAL(38,0)). */
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -997,6 +1006,11 @@ object Algorithms {
       .select(col("ca"), col("cb"))
       .localCheckpoint() // one labeled-edge pass feeds count + both aggs
     val m = lab.count()
+    if (m > (1L << 30))
+      throw new ArithmeticException(
+        s"modularity: $m labeled edges exceeds the 2^30 BIGINT-safe bound " +
+          "for q_num_4m2 = 4mL - D^2 (D^2 <= 4m^2 wraps past 2^63) — " +
+          "lift the numerator to DECIMAL(38,0) for graphs this size")
     val intra = lab.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_intra"))
     val deg = lab.select(col("ca").as("community"))
@@ -1029,15 +1043,32 @@ object Algorithms {
     * break the whole trajectory is reproducible cross-engine — the
     * DuckDB oracle unrolls the same rounds in SQL.
     *
-    * Scale shape per round: one labeled-edge pass (two hash joins
-    * against the community map), one pair-weight aggregation, one
-    * degree-mass aggregation, a per-community window top-1 (exchange on
-    * community id), and a semi-join mutual check — no driver loop, no
-    * collect; the community map is the only state (localCheckpoint per
-    * round, O(1) lineage). Edges naming ids outside `nodes` are dropped
-    * (the node-frame contract). Output: (node, community). */
+    * Scale shape per round (reworked after the r16 plan audit): the
+    * loop state is the LABELED edge relation (a, b, ca, cb) — seeded
+    * for free, since round-0 labels are the node ids themselves — and
+    * each round applies only the merge DIFF (old community → new
+    * community, at most one row per merged pair, strictly shrinking) to
+    * both label columns via broadcast joins: the edge relation is never
+    * re-exchanged inside the loop (the pre-r17 shape re-joined e0
+    * against the full membership map per round, which re-shuffled the
+    * edges on `b` once the map outgrew broadcast — a per-round full-
+    * edge exchange at 100×). Per round: one pair-weight aggregation
+    * (map-side partial combine — only distinct community PAIRS move),
+    * one degree-mass aggregation over the node-sized membership map, a
+    * per-community window top-1 and a semi-join mutual check (both
+    * community-pair-sized), then the two broadcast relabel joins. The
+    * merge-diff count doubles as the convergence probe: a round with no
+    * positive mutual merge is the fixpoint, and the loop EXITS instead
+    * of paying provably-no-op rounds (kCore's early-exit pattern —
+    * `rounds` is the cap, not the iteration count; GraphSpec pins
+    * cap-equivalence). `onRound` observes each merged round's
+    * membership map (the GraphScale soak scores per-round Q monotonicity
+    * through it); the default is a no-op. Edges naming ids outside
+    * `nodes` are dropped (the node-frame contract). Output:
+    * (node, community). */
   def greedyModularity(nodes: DataFrame, edges: DataFrame,
-                       rounds: Int, numParts: Int = 0): DataFrame = {
+                       rounds: Int, numParts: Int = 0,
+                       onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     require(rounds >= 1, "greedyModularity needs at least one round")
     val ids = nodes.select(col("id"))
     val e0base = edges.select(least(col("src"), col("dst")).as("a"),
@@ -1054,14 +1085,16 @@ object Algorithms {
       .localCheckpoint()
     var comm = ids.select(col("id").as("node"), col("id").as("community"))
       .localCheckpoint()
+    // round-0 community labels ARE the node ids — the labeled edge state
+    // starts as a projection, no membership join ever runs
+    var labE = e0.select(col("a"), col("b"),
+      col("a").as("ca"), col("b").as("cb")).localCheckpoint()
     val dec = "decimal(38,0)"
-    for (_ <- 1 to rounds) {
-      val lab = e0
-        .join(comm.select(col("node").as("a"), col("community").as("ca")),
-          Seq("a"))
-        .join(comm.select(col("node").as("b"), col("community").as("cb")),
-          Seq("b"))
-      val w = lab.filter(col("ca") =!= col("cb"))
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val w = labE.filter(col("ca") =!= col("cb"))
         .select(least(col("ca"), col("cb")).as("x"),
           greatest(col("ca"), col("cb")).as("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
@@ -1085,14 +1118,50 @@ object Algorithms {
         .join(best.select(col("p").as("c"), col("c").as("p")),
           Seq("c", "p"), "left_semi")
         .filter(col("c") < col("p")) // one row per merged pair; label = c
-      val relabel = mutual.select(col("p").as("community"), col("c").as("newc"))
-      comm = comm.join(relabel, Seq("community"), "left")
-        .select(col("node"),
-          coalesce(col("newc"), col("community")).as("community"))
+      val relabel = mutual
+        .select(col("p").as("community"), col("c").as("newc"))
         .localCheckpoint()
+      // the count is the convergence probe AND the broadcast-size gate —
+      // one scalar job over an already-materialized pair-sized frame
+      val nMerges = relabel.count()
+      if (nMerges == 0) converged = true
+      else {
+        // merge diffs are community-count-bounded and halve round over
+        // round; broadcasting them keeps the edge state exchange-free.
+        // Past the bound (4M pairs — a first round on a billion-node
+        // graph) fall back to a shuffled join: still strictly cheaper
+        // than the old shape, which re-exchanged the EDGES, not the map.
+        val rl = if (nMerges <= RelabelBroadcastMax) broadcast(relabel)
+                 else relabel
+        comm = comm.join(rl, Seq("community"), "left")
+          .select(col("node"),
+            coalesce(col("newc"), col("community")).as("community"))
+          .localCheckpoint()
+        labE = relabelEdges(labE, rl).localCheckpoint()
+        onRound(r, comm)
+      }
     }
     comm
   }
+
+  /** Merge-diff cap for keeping [[greedyModularity]]'s relabel joins on
+    * the broadcast path: 4M (community, newc) pairs ≈ 64 MB of longs —
+    * the same order as kCore's drop-set bound. */
+  val RelabelBroadcastMax: Long = 4L * 1024 * 1024
+
+  /** Applies one round's merge diff `rl` (community → newc) to both
+    * label columns of the labeled edge state — two left joins that stay
+    * broadcast (zero edge-side exchange) whenever the caller passes a
+    * broadcast-hinted diff; PlanShapeSpec pins that plan shape. */
+  private[graft] def relabelEdges(labE: DataFrame, rl: DataFrame): DataFrame =
+    labE
+      .join(rl.select(col("community").as("ca"), col("newc").as("nca")),
+        Seq("ca"), "left")
+      .join(rl.select(col("community").as("cb"), col("newc").as("ncb")),
+        Seq("cb"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("nca"), col("ca")).as("ca"),
+        coalesce(col("ncb"), col("cb")).as("cb"))
 
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the

@@ -1001,8 +1001,18 @@ object GraphOps {
 
   /** DuckDB mirror of [[communityCluster]] — the same mutual-best merge
     * rounds unrolled in SQL (integer gains 2m·e_AB − D_A·D_B, the same
-    * min-id tie break via ROW_NUMBER). */
-  private def greedyModularityOracle(edgesSql: String, rounds: Int): String = {
+    * min-id tie break via ROW_NUMBER).
+    *
+    * `nodesSql` is the node universe the Spark side seeds communities
+    * from; when None it derives from the edge endpoints — exactly right
+    * for the gated componentSample instance, whose node frame IS
+    * edge-endpoints-distinct by construction (PropertyGraph.scala), so
+    * the two sides cannot disagree on isolated nodes there. An instance
+    * whose node frame is wider than its edges (isolated nodes yield
+    * singleton communities on the Spark side) MUST pass its own
+    * nodesSql or the parity gate fails on the missing singletons. */
+  private def greedyModularityOracle(edgesSql: String, rounds: Int,
+                                     nodesSql: Option[String] = None): String = {
     val roundsSql = (1 to rounds).map { r =>
       // every CTE referenced more than once per round (comm, w, d,
       // best) is MATERIALIZED: DuckDB inlines plain CTEs, and a
@@ -1033,11 +1043,13 @@ object GraphOps {
          |  FROM comm${r - 1} c0 LEFT JOIN mutual$r mu ON mu.p = c0.c)"""
         .stripMargin
     }.mkString(",\n")
+    val n0Sql = nodesSql.getOrElse(
+      """SELECT DISTINCT src AS node FROM
+        |  (SELECT src FROM e UNION SELECT dst FROM e) t(src)""".stripMargin)
     s"""WITH base AS MATERIALIZED ($edgesSql),
        |e AS MATERIALIZED (SELECT LEAST(src, dst) AS src,
        |  GREATEST(src, dst) AS dst FROM base WHERE src <> dst),
-       |n0 AS (SELECT DISTINCT src AS node FROM
-       |  (SELECT src FROM e UNION SELECT dst FROM e) t(src)),
+       |n0 AS ($n0Sql),
        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS k FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
        |  GROUP BY node),

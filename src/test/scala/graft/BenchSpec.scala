@@ -76,20 +76,24 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The driver keeps only the last 2000 chars of combined output; a line
     // longer than that is truncated mid-JSON and parses as null (this
     // voided BENCH_r02/r03). Simulate a far larger suite than the real one
-    // and require: under budget, valid JSON, slowest queries retained.
+    // (200 queries, 23-char names — no name-carrying shape can fit) and
+    // require: under budget, valid JSON, and NO query dropped — the
+    // values-array stage carries every entry at full diff fidelity where
+    // the pre-r17 ladder trimmed the fastest rows.
     val results = (1 to 200).map { i =>
       QueryBench(f"synthetic_query_name_$i%03d", i * 0.01, 0.0, 0.0, None)
     }
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(!line.contains("queries_omitted"),
+      "the values-array stage must carry every query — trimming is the last resort\n" + line)
+    val entries = Bench.decodeQueries(line, results.map(_.name))
+    assert(entries.size === 200)
+    results.foreach { r =>
+      assert(math.abs(entries(r.name) - r.secs) <= 0.0501,
+        s"${r.name}: line says ${entries(r.name)}, truth is ${r.secs}")
+    }
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
-    val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
-    assert(qs.nonEmpty && qs.size < 200, "over-budget suite must be trimmed, not dropped")
-    assert(qs.exists(_._1 == "synthetic_query_name_200"), "slowest query must survive the trim")
-    assert(line.contains(""""queries_omitted":"""))
-    // value stays the whole-suite total even when the map is trimmed
-    // (the deep-degrade rungs render it at 1 decimal — a round total
-    // like 201.0 then parses as a JSON integer, hence the match)
     val total = (parsed \ "value") match {
       case org.json4s.JDouble(d) => d
       case org.json4s.JInt(i) => i.toDouble
@@ -148,17 +152,14 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!line.contains("queries_omitted"),
       s"${results.size} queries no longer fit untrimmed — rework the encoding " +
         "before landing another gated operator")
-    // EVERY query must be on the line (dict or compact-string form), with
-    // a parseable nonzero value attached
-    val parsed = org.json4s.jackson.JsonMethods.parse(line)
-    val qv = parsed \ "queries"
-    qv match {
-      case org.json4s.JString(s) =>
-        val entries = s.split(" ").map(_.split(":")).map(a => a(0) -> a(1).toDouble).toMap
-        assert(entries.size === results.size)
-        results.foreach(r => assert(entries(r.name) > 0, s"${r.name} rendered zero"))
-      case _ =>
-        results.foreach(r => assert(line.contains(s"\"${r.name}\":"), s"${r.name} missing"))
+    // EVERY query must be on the line (whatever shape fit), with a
+    // parseable nonzero value within the 0.05 s fidelity contract
+    val entries = Bench.decodeQueries(line, results.map(_.name))
+    assert(entries.size === results.size)
+    results.foreach { r =>
+      assert(entries(r.name) > 0, s"${r.name} rendered zero")
+      assert(math.abs(entries(r.name) - r.secs) <= 0.0501,
+        s"${r.name}: line says ${entries(r.name)}, truth is ${r.secs}")
     }
   }
 
@@ -180,17 +181,7 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(!line.contains("queries_omitted"), "must fit untrimmed\n" + line)
-    val parsed = org.json4s.jackson.JsonMethods.parse(line)
-    val entries = (parsed \ "queries") match {
-      case org.json4s.JString(s) =>
-        s.split(" ").map(_.split(":")).map(a => a(0) -> a(1).toDouble).toMap
-      case _ => // dict form fit after all — extract per-key numbers
-        (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map {
-          case (k, org.json4s.JDouble(v)) => k -> v
-          case (k, org.json4s.JInt(v)) => k -> v.toDouble
-          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
-        }.toMap
-    }
+    val entries = Bench.decodeQueries(line, results.map(_.name))
     assert(entries.size === results.size)
     results.filter(_.secs < 10).foreach { r =>
       assert(math.abs(entries(r.name) - r.secs) <= 0.0501,
@@ -199,20 +190,37 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pathological timings (999.999 s every query) degrade compactly, never truncation") {
-    // pre-r14 this case trimmed queries; the compact-string stage now
-    // keeps every row ("name:1000" per entry fits easily) — trimming
-    // remains only as the truly-final fallback
+    // pre-r14 this case trimmed queries; the fitting stages now keep
+    // every row — trimming remains only as the truly-final fallback
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(n => QueryBench(n, 999.999, 0.0, 0.0, None))
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
-    val parsed = org.json4s.jackson.JsonMethods.parse(line)
-    (parsed \ "queries") match {
-      case org.json4s.JString(s) =>
-        assert(s.split(" ").length === results.size, "compact form must keep every query")
-      case org.json4s.JObject(obj) => assert(obj.nonEmpty)
-      case other => fail(s"unexpected queries shape: $other")
-    }
+    val entries = Bench.decodeQueries(line, results.map(_.name))
+    assert(entries.size === results.size, "every query must survive degradation")
+  }
+
+  test("decodeQueries round-trips every line shape and fails loud on registry drift") {
+    // dict shape (small suite)
+    val small = Seq(QueryBench("alpha", 1.234, 0.0, 0.0, None),
+      QueryBench("beta", 0.042, 0.0, 0.0, None))
+    val dictLine = Bench.benchLine(small, "/sf")
+    assert(Bench.decodeQueries(dictLine)("alpha") === 1.234)
+    // values-array shape: long names force names off the line; an
+    // errored query's name must ride along so the decoder can resolve
+    // which registry rows the values belong to
+    val big = (1 to 300).map(i =>
+      QueryBench(f"very_long_synthetic_name_$i%03d", 0.37, 0.0, 0.0, None)) :+
+      QueryBench("very_long_synthetic_name_boom", 0.0, 0.0, 0.0, Some("kaboom"))
+    val arrLine = Bench.benchLine(big, "/sf")
+    assert(arrLine.length <= Bench.LineBudget)
+    assert(arrLine.contains("\"qh\":"), "expected the values-array shape\n" + arrLine)
+    val decoded = Bench.decodeQueries(arrLine, big.map(_.name))
+    assert(decoded.size === 300 && !decoded.contains("very_long_synthetic_name_boom"))
+    assert(math.abs(decoded("very_long_synthetic_name_007") - 0.37) <= 0.0051)
+    // a WRONG registry (one renamed query) must throw, not mis-label
+    val drifted = big.map(_.name).updated(5, "very_long_synthetic_renamed")
+    intercept[IllegalArgumentException] { Bench.decodeQueries(arrLine, drifted) }
   }
 
   test("mass failure still yields a parseable line under budget") {

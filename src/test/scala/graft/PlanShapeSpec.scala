@@ -332,4 +332,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "adjacency must be checkpointed, not re-derived per consumer\n" + p)
     }
   }
+
+  test("greedyModularity round update never exchanges the labeled edge state") {
+    // the r16 plan audit's scale finding: the old round loop re-joined
+    // the edge relation against the full membership map, re-shuffling
+    // edges on `b` once the map outgrew broadcast. The reworked loop
+    // applies the merge DIFF via broadcast joins — the edge side of a
+    // round update must show two BroadcastHashJoins and ZERO shuffle
+    // exchanges, even with auto-broadcast off (the hint is explicit).
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val labE = Seq((1L, 2L, 10L, 20L), (2L, 3L, 20L, 30L))
+      .toDF("a", "b", "ca", "cb").localCheckpoint()
+    val rl = Seq((20L, 10L)).toDF("community", "newc")
+    withAutoBroadcastOff {
+      val p = plan(graft.graph.Algorithms.relabelEdges(labE, broadcast(rl)))
+      // formatted explain prints each node in the tree AND its detail
+      // section: two joins appear as 4 mentions
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        "both label columns must relabel via broadcast joins\n" + p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "a round update must never re-exchange the labeled edge state\n" + p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
 }
