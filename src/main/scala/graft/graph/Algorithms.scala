@@ -1256,6 +1256,116 @@ object Algorithms {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Per-node local clustering substrate, published EXACTLY: for each
+    * node, the integer pair (n_tri, n_wedges) where n_tri is the node's
+    * triangle participation count and n_wedges = d·(d−1)/2 over its
+    * distinct undirected degree d — the local clustering coefficient is
+    * the driver-side ratio n_tri/n_wedges (1.0 for a clique corner, 0
+    * for a star center), with no float protocol in the gate: the same
+    * publish-the-integers move as closeness/modularity. Global
+    * transitivity is an aggregation of the same pairs: Σn_tri counts
+    * every triangle at its three corners, so transitivity =
+    * Σn_tri / Σn_wedges directly.
+    *
+    * Scale shape: [[triangleCounts]]'s degree-oriented O(m^1.5) plan
+    * plus one degree aggregation and one node-keyed join — no
+    * iteration. Nodes outside the edge set get (0, 0). */
+  def clustering(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val canon = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+    val deg = canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    triangleCounts(nodes, edges)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("n_tri"),
+        // d·(d−1) is even, and DIV keeps the arithmetic in BIGINT (the
+        // `/` operator would silently widen to DOUBLE)
+        expr("COALESCE(d * (d - 1), 0L) DIV 2L").as("n_wedges"))
+  }
+
+  /** Per-edge triangle support over a canonical (a < b, deduped,
+    * loop-free) undirected edge set: for each edge, how many triangles
+    * contain it. Rides the same degree-oriented edge-iterator as
+    * [[triangleCounts]] — each triangle is enumerated once at its
+    * (deg,id)-least edge via the native sorted-merge intersection, and
+    * credits its THREE edges (the iterated edge gets |I| in one row;
+    * each closing corner credits the two remaining edges) — so the
+    * aggregation input is exactly 3 rows per actual triangle, O(m^1.5)
+    * total. Edges in no triangle report support 0. */
+  private[graft] def edgeSupports(canon: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(canon.sparkSession)
+    val dir = orientedEdges(canon.select(col("a").as("src"), col("b").as("dst")))
+    val adj = dir.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+    val withI = dir.select(col("s").as("u"), col("d").as("v"))
+      .join(adj.select(col("s").as("u"), col("nbrs").as("un")), Seq("u"))
+      .join(adj.select(col("s").as("v"), col("nbrs").as("vn")), Seq("v"))
+      .select(col("u"), col("v"),
+        call_function("graft_sorted_intersect", col("un"), col("vn")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val credits = withI.select(explode(concat(
+        array(struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"),
+          size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"), w => struct(least(col("u"), w).as("a"),
+          greatest(col("u"), w).as("b"), lit(1L).as("c"))),
+        transform(col("ws"), w => struct(least(col("v"), w).as("a"),
+          greatest(col("v"), w).as("b"), lit(1L).as("c"))))).as("x"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("x.c").as("c"))
+    val sup = credits.groupBy(col("a"), col("b")).agg(sum(col("c")).as("support"))
+    canon.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** K-truss decomposition by synchronous edge peeling — the edge-
+    * support analog of [[kCore]]: each round recomputes per-edge
+    * triangle support among the SURVIVORS and drops every edge with
+    * support < k−2, until a round drops nothing (fixpoint — further
+    * rounds are no-ops, so the early exit is exact) or `rounds` is
+    * exhausted (a cap, matched exactly by the oracle's unroll: both
+    * engines stop after the same round whether or not the peel has
+    * converged, so the gate never depends on convergence). Returns the
+    * surviving canonical edges with their support WITHIN the surviving
+    * subgraph — recomputed after a cap exit, reused from the fixpoint
+    * round otherwise.
+    *
+    * Scale shape: the loop variable is the live canonical edge set
+    * (localCheckpoint per round, O(1) lineage); each round is one
+    * degree-oriented support pass (O(m_live^1.5), shrinking
+    * monotonically) plus a filter — no driver-side edge lists, and the
+    * convergence probe is the count pair the round already needs. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    require(rounds >= 1, "kTruss needs at least one peel round")
+    val t = (k - 2).toLong
+    val e = edges.select(col("src"), col("dst"))
+    var live = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var nLive = live.count()
+    var finalSup: Option[DataFrame] = None
+    var r = 0
+    while (r < rounds && finalSup.isEmpty && nLive > 0) {
+      r += 1
+      val sup = edgeSupports(live).localCheckpoint()
+      val next = sup.filter(col("support") >= t).localCheckpoint()
+      val nNext = next.count()
+      if (nNext == nLive) finalSup = Some(sup) // fixpoint: sup IS final
+      else {
+        live = next.select(col("a"), col("b")).localCheckpoint()
+        nLive = nNext
+      }
+    }
+    // cap exit (or an emptied graph): supports are stale relative to the
+    // last drop — one final pass over the survivors, exactly as the
+    // oracle's unroll ends with a support recompute over its last live set
+    finalSup.getOrElse(edgeSupports(live))
+  }
+
   /** K-core decomposition by synchronous peeling: each round drops every
     * node whose degree among the survivors is < k, until a round drops
     * nothing (converged) or `rounds` is exhausted (`rounds` is a safety

@@ -1119,6 +1119,112 @@ object GraphOps {
        |     WHERE b.src = a.dst AND b.dst = a.src)) AS reciprocal"""
       .stripMargin
 
+  // --- G30: local clustering coefficient / transitivity ----------------------
+
+  /** G30: per-node local clustering substrate on the real power-law
+    * graph — the structure metric a graph-db user asks for right after
+    * triangles and degree. Published as the exact integer pair
+    * (n_tri, n_wedges = d·(d−1)/2); the coefficient n_tri/n_wedges is a
+    * driver-side ratio, no float protocol. Rides the degree-oriented
+    * triangle substrate ([[graft.graph.Algorithms.clustering]]). */
+  def wikivoteClustering(spark: SparkSession, dir: String): DataFrame = {
+    val g = wikiVote(spark)
+    Algorithms.clustering(g.nodes, g.edges)
+  }
+
+  /** Shared SQL body: per-node (n_tri, n_wedges) over the Wiki-Vote
+    * undirected closure — the same triangle recount the G15e oracle
+    * runs, extended with the wedge counts. */
+  private def wikiClusteringCte: String =
+    s"""base AS ($wikiEdgesSql),
+       |n AS ($wikiNodesSql),
+       |ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |  greatest(src, dst) AS b FROM base WHERE src <> dst),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |cnt AS (SELECT id, count(*) AS n_tri FROM (
+       |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY id),
+       |deg AS (SELECT id, count(*) AS d FROM (
+       |  SELECT a AS id FROM ce UNION ALL SELECT b FROM ce) GROUP BY id),
+       |pairs AS (SELECT n.id,
+       |  CAST(COALESCE(cnt.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(COALESCE(deg.d * (deg.d - 1) // 2, 0) AS BIGINT) AS n_wedges
+       |FROM n LEFT JOIN cnt ON cnt.id = n.id LEFT JOIN deg ON deg.id = n.id)"""
+      .stripMargin
+
+  private val clusteringOracle: String =
+    s"""WITH $wikiClusteringCte
+       |SELECT id, n_tri, n_wedges FROM pairs""".stripMargin
+
+  /** G30b: global transitivity as ONE exact integer row — Σn_tri counts
+    * every triangle at its three corners (= 3·#triangles) and Σn_wedges
+    * counts all connected triples; transitivity = closed/total
+    * driver-side. */
+  def wikivoteTransitivity(spark: SparkSession, dir: String): DataFrame =
+    wikivoteClustering(spark, dir)
+      .agg(sum(col("n_tri")).as("closed_triplets"),
+        sum(col("n_wedges")).as("total_wedges"))
+
+  private val transitivityOracle: String =
+    s"""WITH $wikiClusteringCte
+       |SELECT CAST(SUM(n_tri) AS BIGINT) AS closed_triplets,
+       |  CAST(SUM(n_wedges) AS BIGINT) AS total_wedges FROM pairs"""
+      .stripMargin
+
+  // --- G31: k-truss decomposition --------------------------------------------
+
+  /** Truss parameters for [[wikivoteKTruss]]: k = 10 (every surviving
+    * edge sits in ≥ 8 triangles among survivors) does real cascading
+    * peel work on Wiki-Vote's dense core; 3 rounds is a CAP matched
+    * exactly by the oracle's unroll — the gate holds whether or not the
+    * peel has converged (both engines stop after the same round). */
+  val KTrussK = 10
+  val KTrussRounds = 3
+
+  /** G31: k-truss of the real power-law graph — the edge-support analog
+    * of k-core (every edge of the k-truss participates in ≥ k−2
+    * triangles within it), the standard dense-subgraph refinement a
+    * graph analyst reaches for after k-core. Output: surviving
+    * canonical edges with their in-truss support, exact integers.
+    * See [[graft.graph.Algorithms.kTruss]]. */
+  def wikivoteKTruss(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.kTruss(wikiVote(spark).edges, KTrussK, KTrussRounds)
+
+  /** Unrolled synchronous edge peel: per round, triangle support among
+    * the survivors → keep support ≥ k−2, `rounds` times, then the final
+    * survivors' supports (the same trailing recompute the Spark side
+    * runs on a cap exit). Every round's live set is MATERIALIZED —
+    * DuckDB's CTE inlining would otherwise make the unrolled triangle
+    * tree exponential in the round count (the greedy-modularity oracle's
+    * inliner trap). */
+  private def ktrussOracle(edgesSql: String, k: Int, rounds: Int): String = {
+    val t = k - 2
+    def supSql(live: String, name: String) =
+      s"""tri_$name AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $live e1 JOIN $live e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN $live e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup_$name AS MATERIALIZED (SELECT a, b, count(*) AS s FROM (
+         |  SELECT x AS a, y AS b FROM tri_$name
+         |  UNION ALL SELECT x, z FROM tri_$name
+         |  UNION ALL SELECT y, z FROM tri_$name) GROUP BY 1, 2)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""${supSql(s"live${i - 1}", s"r$i")},
+         |live$i AS MATERIALIZED (SELECT l.a, l.b FROM live${i - 1} l
+         |  JOIN sup_r$i s ON s.a = l.a AND s.b = l.b WHERE s.s >= $t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($edgesSql),
+       |live0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |  greatest(src, dst) AS b FROM base WHERE src <> dst),
+       |$peels,
+       |${supSql(s"live$rounds", "fin")}
+       |SELECT l.a, l.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+       |FROM live$rounds l
+       |LEFT JOIN sup_fin s ON s.a = l.a AND s.b = l.b""".stripMargin
+  }
+
   // --- G16: common-neighbor link scoring ------------------------------------
 
   /** Witness-degree cap for [[commonNeighbors]]: nodes with more than
@@ -1594,6 +1700,9 @@ object GraphOps {
     "g_greedy_modularity" -> communityCluster,
     "g_assortativity" -> wikivoteAssortativity,
     "g_reciprocity" -> wikivoteReciprocity,
+    "g_clustering" -> wikivoteClustering,
+    "g_transitivity" -> wikivoteTransitivity,
+    "g_ktruss" -> wikivoteKTruss,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1681,6 +1790,9 @@ object GraphOps {
       GreedyModRounds),
     "g_assortativity" -> assortativityOracle,
     "g_reciprocity" -> reciprocityOracle,
+    "g_clustering" -> clusteringOracle,
+    "g_transitivity" -> transitivityOracle,
+    "g_ktruss" -> ktrussOracle(wikiEdgesSql, KTrussK, KTrussRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

@@ -653,6 +653,52 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qNum === 70L)
   }
 
+  test("clustering: K4 corners are fully closed, a star center is fully open") {
+    // K4 plus a pendant star edge at node 1: node 1 has degree 4 → 6
+    // wedges, of which 3 close (its K4 triangles); pure K4 corners have
+    // 3 wedges / 3 triangles (coefficient 1); the leaf has 1 neighbor →
+    // 0 wedges. Exact integers, no float protocol.
+    val g = graph((for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)) :+ (1L, 9L))
+    val got = Algorithms.clustering(g.nodes, g.edges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> (3L, 6L), 2L -> (3L, 3L), 3L -> (3L, 3L),
+      4L -> (3L, 3L), 9L -> (0L, 0L)))
+    // transitivity over the same pairs: Σn_tri = 3·4 triangles... K4 has
+    // 4 triangles → closed = 12; wedges = 6+3+3+3+0 = 15
+    assert(got.values.map(_._1).sum === 12L)
+    assert(got.values.map(_._2).sum === 15L)
+  }
+
+  test("kTruss: pendant triangle peels off K5; cap semantics match the unroll") {
+    import spark.implicits._
+    // K5 (every edge in 3 triangles) + a triangle hanging off node 1
+    // via fresh nodes 8,9: its 3 edges each sit in exactly 1 triangle.
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val pendant = Seq((1L, 8L), (1L, 9L), (8L, 9L))
+    val edges = (k5 ++ pendant).toDF("src", "dst")
+    // k=4 (support >= 2): round 1 drops the pendant triangle whole; K5
+    // survives at support 3 — and extra rounds are no-ops (fixpoint)
+    val got = Algorithms.kTruss(edges, k = 4, rounds = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === k5.map(e => e -> 3L).toMap)
+    // k=6 (support >= 4): nothing on this graph qualifies
+    assert(Algorithms.kTruss(edges, k = 6, rounds = 3).count() === 0L)
+    // cap semantics on a cascading strip: triangles (1,2,3),(2,3,4),
+    // (3,4,5),(4,5,6) — interior shared edges have support 2, the rest 1.
+    // One k=4 round keeps exactly {(2,3),(3,4),(4,5)}, whose supports
+    // WITHIN the surviving (triangle-free) path are 0 — the trailing
+    // recompute must report the post-peel truth, not the stale supports.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val capped = Algorithms.kTruss(strip, k = 4, rounds = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped === Map((2L, 3L) -> 0L, (3L, 4L) -> 0L, (4L, 5L) -> 0L))
+    // two rounds reach the empty fixpoint
+    assert(Algorithms.kTruss(strip, k = 4, rounds = 3).count() === 0L)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
