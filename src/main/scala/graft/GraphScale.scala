@@ -108,6 +108,10 @@ object GraphScale {
     val edgeCount = edges.count()
 
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // per-round Q numerators stashed by greedy_modularity_10m's body for
+    // its check lambda (the op() contract passes only the result frame)
+    var gmQnums: scala.collection.mutable.ArrayBuffer[Long] =
+      scala.collection.mutable.ArrayBuffer.empty
     def op(name: String)(body: => DataFrame)(check: DataFrame => Long): (String, Double, Int, Option[String]) = {
       try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
       catch { case _: Throwable => () }
@@ -274,6 +278,77 @@ object GraphScale {
           throw new IllegalStateException(s"$bad nodes off the closed form")
         lab.agg(sum(col("bc_fp").cast("decimal(38,0)"))).head
           .getDecimal(0).longValue() / Algorithms.BetweennessFp
+      }),
+      // batched multi-source BETWEENNESS on the power-law graph itself —
+      // the skewed-degree complement of the tree row (which is closed-
+      // form-checkable but degree-1-ish): 64 sampled sources, horizon 6
+      // (σ grows through the ~20k-degree hub, so the bounded horizon is
+      // the honest corpus-scale form — the per-level overflow guard
+      // fails loud rather than wrapping if σ outgrows BIGINT). Check =
+      // EXACT additivity over a source-set split: δ accumulations are
+      // per-source independent, so two disjoint 32-source runs (their
+      // own level structures, their own guard schedules) must sum to
+      // the 64-source table bit-for-bit under the integer fixed-point
+      // protocol. Recorded value = nodes with nonzero centrality.
+      op("betweenness_s64_powerlaw")({
+        val step = math.max(1L, nNodes / 64)
+        val srcs = nodes.filter(col("id") % step === 0 && col("id") < step * 64)
+        Algorithms.betweenness(nodes, edges, maxRounds = 6, sources = Some(srcs))
+      })({ df =>
+        val lab = df.localCheckpoint()
+        val step = math.max(1L, nNodes / 64)
+        val even = nodes.filter(col("id") % (2 * step) === 0 &&
+          col("id") < step * 64)
+        val odd = nodes.filter(col("id") % step === 0 &&
+          col("id") % (2 * step) =!= 0 && col("id") < step * 64)
+        val a = Algorithms.betweenness(nodes, edges, maxRounds = 6,
+          sources = Some(even)).select(col("node"), col("bc_fp").as("bc_a"))
+        val b = Algorithms.betweenness(nodes, edges, maxRounds = 6,
+          sources = Some(odd)).select(col("node"), col("bc_fp").as("bc_b"))
+        val bad = lab.join(a, Seq("node")).join(b, Seq("node"))
+          .filter(col("bc_fp") =!= col("bc_a") + col("bc_b")).count()
+        if (bad != 0)
+          throw new IllegalStateException(
+            s"$bad nodes where the 64-source run differs from the sum of " +
+              "its disjoint 32-source halves")
+        lab.filter(col("bc_fp") > 0).count()
+      }),
+      // greedy modularity at 10M edges — the one family whose round
+      // count and per-round cost are data-dependent, so "job counts
+      // identical at 50x" could not be claimed from the gated instance
+      // alone (r16 gap #1). onRound scores each merged round's partition
+      // with G26's exact integer numerator; the check asserts Q is
+      // STRICTLY monotone from the singleton baseline through every
+      // merged round (mutual-positive merges can only raise Q — a
+      // violation means a merge was not mutual-positive) and that every
+      // community's label is one of its members. Recorded value = the
+      // final community count.
+      op("greedy_modularity_10m")({
+        val qn = scala.collection.mutable.ArrayBuffer.empty[Long]
+        gmQnums = qn
+        Algorithms.greedyModularity(nodes, edges, rounds = 5,
+          onRound = (_, c) => qn += Algorithms.modularity(edges, c)
+            .agg(sum(col("q_num_4m2"))).head.getLong(0))
+      })({ df =>
+        val lab = df.localCheckpoint()
+        val q0 = Algorithms.modularity(edges,
+            nodes.select(col("id").as("node"), col("id").as("community")))
+          .agg(sum(col("q_num_4m2"))).head.getLong(0)
+        val traj = q0 +: gmQnums.toSeq
+        traj.sliding(2).foreach {
+          case Seq(p, n) if n <= p =>
+            throw new IllegalStateException(
+              s"Q numerator not strictly monotone: $traj")
+          case _ => ()
+        }
+        val nComm = lab.agg(countDistinct(col("community"))).head.getLong(0)
+        val selfLabeled = lab.filter(col("node") === col("community")).count()
+        if (selfLabeled != nComm)
+          throw new IllegalStateException(
+            s"$nComm communities but $selfLabeled self-labeled nodes — " +
+              "some label is not a member of its community")
+        checks("greedy_modularity_10m_rounds") = gmQnums.size.toLong
+        nComm
       }),
       // distributed personalized PageRank seeded at the hub (the DataFrame
       // loop — the knob is off, so the local twin cannot serve): mass in
