@@ -1366,6 +1366,83 @@ object Algorithms {
     finalSup.getOrElse(edgeSupports(live))
   }
 
+  /** Core number (coreness) per node — the FULL k-core decomposition
+    * ([[kCore]] answers one k; this answers all of them at once, the
+    * form a pipeline selecting "dense-core documents/accounts" actually
+    * wants).
+    *
+    * Distributed formulation: the h-index fixpoint iteration — c₀ =
+    * degree, c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}) where H is the
+    * h-index (max k such that ≥ k neighbors have value ≥ k) — a purely
+    * LOCAL update that is monotonically non-increasing per node and
+    * converges exactly to the core number, which is what makes coreness
+    * computable as iterated joins at all (the textbook min-degree peel
+    * is inherently sequential). Per round, Spark-first: one edge-sized
+    * aggregation WITH map-side combine — neighbor values pre-aggregate
+    * as (node, value, count), and distinct (node, value) pairs are what
+    * move, collapsing as convergence spreads values — then a node-sized
+    * sort+fold computes H from the (value, count) runs inside a single
+    * codegen'd `aggregate` expression, no window, no per-neighbor rows
+    * past the combine. The convergence probe is one scalar sum per
+    * round (values only decrease, so ANY change strictly drops the
+    * sum); `maxRounds` is a cap, matched by the oracle's unroll.
+    *
+    * Bounded graphs route to [[LocalExec.coreness]] — the EXACT
+    * Matula–Beck peel, a genuinely different algorithm that the DuckDB
+    * h-index-unroll oracle then gates: their exact agreement on the
+    * gated instance doubles as the proof that the cap covers
+    * convergence there. Edges naming ids outside `nodes` are dropped;
+    * isolated nodes report core 0. */
+  def coreness(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+               numParts: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "coreness needs at least one h-index round")
+    if (LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      return LocalExec.coreness(nodes, edges)
+    val e = edges.select(col("src"), col("dst"))
+    val ids = nodes.select(col("id"))
+    val undBase = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    // laid out ONCE on dst: each round's value join probes exchange-free
+    // on the edge side (only the node-sized value frame moves)
+    val und = (if (numParts > 0) undBase.repartition(numParts, col("dst"))
+               else undBase.repartition(col("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def sumOf(df: DataFrame): Long = {
+      val r = df.agg(sum(col("c"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var c = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    var prevSum = sumOf(c)
+    var r = 0
+    var converged = prevSum == 0L
+    while (r < maxRounds && !converged) {
+      r += 1
+      val nv = und
+        .join(c.select(col("node").as("dst"), col("c").as("cv")), Seq("dst"))
+        .groupBy(col("src"), col("cv")).agg(count(lit(1)).as("n"))
+      val h = nv.groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("cv"), col("n"))),
+          asc = false).as("a"))
+        .select(col("src").as("node"), expr(
+          """CAST(aggregate(a, named_struct('seen', 0L, 'h', 0L),
+            |  (acc, x) -> named_struct('seen', acc.seen + x.n,
+            |    'h', greatest(acc.h, least(x.cv, acc.seen + x.n))),
+            |  acc -> acc.h) AS BIGINT)""".stripMargin).as("c"))
+      c = h.localCheckpoint()
+      val s = sumOf(c)
+      if (s == prevSum) converged = true else prevSum = s
+    }
+    val out = ids.join(c.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("coreness"))
+      .localCheckpoint() // materialize before the edge layout unpersists
+    und.unpersist()
+    out
+  }
+
   /** K-core decomposition by synchronous peeling: each round drops every
     * node whose degree among the survivors is < k, until a round drops
     * nothing (converged) or `rounds` is exhausted (`rounds` is a safety

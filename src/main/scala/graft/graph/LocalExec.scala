@@ -491,6 +491,61 @@ object LocalExec {
       ids.indices.map(j => Row(ids(j), hub(j), auth(j))))
   }
 
+  /** Local twin of [[Algorithms.coreness]] — EXACT core numbers by the
+    * classic min-degree peel (Matula–Beck bucket scan, O(m)) over the
+    * collected undirected adjacency. The distributed formulation
+    * iterates the h-index operator to the same fixpoint — two genuinely
+    * DIFFERENT algorithms for the same function, which is what makes
+    * the oracle gate strong: the DuckDB side unrolls the h-index
+    * iteration, this side peels, and they agree exactly iff the
+    * iteration converged within the cap on the gated instance
+    * (Wiki-Vote: 27 rounds < the 30-round cap). Self-loops excluded;
+    * nodes with no (known-endpoint) edges report core 0. */
+  def coreness(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val (srcA, dstA) = collectEdges(edges)
+    val ids = collectLongs(nodes)
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val nbrs = Array.fill(n)(mutable.HashSet.empty[Int])
+    var i = 0
+    while (i < srcA.length) {
+      val s = idx.getOrElse(srcA(i), -1)
+      val d = idx.getOrElse(dstA(i), -1)
+      if (s >= 0 && d >= 0 && s != d) { nbrs(s) += d; nbrs(d) += s }
+      i += 1
+    }
+    val cur = nbrs.map(_.size)
+    val maxd = if (n == 0) 0 else cur.max
+    // bucket scan with lazy (stale-skipped) entries: b never decreases,
+    // because a neighbor decrement only lands a node in bucket ≥ b
+    val buckets = Array.fill(maxd + 1)(mutable.ArrayBuffer.empty[Int])
+    var v = 0
+    while (v < n) { buckets(cur(v)) += v; v += 1 }
+    val removed = new Array[Boolean](n)
+    val core = new Array[Int](n)
+    var b = 0
+    while (b <= maxd) {
+      val bk = buckets(b)
+      if (bk.isEmpty) b += 1
+      else {
+        val u = bk.remove(bk.length - 1)
+        if (!removed(u) && cur(u) == b) {
+          removed(u) = true
+          core(u) = b
+          nbrs(u).foreach { w =>
+            if (!removed(w) && cur(w) > b) {
+              cur(w) -= 1
+              buckets(cur(w)) += w
+            }
+          }
+        }
+      }
+    }
+    localDF(spark, schema2("id", LongType, "coreness", LongType),
+      ids.indices.map(j => Row(ids(j), core(j).toLong)))
+  }
+
   /** Local twin of [[Algorithms.closeness]] — per-source BFS over the
     * collected adjacency, identical (reach, dist_sum) integer pairs
     * (distances are exact ints in both formulations, so twin ≡

@@ -259,7 +259,8 @@ object GraphOps {
       "g_kcore" -> kCore, "g_pagerank" -> pageRank, "g_scc" -> scc,
       "g_stress" -> gridStress, "g_harmonic" -> gridHarmonic,
       "g_betweenness" -> ladderBetweenness,
-      "g_eccentricity" -> gridEccentricity)
+      "g_eccentricity" -> gridEccentricity,
+      "g_coreness" -> wikivoteCoreness)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
@@ -1173,6 +1174,54 @@ object GraphOps {
        |  CAST(SUM(n_wedges) AS BIGINT) AS total_wedges FROM pairs"""
       .stripMargin
 
+  // --- G32: core decomposition (coreness) -------------------------------------
+
+  /** H-index round cap for [[wikivoteCoreness]]: the iteration converges
+    * on Wiki-Vote in 27 rounds (max core 53), and the gate itself proves
+    * cap coverage — the Spark side publishes the EXACT Matula–Beck peel
+    * (LocalExec twin on the bounded graph), the oracle unrolls the
+    * h-index iteration, and they agree iff round `CorenessRounds`
+    * reached the fixpoint. */
+  val CorenessRounds = 30
+
+  /** G32: core number per node on the real power-law graph — the full
+    * k-core decomposition in one pass (G14 answers ONE k; this ranks
+    * every node by nesting depth, the density score a corpus pipeline
+    * actually selects on). Distributed path = h-index fixpoint iteration
+    * (one map-side-combined edge aggregation + a node-sized sort-fold
+    * per round — see [[graft.graph.Algorithms.coreness]]); bounded gated
+    * instance routes to the exact peel twin. `g_coreness@dist` measures
+    * the distributed path in the sweep. */
+  def wikivoteCoreness(spark: SparkSession, dir: String): DataFrame = {
+    val g = wikiVote(spark)
+    Algorithms.coreness(g.nodes, g.edges, CorenessRounds, numParts = 4)
+  }
+
+  /** DuckDB mirror of [[wikivoteCoreness]] — the h-index iteration
+    * unrolled: per round, rank each node's neighbor values descending
+    * and take max(least(rank, value)). A genuinely different algorithm
+    * from the peel the Spark side publishes; exact agreement is also
+    * the convergence-within-cap proof. */
+  private def corenessOracle(edgesSql: String, nodesSql: String,
+                             rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT src AS node, MAX(LEAST(rk, c)) AS c
+         |FROM (SELECT ue.src, p.c,
+         |    ROW_NUMBER() OVER (PARTITION BY ue.src ORDER BY p.c DESC) AS rk
+         |  FROM ue JOIN c${r - 1} p ON p.node = ue.dst) GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($edgesSql),
+       |n AS ($nodesSql),
+       |ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)
+       |  WHERE src <> dst),
+       |c0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM ue GROUP BY 1),
+       |$rs
+       |SELECT n.id, CAST(COALESCE(f.c, 0) AS BIGINT) AS coreness
+       |FROM n LEFT JOIN c$rounds f ON f.node = n.id""".stripMargin
+  }
+
   // --- G31: k-truss decomposition --------------------------------------------
 
   /** Truss parameters for [[wikivoteKTruss]]: k = 10 (every surviving
@@ -1703,6 +1752,7 @@ object GraphOps {
     "g_clustering" -> wikivoteClustering,
     "g_transitivity" -> wikivoteTransitivity,
     "g_ktruss" -> wikivoteKTruss,
+    "g_coreness" -> wikivoteCoreness,
     "g_common_neighbors" -> commonNeighbors,
     "g_adamic_adar" -> adamicAdar,
     "g_wsssp_grid" -> wssspGrid,
@@ -1793,6 +1843,7 @@ object GraphOps {
     "g_clustering" -> clusteringOracle,
     "g_transitivity" -> transitivityOracle,
     "g_ktruss" -> ktrussOracle(wikiEdgesSql, KTrussK, KTrussRounds),
+    "g_coreness" -> corenessOracle(wikiEdgesSql, wikiNodesSql, CorenessRounds),
     "g_common_neighbors" -> commonNeighborsOracle,
     "g_adamic_adar" -> adamicAdarOracle,
     "g_wsssp_grid" -> bellmanFordOracle(gridEdgesSql(16), 256, 0L, 30),

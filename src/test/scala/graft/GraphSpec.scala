@@ -699,6 +699,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Algorithms.kTruss(strip, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("coreness: exact peel values; distributed h-index iteration agrees") {
+    // K4 (nodes 1-4, core 3) with a tail 4-7-8 (core 1) and an isolated
+    // node 9 (core 0): the full decomposition in one table, where kCore
+    // answers one k at a time.
+    import spark.implicits._
+    val edges = ((for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+      Seq((4L, 7L), (7L, 8L))).toDF("src", "dst")
+    val nodes = (1L to 4L).toDF("id")
+      .union(Seq(7L, 8L, 9L).toDF("id"))
+    val expect = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      7L -> 1L, 8L -> 1L, 9L -> 0L)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bounded route: the exact Matula-Beck peel twin
+    assert(asMap(Algorithms.coreness(nodes, edges, maxRounds = 10)) === expect)
+    // forced-distributed route: the h-index fixpoint iteration — a
+    // genuinely different algorithm, same function
+    val dist = graft.Reset.confFlip.synchronized {
+      val key = graft.graph.LocalExec.MaxBytesKey
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "0")
+      try asMap(Algorithms.coreness(nodes, edges, maxRounds = 10, numParts = 2))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    assert(dist === expect)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val k4 = graph(for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
