@@ -158,7 +158,10 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "g_wsssp_grid@dist" -> 1.39, "g_pagerank@dist" -> 0.74,
       "g_scc@dist" -> 11.47, "g_stress@dist" -> 19.27,
       "g_harmonic@dist" -> 12.38, "g_betweenness@dist" -> 7.43,
-      "g_eccentricity@dist" -> 19.38)
+      "g_eccentricity@dist" -> 19.38,
+      // 27 h-index rounds x ~4 scheduled jobs on the fixed Wiki-Vote
+      // graph (r17 first committed measurement)
+      "g_coreness@dist" -> 10.83)
     for (q <- distQs) {
       val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
       assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
