@@ -285,16 +285,48 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pass-spread audit — `unstable` in the detail JSON, `passes` in
     // both artifacts; this cross-check only catches a run that was
     // dirty consistently across all of a query's passes.
+    // Cross-window comparator (r17): the PUBLISHED number is the min
+    // over passes — a tail statistic. Two back-to-back clean r17
+    // windows reproduced a 1.51–1.58× disagreement on one ~0.5 s query
+    // (t_bigrams) whose pass sets overlap almost entirely: DETAIL's min
+    // was one lucky 0.35 s pass among [0.85, 0.64, 0.35, 0.45, 0.47]
+    // while the sweep's passes sat at [0.60, 0.53, 0.55] — the same
+    // workload, different single-pass luck. The agreement check
+    // therefore compares the MEDIAN OF THE FASTEST THREE passes (the
+    // same window the stability audit judges) under the SAME 1.5×/2.2×
+    // bars: robust to one lucky or unlucky pass in either artifact,
+    // while the mixed-window pair this test exists for (r11:
+    // t_bottomk_sketch, where EVERY pass shifts together) still trips
+    // identically. Published values stay the min — only the
+    // cross-artifact comparison uses the robust estimator.
+    def med3(passes: Seq[Double], fallback: Double): Double = {
+      val f = passes.sorted.take(3)
+      if (f.isEmpty) fallback else f(f.size / 2)
+    }
+    val sweepPasses: Map[String, Seq[Double]] = csv.linesIterator.drop(1)
+      .filter(_.nonEmpty).map(_.split(",", -1)).collect {
+        case f if f.length >= 7 && f(1) == "sf0.1" && !f(0).contains("@") =>
+          f(0) -> f(6).split(';').toSeq
+            .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      }.toMap
+    // the only numeric-array entries in the detail JSON are the passes
+    val detailPasses: Map[String, Seq[Double]] =
+      """"([^"]+)":\[([0-9.,]+)\]""".r.findAllMatchIn(detail).map { m =>
+        m.group(1) -> m.group(2).split(',').toSeq
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      }.toMap
     val disagree = shared.toSeq.sorted.flatMap { q =>
+      val sM = med3(sweepPasses.getOrElse(q, Nil), sweep(q))
+      val dM = med3(detailPasses.getOrElse(q, Nil), detailTimes(q))
       // floor both sides at 250 ms: a multi-stage query (ingest writes,
       // checkpointing rounds) bottoms out at ~200-400 ms of scheduler+fs
       // latency on this host, and that floor's run-to-run variance (e.g.
       // g_ingest_nodes 0.24 vs 0.36 s across two clean runs) is noise,
       // not workload signal — the per-pass spread audit (100 ms floor)
       // remains the fine-grained detector within each artifact
-      val (s, d) = (math.max(sweep(q), 0.25), math.max(detailTimes(q), 0.25))
+      val (s, d) = (math.max(sM, 0.25), math.max(dM, 0.25))
       if (d / s > 2.2 || s / d > 1.5)
-        Some(f"$q sweep=${sweep(q)}%.2f detail=${detailTimes(q)}%.2f")
+        Some(f"$q sweep-med3=$sM%.2f detail-med3=$dM%.2f")
       else None
     }
     assert(disagree.isEmpty,
