@@ -42,7 +42,14 @@ object SuiteStamp {
 
   /** SHA-256 over the sorted repo-relative paths and contents of every
     * suite-relevant source file. Path separators normalized so the
-    * digest is machine-independent; file bytes hashed raw. */
+    * digest is machine-independent; file bytes hashed raw.
+    *
+    * Scope includes the BUILD DEFINITION, not just `build.sbt`:
+    * `project/build.properties` (the sbt version pin) and any .sbt or
+    * .scala file at the top of `project/` can change the suite's
+    * verdict (plugin, scalac flag, dependency) just as silently as a
+    * source edit — leaving them out re-opens the exact gap the stamp
+    * closes (r17 ADVICE). `project/target` and other residue stay out. */
   def digest(root: Path = Paths.get(".")): String = {
     val r = root.toAbsolutePath.normalize
     val srcs = Seq("src/main", "src/test").flatMap { d =>
@@ -50,6 +57,15 @@ object SuiteStamp {
       if (!Files.isDirectory(p)) Nil
       else Files.walk(p).iterator.asScala
         .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".scala"))
+        .toSeq
+    } ++ {
+      val p = r.resolve("project")
+      if (!Files.isDirectory(p)) Nil
+      else Files.list(p).iterator.asScala // top level only: skips project/target
+        .filter(f => Files.isRegularFile(f) && {
+          val n = f.getFileName.toString
+          n == "build.properties" || n.endsWith(".sbt") || n.endsWith(".scala")
+        })
         .toSeq
     } :+ r.resolve("build.sbt")
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -1025,6 +1025,60 @@ object Algorithms {
         lit(m).as("m_edges"))
   }
 
+  /** Weighted Newman modularity — [[modularity]] generalized to an
+    * integer edge-weight column: Q = Σ_c (W_c/W − (S_c/2W)²) with W_c
+    * the intra-community weight, S_c the community's strength mass
+    * (Σ incident weight over members), W the total weight. Published
+    * EXACTLY as integers per community: (community, w_intra, s_sum,
+    * q_num_4w2 = 4·W·W_c − S_c², w_total) — Q = Σ q_num_4w2/(4W²)
+    * driver-side, the same no-float protocol as the unweighted form.
+    *
+    * `edges` = (src, dst, w) with integer w ≥ 1; parallel (src, dst)
+    * rows pre-sum after canonicalization (least/greatest, loops
+    * dropped), an edge with an unlabeled endpoint is dropped. Overflow
+    * contract (fail-loud): W ≤ 2³⁰ — S_c² ≤ (2W)² is the extreme term,
+    * exactly the unweighted bound with weight standing in for count;
+    * heavier corpora lift the numerator to DECIMAL(38,0).
+    *
+    * Scale shape: identical to [[modularity]] — one canonicalize
+    * aggregation, two hash joins against membership, two partial-agg'd
+    * group-bys. No iteration. */
+  def modularityWeighted(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val cm = communities.select(col("node"), col("community"))
+    val lab = e
+      .join(cm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(cm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .select(col("ca"), col("cb"), col("w"))
+      .localCheckpoint() // one labeled-edge pass feeds the total + both aggs
+    val wTot = {
+      val r = lab.agg(sum(col("w"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (wTot > (1L << 30))
+      throw new ArithmeticException(
+        s"modularityWeighted: total weight $wTot exceeds the 2^30 BIGINT-safe " +
+          "bound for q_num_4w2 = 4WL - S^2 (S^2 <= 4W^2 wraps past 2^63) — " +
+          "lift the numerator to DECIMAL(38,0) for corpora this heavy")
+    val intra = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("w_intra"))
+    val strength = lab.select(col("ca").as("community"), col("w"))
+      .unionAll(lab.select(col("cb").as("community"), col("w")))
+      .groupBy(col("community")).agg(sum(col("w")).as("s_sum"))
+    strength.join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("w_intra"), lit(0L)).as("w_intra"),
+        col("s_sum"),
+        (lit(4L) * wTot * coalesce(col("w_intra"), lit(0L)) -
+          col("s_sum") * col("s_sum")).as("q_num_4w2"),
+        lit(wTot).as("w_total"))
+  }
+
   /** Greedy agglomerative modularity clustering — the parallel form of
     * Clauset-Newman-Moore: per round, every community nominates the
     * neighbor community with the best modularity gain (ΔQ > 0 only,
@@ -1069,25 +1123,65 @@ object Algorithms {
   def greedyModularity(nodes: DataFrame, edges: DataFrame,
                        rounds: Int, numParts: Int = 0,
                        onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    require(rounds >= 1, "greedyModularity needs at least one round")
     val ids = nodes.select(col("id"))
     val e0base = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"), lit(1L).as("w"))
+    greedyModularityCore(ids, e0base, rounds, numParts, onRound)
+  }
+
+  /** Weighted greedy agglomerative modularity — [[greedyModularity]]
+    * generalized to an integer edge-weight column: pair affinity is the
+    * SUMMED weight between communities, degree mass is node STRENGTH
+    * (Σ incident weight), and gains compare as 2W·w_AB − S_A·S_B in
+    * DECIMAL(38,0) with W = total weight. The form community detection
+    * takes on the graphs a data pipeline actually builds — similarity
+    * graphs, co-occurrence graphs, the order graph weighted by order
+    * count — where collapsing weights to 0/1 loses exactly the signal
+    * the clustering is after. `edges` = (src, dst, w ≥ 1, integer);
+    * parallel (src, dst) rows pre-sum; self-loops are dropped. The
+    * unweighted operator IS this one at w ≡ 1 (it delegates to the same
+    * core), so the two cannot drift. */
+  def greedyModularityWeighted(nodes: DataFrame, edges: DataFrame,
+                               rounds: Int, numParts: Int = 0,
+                               onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val ids = nodes.select(col("id"))
+    val e0base = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    greedyModularityCore(ids, e0base, rounds, numParts, onRound)
+  }
+
+  private def greedyModularityCore(ids: DataFrame, e0base: DataFrame,
+                                   rounds: Int, numParts: Int,
+                                   onRound: (Int, DataFrame) => Unit): DataFrame = {
+    require(rounds >= 1, "greedyModularity needs at least one round")
     val e0 = (if (numParts > 0) e0base.repartition(numParts, col("a"))
               else e0base).localCheckpoint()
-    val m = e0.count()
-    val deg = e0.select(col("a").as("node"))
-      .unionAll(e0.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("k"))
+    // W = total edge weight (the unweighted caller's w ≡ 1 makes this
+    // the edge count m, bit-identical to the pre-weight formulation)
+    val m = {
+      val r = e0.agg(sum(col("w"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val deg = e0.select(col("a").as("node"), col("w"))
+      .unionAll(e0.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
       .localCheckpoint()
     var comm = ids.select(col("id").as("node"), col("id").as("community"))
       .localCheckpoint()
     // round-0 community labels ARE the node ids — the labeled edge state
-    // starts as a projection, no membership join ever runs
-    var labE = e0.select(col("a"), col("b"),
+    // starts as a projection, no membership join ever runs. The edge
+    // weight rides along: relabelEdges preserves non-label columns.
+    var labE = e0.select(col("a"), col("b"), col("w"),
       col("a").as("ca"), col("b").as("cb")).localCheckpoint()
     val dec = "decimal(38,0)"
     var r = 0
@@ -1096,8 +1190,8 @@ object Algorithms {
       r += 1
       val w = labE.filter(col("ca") =!= col("cb"))
         .select(least(col("ca"), col("cb")).as("x"),
-          greatest(col("ca"), col("cb")).as("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+          greatest(col("ca"), col("cb")).as("y"), col("w").as("ew"))
+        .groupBy(col("x"), col("y")).agg(sum(col("ew")).as("w"))
       val d = comm.join(deg, Seq("node"))
         .groupBy(col("community")).agg(sum(col("k")).as("d"))
       val cand = w.select(col("x").as("c"), col("y").as("p"), col("w"))
@@ -1153,15 +1247,18 @@ object Algorithms {
     * label columns of the labeled edge state — two left joins that stay
     * broadcast (zero edge-side exchange) whenever the caller passes a
     * broadcast-hinted diff; PlanShapeSpec pins that plan shape. */
-  private[graft] def relabelEdges(labE: DataFrame, rl: DataFrame): DataFrame =
+  private[graft] def relabelEdges(labE: DataFrame, rl: DataFrame): DataFrame = {
+    // non-label columns (a, b, and the weight when present) pass through
+    val keep = labE.columns.filterNot(c => c == "ca" || c == "cb").map(col(_))
     labE
       .join(rl.select(col("community").as("ca"), col("newc").as("nca")),
         Seq("ca"), "left")
       .join(rl.select(col("community").as("cb"), col("newc").as("ncb")),
         Seq("cb"), "left")
-      .select(col("a"), col("b"),
+      .select(keep ++ Seq(
         coalesce(col("nca"), col("ca")).as("ca"),
-        coalesce(col("ncb"), col("cb")).as("cb"))
+        coalesce(col("ncb"), col("cb")).as("cb")): _*)
+  }
 
   /** Per-node triangle participation count over the undirected closure.
     * Canonical (a<b) edge set, two-hop join, closing-edge semi-join — the
@@ -1293,11 +1390,38 @@ object Algorithms {
     * credits its THREE edges (the iterated edge gets |I| in one row;
     * each closing corner credits the two remaining edges) — so the
     * aggregation input is exactly 3 rows per actual triangle, O(m^1.5)
-    * total. Edges in no triangle report support 0. */
-  private[graft] def edgeSupports(canon: DataFrame): DataFrame = {
+    * total. Edges in no triangle report support 0.
+    *
+    * `canon` IS the canonical form already (the callers guarantee it),
+    * so orientation is computed directly from it — the undirected
+    * closure + distinct that [[orientedEdges]] pays would be a full
+    * extra shuffle of the live set on every peel round here, re-deduping
+    * rows that are deduped by construction. `numParts > 0` sizes the
+    * degree/adjacency/support aggregations to the graph instead of
+    * `spark.sql.shuffle.partitions` (the same knob every sibling peel
+    * carries — kCore, coreness, greedyModularity). */
+  private[graft] def edgeSupports(canon: DataFrame, numParts: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(canon.sparkSession)
-    val dir = orientedEdges(canon.select(col("a").as("src"), col("b").as("dst")))
-    val adj = dir.groupBy(col("s"))
+    def part(df: DataFrame, cs: org.apache.spark.sql.Column*): DataFrame =
+      if (numParts > 0) df.repartition(numParts, cs: _*) else df
+    // degree orientation straight off the canonical set: s = the
+    // (deg, id)-smaller endpoint — the same O(√m) out-degree bound as
+    // [[orientedEdges]], minus its closure+distinct pass
+    val deg = part(canon.select(col("a").as("node"))
+        .union(canon.select(col("b").as("node"))), col("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("c").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("c").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // checkpoint: dir feeds three downstream sides (edge list + both
+    // adjacency probes)
+    val dir = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("s"),
+        when(aFirst, col("b")).otherwise(col("a")).as("d"))
+      .localCheckpoint()
+    val adj = part(dir, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(col("d"))).as("nbrs"))
     val withI = dir.select(col("s").as("u"), col("d").as("v"))
       .join(adj.select(col("s").as("u"), col("nbrs").as("un")), Seq("u"))
@@ -1314,7 +1438,8 @@ object Algorithms {
         transform(col("ws"), w => struct(least(col("v"), w).as("a"),
           greatest(col("v"), w).as("b"), lit(1L).as("c"))))).as("x"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("x.c").as("c"))
-    val sup = credits.groupBy(col("a"), col("b")).agg(sum(col("c")).as("support"))
+    val sup = part(credits, col("a"), col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("support"))
     canon.join(sup, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
@@ -1336,22 +1461,46 @@ object Algorithms {
     * (localCheckpoint per round, O(1) lineage); each round is one
     * degree-oriented support pass (O(m_live^1.5), shrinking
     * monotonically) plus a filter — no driver-side edge lists, and the
-    * convergence probe is the count pair the round already needs. */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * convergence probe is the count pair the round already needs.
+    *
+    * Bounded graphs route to [[LocalExec.kTruss]] — the same in-process
+    * peel the sibling decompositions (kCore, coreness) take: a peel
+    * round is ~9 scheduled shuffle stages, so a 100k-edge graph pays
+    * seconds of scheduling for milliseconds of compute. The oracle then
+    * gates the LOCAL route at the bench SFs while GraphSpec pins
+    * local ≡ distributed with the knob forced off. `numParts > 0` sizes
+    * the distributed rounds' aggregations to the graph (threaded through
+    * [[edgeSupports]]). */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int, numParts: Int = 0,
+             localBounded: Int = 0): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
     require(rounds >= 1, "kTruss needs at least one peel round")
+    val spark = edges.sparkSession
+    if (LocalExec.enabled(spark)) {
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnoughEdges(edges)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.kTruss(edges, k, rounds, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
     val t = (k - 2).toLong
     val e = edges.select(col("src"), col("dst"))
-    var live = e.select(least(col("src"), col("dst")).as("a"),
+    val canon0 = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    var live = (if (numParts > 0) canon0.repartition(numParts, col("a"))
+                else canon0)
       .localCheckpoint()
     var nLive = live.count()
     var finalSup: Option[DataFrame] = None
     var r = 0
     while (r < rounds && finalSup.isEmpty && nLive > 0) {
       r += 1
-      val sup = edgeSupports(live).localCheckpoint()
+      val sup = edgeSupports(live, numParts).localCheckpoint()
       val next = sup.filter(col("support") >= t).localCheckpoint()
       val nNext = next.count()
       if (nNext == nLive) finalSup = Some(sup) // fixpoint: sup IS final
@@ -1362,8 +1511,11 @@ object Algorithms {
     }
     // cap exit (or an emptied graph): supports are stale relative to the
     // last drop — one final pass over the survivors, exactly as the
-    // oracle's unroll ends with a support recompute over its last live set
-    finalSup.getOrElse(edgeSupports(live))
+    // oracle's unroll ends with a support recompute over its last live
+    // set. Checkpointed like every other loop product in this file: a
+    // consumer that materializes twice must not pay the O(m^1.5) support
+    // pass twice.
+    finalSup.getOrElse(edgeSupports(live, numParts).localCheckpoint())
   }
 
   /** Core number (coreness) per node — the FULL k-core decomposition
@@ -1393,8 +1545,29 @@ object Algorithms {
     * gated instance doubles as the proof that the cap covers
     * convergence there. Edges naming ids outside `nodes` are dropped;
     * isolated nodes report core 0. */
+  /** One h-index round: next(v) = H({c(u) : u ∈ N(v)}) over the
+    * symmetric edge relation `und` (src, dst) and value frame `c`
+    * (node, c). Factored out of [[coreness]] so the scale soak can
+    * certify a published table as a FIXPOINT of the same operator
+    * without duplicating the fold. One edge-sized aggregation with
+    * map-side combine, then a node-sized codegen'd sort-fold. */
+  private[graft] def hIndexRound(und: DataFrame, c: DataFrame): DataFrame = {
+    val nv = und
+      .join(c.select(col("node").as("dst"), col("c").as("cv")), Seq("dst"))
+      .groupBy(col("src"), col("cv")).agg(count(lit(1)).as("n"))
+    nv.groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("cv"), col("n"))),
+        asc = false).as("a"))
+      .select(col("src").as("node"), expr(
+        """CAST(aggregate(a, named_struct('seen', 0L, 'h', 0L),
+          |  (acc, x) -> named_struct('seen', acc.seen + x.n,
+          |    'h', greatest(acc.h, least(x.cv, acc.seen + x.n))),
+          |  acc -> acc.h) AS BIGINT)""".stripMargin).as("c"))
+  }
+
   def coreness(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
-               numParts: Int = 0): DataFrame = {
+               numParts: Int = 0,
+               onRound: Int => Unit = _ => ()): DataFrame = {
     require(maxRounds >= 1, "coreness needs at least one h-index round")
     if (LocalExec.enabled(nodes.sparkSession) &&
         LocalExec.smallEnoughGraph(nodes, edges))
@@ -1421,20 +1594,10 @@ object Algorithms {
     var converged = prevSum == 0L
     while (r < maxRounds && !converged) {
       r += 1
-      val nv = und
-        .join(c.select(col("node").as("dst"), col("c").as("cv")), Seq("dst"))
-        .groupBy(col("src"), col("cv")).agg(count(lit(1)).as("n"))
-      val h = nv.groupBy(col("src"))
-        .agg(sort_array(collect_list(struct(col("cv"), col("n"))),
-          asc = false).as("a"))
-        .select(col("src").as("node"), expr(
-          """CAST(aggregate(a, named_struct('seen', 0L, 'h', 0L),
-            |  (acc, x) -> named_struct('seen', acc.seen + x.n,
-            |    'h', greatest(acc.h, least(x.cv, acc.seen + x.n))),
-            |  acc -> acc.h) AS BIGINT)""".stripMargin).as("c"))
-      c = h.localCheckpoint()
+      c = hIndexRound(und, c).localCheckpoint()
       val s = sumOf(c)
       if (s == prevSum) converged = true else prevSum = s
+      onRound(r)
     }
     val out = ids.join(c.withColumnRenamed("node", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("coreness"))
@@ -1545,6 +1708,135 @@ object Algorithms {
       live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
     } finally graft.functions.GraftFunctions.dropProbe(spark, probe)
+  }
+
+  /** Bridge detection — the connectivity-robustness audit (which single
+    * edges disconnect the graph: the data-lineage / network
+    * single-point-of-failure question). A bridge is an edge on no cycle.
+    *
+    * Distributed formulation (bounded graphs route to
+    * [[LocalExec.bridges]], the exact Tarjan low-link twin):
+    *   1. label components ([[connectedComponents]] — comp = min member
+    *      id), then grow a BFS spanning forest from each component's
+    *      root, parent = min frontier neighbor (deterministic);
+    *   2. every non-tree edge gets two independent 64-bit signatures
+    *      (xxhash64 of its canonical pair under two salts); each node
+    *      XOR-folds its incident non-tree signatures (`bit_xor`, one
+    *      edge-sized agg);
+    *   3. one bottom-up level peel over the forest accumulates subtree
+    *      XORs (depth rounds, node-sized frames): for tree edge
+    *      (parent, c), the subtree XOR at c equals the fold of
+    *      signatures of non-tree edges CROSSING the edge — both-inside
+    *      endpoints cancel pairwise (h ⊕ h = 0), exactly-one-inside
+    *      survives;
+    *   4. bridge ⟺ both subtree XORs are zero. Non-tree edges are never
+    *      bridges (each closes a cycle); a TRUE bridge always reports 0
+    *      (no crossing edges — no false negatives). A covered edge
+    *      reporting 0 requires a ≥1-subset XOR collision under BOTH
+    *      salts: probability 2⁻¹²⁸ per edge (the standard cut-sketch
+    *      trick, cf. Ahn-Guha-McGregor); the DuckDB gate — an
+    *      independent per-candidate-removal reachability — would catch
+    *      one.
+    *
+    * `maxRounds` caps the BFS depth and FAILS LOUD if the forest is not
+    * complete (an unfinished forest would silently misclassify — the
+    * Brandes-cap rule, not the peel-cap rule). Scale shape: CC rounds +
+    * 2·depth rounds of node-sized state; one edge-sized signature agg;
+    * no driver-side edge lists. Output: canonical (a, b) bridge pairs. */
+  def bridges(edges: DataFrame, maxRounds: Int, numParts: Int = 0,
+              localBounded: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "bridges needs at least one BFS round")
+    val spark = edges.sparkSession
+    if (LocalExec.enabled(spark)) {
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnoughEdges(edges)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.bridges(edges, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
+    val e = edges.select(col("src"), col("dst"))
+    val canon0 = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val canon = (if (numParts > 0) canon0.repartition(numParts, col("a"))
+                 else canon0).localCheckpoint()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id"))).distinct().localCheckpoint()
+    // 1. forest roots = component minima
+    val comp = connectedComponents(nodes,
+      canon.select(col("a").as("src"), col("b").as("dst")), numParts)
+    var visited = comp.filter(col("node") === col("comp"))
+      .select(col("node"), lit(null).cast("long").as("parent"),
+        lit(0).as("depth"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var depth = 0
+    var grew = frontier.count() > 0
+    while (grew && depth < maxRounds) {
+      depth += 1
+      val cand = und.join(frontier.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src").as("node"), col("dst").as("parent"))
+      val fresh = cand
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .groupBy(col("node")).agg(min(col("parent")).as("parent"))
+        .select(col("node"), col("parent"), lit(depth).as("depth"))
+        .localCheckpoint()
+      if (fresh.count() > 0) {
+        visited = visited.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select(col("node"))
+      } else { grew = false; depth -= 1 }
+    }
+    val missing = nodes
+      .join(visited.select(col("node").as("id")), Seq("id"), "left_anti").count()
+    if (missing > 0)
+      throw new IllegalStateException(
+        s"bridges: BFS forest incomplete after $maxRounds rounds " +
+          s"($missing nodes unreached) — raise maxRounds; an unfinished " +
+          "forest would misclassify, so this fails loud instead")
+    // 2. non-tree signatures + per-node XOR fold
+    val treeCanon = visited.filter(col("parent").isNotNull)
+      .select(least(col("node"), col("parent")).as("a"),
+        greatest(col("node"), col("parent")).as("b"))
+    val nonTree = canon.join(treeCanon, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"),
+        xxhash64(col("a"), col("b"), lit(1)).as("h1"),
+        xxhash64(col("a"), col("b"), lit(2)).as("h2"))
+    val f = nonTree.select(col("a").as("node"), col("h1"), col("h2"))
+      .unionAll(nonTree.select(col("b").as("node"), col("h1"), col("h2")))
+      .groupBy(col("node"))
+      .agg(expr("bit_xor(h1)").as("x1"), expr("bit_xor(h2)").as("x2"))
+    // 3. bottom-up level peel of subtree XORs
+    var acc = visited.join(f, Seq("node"), "left")
+      .select(col("node"), col("parent"), col("depth"),
+        coalesce(col("x1"), lit(0L)).as("x1"),
+        coalesce(col("x2"), lit(0L)).as("x2"))
+      .localCheckpoint()
+    var d = depth
+    while (d >= 1) {
+      val push = acc.filter(col("depth") === d)
+        .groupBy(col("parent").as("node"))
+        .agg(expr("bit_xor(x1)").as("px1"), expr("bit_xor(x2)").as("px2"))
+      acc = acc.join(push, Seq("node"), "left")
+        .select(col("node"), col("parent"), col("depth"),
+          when(col("px1").isNull, col("x1"))
+            .otherwise(expr("x1 ^ px1")).as("x1"),
+          when(col("px2").isNull, col("x2"))
+            .otherwise(expr("x2 ^ px2")).as("x2"))
+        .localCheckpoint()
+      d -= 1
+    }
+    // 4. tree edges whose crossing fold is zero under both salts
+    acc.filter(col("parent").isNotNull &&
+        col("x1") === 0L && col("x2") === 0L)
+      .select(least(col("node"), col("parent")).as("a"),
+        greatest(col("node"), col("parent")).as("b"))
   }
 
   /** Synchronous label propagation (community detection), fixed rounds.

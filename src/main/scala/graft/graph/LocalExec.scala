@@ -1073,6 +1073,150 @@ object LocalExec {
     }
   }
 
+  /** Local twin of [[Algorithms.kTruss]] — identical synchronous-peel
+    * semantics: per round, per-edge triangle support among the SURVIVING
+    * canonical edges, drop support < k−2, until a round drops nothing
+    * (fixpoint) or `rounds` is exhausted; after a cap exit the supports
+    * are recomputed over the final live set (the fixpoint round's
+    * supports already ARE that recompute). Schema: (a, b, support), all
+    * long — byte-identical to the distributed peel (GraphSpec pins it).
+    *
+    * Support per round rides the same degree orientation as the
+    * distributed [[Algorithms.edgeSupports]]: orient each live edge from
+    * its (deg, id)-smaller endpoint, sort the out-lists, two-pointer
+    * intersect per edge — O(m_live^1.5) per round in-process, vs ~9
+    * scheduled shuffle stages per round distributed. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+             maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    collectBounded(preparedEdges(edges), maxRows).map { rows =>
+      val t = (k - 2).toLong
+      // canonical live set: (min, max), loops out, deduped
+      var live = {
+        val s = mutable.HashSet.empty[(Long, Long)]
+        rows.foreach { r =>
+          val (x, y) = (r.getLong(0), r.getLong(1))
+          if (x != y) s += ((math.min(x, y), math.max(x, y)))
+        }
+        s.toArray
+      }
+      def supports(es: Array[(Long, Long)]): mutable.HashMap[(Long, Long), Long] = {
+        val deg = mutable.LongMap.empty[Int]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+        }
+        def aFirst(a: Long, b: Long): Boolean = {
+          val (da, db) = (deg(a), deg(b)); da < db || (da == db && a < b)
+        }
+        val out = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        es.foreach { case (a, b) =>
+          val (s, d) = if (aFirst(a, b)) (a, b) else (b, a)
+          out.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+        }
+        val sorted = mutable.LongMap.empty[Array[Long]]
+        out.foreach { case (u, nb) => sorted(u) = nb.toArray.sorted }
+        val sup = mutable.HashMap.empty[(Long, Long), Long]
+        def credit(x: Long, y: Long): Unit = {
+          val key = (math.min(x, y), math.max(x, y))
+          sup(key) = sup.getOrElse(key, 0L) + 1L
+        }
+        val empty = Array.empty[Long]
+        es.foreach { case (a, b) =>
+          val (u, v) = if (aFirst(a, b)) (a, b) else (b, a)
+          val un = sorted.getOrElse(u, empty)
+          val vn = sorted.getOrElse(v, empty)
+          var i = 0; var j = 0
+          while (i < un.length && j < vn.length) {
+            if (un(i) < vn(j)) i += 1
+            else if (un(i) > vn(j)) j += 1
+            else { val w = un(i); credit(u, v); credit(u, w); credit(v, w); i += 1; j += 1 }
+          }
+        }
+        sup
+      }
+      var finalSup: Option[mutable.HashMap[(Long, Long), Long]] = None
+      var r = 0
+      while (r < rounds && finalSup.isEmpty && live.nonEmpty) {
+        r += 1
+        val sup = supports(live)
+        val next = live.filter(e => sup.getOrElse(e, 0L) >= t)
+        if (next.length == live.length) finalSup = Some(sup)
+        else live = next
+      }
+      val sup = finalSup.getOrElse(supports(live))
+      localDF(spark, StructType(Seq(
+          StructField("a", LongType, nullable = false),
+          StructField("b", LongType, nullable = false),
+          StructField("support", LongType, nullable = false))),
+        live.toSeq.map { case (a, b) => Row(a, b, sup.getOrElse((a, b), 0L)) })
+    }
+  }
+
+  /** Local twin of [[Algorithms.bridges]] — EXACT bridge detection by
+    * Tarjan's low-link pass (iterative DFS, explicit stack) over the
+    * canonical undirected simple graph: tree edge (u, c) is a bridge iff
+    * low(c) > disc(u), i.e. nothing in c's subtree reaches above c
+    * except through the edge itself. A genuinely different algorithm
+    * from the distributed twin's spanning-forest + XOR-cover test, so
+    * their GraphSpec agreement is evidence, not tautology. Schema:
+    * (a, b), canonical a < b. */
+  def bridges(edges: DataFrame, maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    collectBounded(preparedEdges(edges), maxRows).map { rows =>
+      val canon = {
+        val s = mutable.HashSet.empty[(Long, Long)]
+        rows.foreach { r =>
+          val (x, y) = (r.getLong(0), r.getLong(1))
+          if (x != y) s += ((math.min(x, y), math.max(x, y)))
+        }
+        s.toArray
+      }
+      // adjacency of (neighbor, edgeIndex) — the edge index lets DFS skip
+      // the ONE edge it entered through (not every edge to the parent)
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Int)]]
+      canon.zipWithIndex.foreach { case ((a, b), i) =>
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, i))
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, i))
+      }
+      val disc = mutable.LongMap.empty[Long]
+      val low = mutable.LongMap.empty[Long]
+      val out = mutable.ArrayBuffer.empty[(Long, Long)]
+      var timer = 0L
+      // iterative DFS frame: (node, enteringEdge, childCursor)
+      adj.keys.toArray.sorted.foreach { root =>
+        if (!disc.contains(root)) {
+          val stack = mutable.ArrayBuffer.empty[(Long, Int, Int)]
+          disc(root) = timer; low(root) = timer; timer += 1
+          stack += ((root, -1, 0))
+          while (stack.nonEmpty) {
+            val (u, pe, ci) = stack.last
+            val nbrs = adj(u)
+            if (ci < nbrs.length) {
+              stack(stack.length - 1) = (u, pe, ci + 1)
+              val (v, ei) = nbrs(ci)
+              if (ei != pe) {
+                if (!disc.contains(v)) {
+                  disc(v) = timer; low(v) = timer; timer += 1
+                  stack += ((v, ei, 0))
+                } else low(u) = math.min(low(u), disc(v))
+              }
+            } else {
+              stack.remove(stack.length - 1)
+              if (stack.nonEmpty) {
+                val p = stack.last._1
+                low(p) = math.min(low(p), low(u))
+                if (low(u) > disc(p))
+                  out += ((math.min(p, u), math.max(p, u)))
+              }
+            }
+          }
+        }
+      }
+      localDF(spark, schema2("a", LongType, "b", LongType),
+        out.sortBy(identity).toSeq.map { case (a, b) => Row(a, b) })
+    }
+  }
+
   /** Local twin of [[Algorithms.labelPropagation]]: synchronous rounds,
     * every node takes the most frequent label among its (distinct
     * undirected) neighbors, ties broken by smallest label, isolated nodes

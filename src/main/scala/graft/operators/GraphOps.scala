@@ -1012,19 +1012,26 @@ object GraphOps {
     * whose node frame is wider than its edges (isolated nodes yield
     * singleton communities on the Spark side) MUST pass its own
     * nodesSql or the parity gate fails on the missing singletons. */
+  /** `weighted = true` switches every count to a weight sum — edgesSql
+    * must then yield (src, dst, w); the gains formula is unchanged with
+    * W, w_AB, S standing in for m, e_AB, D (the Spark side's
+    * greedyModularityWeighted delegation mirrors this exactly). */
   private def greedyModularityOracle(edgesSql: String, rounds: Int,
-                                     nodesSql: Option[String] = None): String = {
+                                     nodesSql: Option[String] = None,
+                                     weighted: Boolean = false): String = {
+    val labW = if (weighted) ", e.w AS w" else ""
+    val pairW = if (weighted) "SUM(w)" else "COUNT(*)"
     val roundsSql = (1 to rounds).map { r =>
       // every CTE referenced more than once per round (comm, w, d,
       // best) is MATERIALIZED: DuckDB inlines plain CTEs, and a
       // comm(r-1) inlined into four places per round makes the unrolled
       // expression tree EXPONENTIAL in the round count — the same
       // inliner trap the HITS/stress oracles pin with MATERIALIZED
-      s"""lab$r AS (SELECT ca.c AS ca, cb.c AS cb FROM e
+      s"""lab$r AS (SELECT ca.c AS ca, cb.c AS cb$labW FROM e
          |  JOIN comm${r - 1} ca ON ca.node = e.src
          |  JOIN comm${r - 1} cb ON cb.node = e.dst),
          |w$r AS MATERIALIZED (SELECT LEAST(ca, cb) AS x,
-         |    GREATEST(ca, cb) AS y, COUNT(*) AS w
+         |    GREATEST(ca, cb) AS y, $pairW AS w
          |  FROM lab$r WHERE ca <> cb GROUP BY 1, 2),
          |d$r AS MATERIALIZED (SELECT c0.c AS community, SUM(deg.k) AS d
          |  FROM comm${r - 1} c0 JOIN deg ON deg.node = c0.node GROUP BY 1),
@@ -1047,19 +1054,179 @@ object GraphOps {
     val n0Sql = nodesSql.getOrElse(
       """SELECT DISTINCT src AS node FROM
         |  (SELECT src FROM e UNION SELECT dst FROM e) t(src)""".stripMargin)
+    val eSql =
+      if (weighted)
+        """e AS MATERIALIZED (SELECT LEAST(src, dst) AS src,
+          |  GREATEST(src, dst) AS dst, SUM(w) AS w
+          |  FROM base WHERE src <> dst GROUP BY 1, 2)""".stripMargin
+      else
+        """e AS MATERIALIZED (SELECT LEAST(src, dst) AS src,
+          |  GREATEST(src, dst) AS dst FROM base WHERE src <> dst)""".stripMargin
+    val degSql =
+      if (weighted)
+        """deg AS MATERIALIZED (SELECT node, SUM(w) AS k FROM
+          |  (SELECT src AS node, w FROM e UNION ALL SELECT dst, w FROM e)
+          |  GROUP BY node)""".stripMargin
+      else
+        """deg AS MATERIALIZED (SELECT node, COUNT(*) AS k FROM
+          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+          |  GROUP BY node)""".stripMargin
+    val mmSql = if (weighted) "mm AS (SELECT SUM(w) AS m FROM e)"
+                else "mm AS (SELECT COUNT(*) AS m FROM e)"
     s"""WITH base AS MATERIALIZED ($edgesSql),
-       |e AS MATERIALIZED (SELECT LEAST(src, dst) AS src,
-       |  GREATEST(src, dst) AS dst FROM base WHERE src <> dst),
+       |$eSql,
        |n0 AS ($n0Sql),
-       |deg AS MATERIALIZED (SELECT node, COUNT(*) AS k FROM
-       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
-       |  GROUP BY node),
-       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |$degSql,
+       |$mmSql,
        |comm0 AS (SELECT node, node AS c FROM n0),
        |$roundsSql
        |SELECT node, CAST(c AS BIGINT) AS community FROM comm$rounds"""
       .stripMargin
   }
+
+  // --- G33: bridges (connectivity robustness) ---------------------------------
+
+  /** The planted bridge instance: two components mixing every bridge
+    * shape — a 5-cycle and 4-cycle joined by a bridge, a 2-edge pendant
+    * chain (both edges bridges), a pendant leaf off a cycle; a triangle
+    * bridged to a K4 with its own pendant leaf. 7 true bridges among 25
+    * edges, none of them trivially "the low-degree ones" (the K4-triangle
+    * bridge joins two dense blocks). Canonical pairs. */
+  private[graft] val BridgeEdges: Seq[(Long, Long)] = Seq(
+    // component 1: 5-cycle 1-2-3-4-5
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L),
+    // 4-cycle 10-11-12-13, bridged from the 5-cycle
+    (5L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L),
+    // pendant chain off the 4-cycle and leaf off the 5-cycle
+    (13L, 20L), (20L, 21L), (2L, 30L),
+    // component 2: triangle 40-41-42 bridged to K4 60-63, leaf at 63
+    (40L, 41L), (41L, 42L), (40L, 42L), (42L, 60L),
+    (60L, 61L), (60L, 62L), (60L, 63L), (61L, 62L), (61L, 63L),
+    (62L, 63L), (63L, 70L), (42L, 50L))
+
+  /** BFS-depth cap for [[plantedBridges]] — the instance's eccentricity
+    * from each component root is ≤ 8; 16 is slack, and the operator
+    * fails loud (never truncates) if a graph outgrows its cap. */
+  val BridgeRounds = 16
+
+  /** G33: bridge detection on the planted instance — every edge whose
+    * removal disconnects its component. See
+    * [[graft.graph.Algorithms.bridges]]; the oracle is the DEFINITION
+    * itself (per-candidate-removal reachability), making the gate
+    * independent of both the local Tarjan and the distributed
+    * forest+XOR-cover formulations. */
+  def plantedBridges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Algorithms.bridges(BridgeEdges.toDF("src", "dst"), BridgeRounds)
+  }
+
+  private lazy val bridgeOracle: String = {
+    val vals = BridgeEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM (VALUES $vals) t(a, b)),
+       |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |-- reach(ea, eb, node): nodes reachable from ea with edge (ea, eb) removed
+       |reach(ea, eb, node) AS (
+       |  SELECT a, b, a FROM e
+       |  UNION
+       |  SELECT r.ea, r.eb, u.v FROM reach r JOIN und u ON u.u = r.node
+       |  WHERE NOT (LEAST(u.u, u.v) = r.ea AND GREATEST(u.u, u.v) = r.eb))
+       |SELECT a, b FROM e
+       |WHERE NOT EXISTS (SELECT 1 FROM reach r
+       |  WHERE r.ea = e.a AND r.eb = e.b AND r.node = e.b)""".stripMargin
+  }
+
+  // --- G26b/G27b: weighted community operators --------------------------------
+
+  /** G26b: WEIGHTED modularity of the nation partition — the same
+    * bipartite order graph as G26, but each (customer, supplier) edge
+    * now carries its interaction strength: the number of lineitem rows
+    * between the pair (G26 collapses a 40-order relationship and a
+    * 1-order one to the same edge). Real community scoring runs on
+    * weighted similarity/co-occurrence graphs; this is that form on the
+    * gate's own data. Published exactly as integers per community:
+    * (community, w_intra, s_sum, q_num_4w2 = 4·W·W_c − S_c², w_total);
+    * see [[graft.graph.Algorithms.modularityWeighted]]. */
+  def nationModularityWeighted(spark: SparkSession, dir: String): DataFrame = {
+    // weight = raw pair multiplicity: modularityWeighted pre-sums parallel
+    // rows after canonicalization, so w ≡ 1 per RAW row yields the
+    // lineitem count per (customer, supplier) pair
+    val e = PropertyGraph.bipartiteEdgesRaw(spark, dir).withColumn("w", lit(1L))
+    val cust = graft.sources.Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("node"),
+      col("c_nationkey").cast("long").as("community"))
+    val supp = graft.sources.Tables.supplier(spark, dir).select(
+      (col("s_suppkey").cast("long") + Off).as("node"),
+      col("s_nationkey").cast("long").as("community"))
+    Algorithms.modularityWeighted(e, cust.unionByName(supp))
+  }
+
+  /** DuckDB mirror of [[nationModularityWeighted]] — the weighted
+    * integer recipe in plain SQL over the same parquet tables. */
+  private val modularityWOracle: String =
+    s"""WITH raw AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+       |    CAST(l_suppkey + $Off AS BIGINT) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT a, b, COUNT(*) AS w FROM raw GROUP BY 1, 2),
+       |comm AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS node,
+       |    CAST(c_nationkey AS BIGINT) AS community FROM customer
+       |  UNION ALL
+       |  SELECT CAST(s_suppkey + $Off AS BIGINT),
+       |    CAST(s_nationkey AS BIGINT) FROM supplier),
+       |lab AS MATERIALIZED (SELECT ca.community AS ca, cb.community AS cb, e.w
+       |  FROM e JOIN comm ca ON ca.node = e.a JOIN comm cb ON cb.node = e.b),
+       |wt AS (SELECT SUM(w) AS w FROM lab),
+       |strength AS (SELECT community, SUM(w) AS s FROM
+       |  (SELECT ca AS community, w FROM lab UNION ALL SELECT cb, w FROM lab)
+       |  GROUP BY 1),
+       |intra AS (SELECT ca AS community, SUM(w) AS wi FROM lab
+       |  WHERE ca = cb GROUP BY 1)
+       |SELECT s.community,
+       |  CAST(COALESCE(i.wi, 0) AS BIGINT) AS w_intra,
+       |  CAST(s.s AS BIGINT) AS s_sum,
+       |  CAST(4 * (SELECT w FROM wt) * COALESCE(i.wi, 0) - s.s * s.s AS BIGINT)
+       |    AS q_num_4w2,
+       |  CAST((SELECT w FROM wt) AS BIGINT) AS w_total
+       |FROM strength s LEFT JOIN intra i ON i.community = s.community"""
+      .stripMargin
+
+  /** G27b: WEIGHTED greedy modularity clustering over the same sampled
+    * component graph as G27, each sampled edge weighted by its order's
+    * first-line quantity — merges now chase summed interaction
+    * strength, not edge counts (two communities joined by one heavy
+    * edge can out-rank two joined by several light ones, the behavior
+    * weighted community detection exists for). Same mutual-best
+    * deterministic trajectory, gains in DECIMAL(38,0); see
+    * [[graft.graph.Algorithms.greedyModularityWeighted]]. */
+  def communityClusterWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val e = weightedSampleEdges(spark, dir)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    Algorithms.greedyModularityWeighted(nodes, e, GreedyModRounds)
+  }
+
+  /** The G27 component sample with a weight column: l_quantity of the
+    * sampled order's first line (integral 1..50 in TPC-H — cast exact),
+    * summed per canonical pair by the operator. */
+  private def weightedSampleEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("w"))
+      .join(graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + Off).as("dst"), col("w"))
+
+  private val weightedSampleEdgesSql: String =
+    s"""SELECT CAST(o_custkey AS BIGINT) AS src,
+       |  CAST(l_suppkey + $Off AS BIGINT) AS dst,
+       |  CAST(l_quantity AS BIGINT) AS w
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_linenumber = 1 AND o_orderkey % 20 = 0""".stripMargin
 
   // --- G28/G29: graph-level structure metrics ---------------------------------
 
@@ -1239,7 +1406,8 @@ object GraphOps {
     * canonical edges with their in-truss support, exact integers.
     * See [[graft.graph.Algorithms.kTruss]]. */
   def wikivoteKTruss(spark: SparkSession, dir: String): DataFrame =
-    Algorithms.kTruss(wikiVote(spark).edges, KTrussK, KTrussRounds)
+    Algorithms.kTruss(wikiVote(spark).edges, KTrussK, KTrussRounds,
+      numParts = 4)
 
   /** Unrolled synchronous edge peel: per round, triangle support among
     * the survivors → keep support ≥ k−2, `rounds` times, then the final
@@ -1746,7 +1914,10 @@ object GraphOps {
     "g_betweenness" -> ladderBetweenness,
     "g_eccentricity" -> gridEccentricity,
     "g_modularity" -> nationModularity,
+    "g_modularity_w" -> nationModularityWeighted,
     "g_greedy_modularity" -> communityCluster,
+    "g_bridges" -> plantedBridges,
+    "g_greedy_modularity_w" -> communityClusterWeighted,
     "g_assortativity" -> wikivoteAssortativity,
     "g_reciprocity" -> wikivoteReciprocity,
     "g_clustering" -> wikivoteClustering,
@@ -1836,8 +2007,12 @@ object GraphOps {
     "g_eccentricity" -> eccentricityOracle(gridEdgesSql(ClosenessGridN),
       ClosenessGridN * ClosenessGridN, ClosenessRounds),
     "g_modularity" -> modularityOracle,
+    "g_modularity_w" -> modularityWOracle,
+    "g_bridges" -> bridgeOracle,
     "g_greedy_modularity" -> greedyModularityOracle(sparseEdgesSql,
       GreedyModRounds),
+    "g_greedy_modularity_w" -> greedyModularityOracle(weightedSampleEdgesSql,
+      GreedyModRounds, weighted = true),
     "g_assortativity" -> assortativityOracle,
     "g_reciprocity" -> reciprocityOracle,
     "g_clustering" -> clusteringOracle,

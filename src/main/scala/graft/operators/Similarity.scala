@@ -263,6 +263,56 @@ object Similarity {
        |WHERE (${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) >= $NearDupCos""".stripMargin
   }
 
+  // --- D15: SemDeDup-style semantic near-dup -----------------------------------
+
+  /** D15: semantic near-duplicate pairs, SemDeDup-style (Abbas et al.
+    * 2023): cluster the corpus with the k-means substrate (E2's
+    * exchange-free broadcast-argmax assignment — the trained-centroid
+    * stand-in E4 updates), then compare pairs ONLY within a cluster and
+    * keep cosine ≥ threshold. The semantic tier of the dedup stack:
+    * D2/D4 catch lexical overlap, D14 catches containment, this catches
+    * "same content, different words" — paraphrases, translations,
+    * templated rewrites — which share no shingles but co-locate in
+    * embedding space.
+    *
+    * Scale shape: candidates are bounded by the CLUSTER, never
+    * all-pairs — the D5b LSH-bucket shape with learned buckets, and the
+    * production knob is K ∝ corpus/target-cell-size so per-cell pair
+    * work stays O(N·cell). Assignment itself never shuffles (broadcast
+    * centroid row, one scan); the pair join clusters on cid. Output:
+    * (cid, a, b, sim) under the fixed-point rounding protocol —
+    * downstream canonicalization is D8's CC over these pairs. */
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignment(spark, dir).localCheckpoint()
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .selectExpr("x.cid AS cid", "x.vec_id AS a", "y.vec_id AS b",
+        s"(${sparkDot("x.embedding", "y.embedding")}) / (sqrt(x.nrm) * sqrt(y.nrm)) AS sim")
+      .filter(col("sim") >= NearDupCos)
+      .selectExpr("cid", "a", "b",
+        "CAST(round(CAST(sim AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim")
+  }
+
+  // lazy: this section sits ABOVE IvfCentroids' declaration, and a plain
+  // val here would interpolate the not-yet-initialized 0 (the oracles map
+  // at the bottom of the object forces it after everything is set)
+  lazy val semanticNearDupOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding AS e,
+       |    ${duckDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM emb
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCentroids}),
+       |scored AS (SELECT emb.vec_id, emb.e, emb.nrm, cid,
+       |    (${duckDot("e", "ce")}) / (sqrt(nrm) * sqrt(cn)) AS cs
+       |  FROM emb CROSS JOIN cent),
+       |assigned AS MATERIALIZED (SELECT vec_id, e, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+       |    FROM scored) WHERE rk = 1)
+       |SELECT x.cid AS cid, x.vec_id AS a, y.vec_id AS b,
+       |  CAST(round(CAST((${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) AS DECIMAL(18,10)), 6) AS DOUBLE) AS sim
+       |FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE (${duckDot("x.e", "y.e")}) / (sqrt(x.nrm) * sqrt(y.nrm)) >= $NearDupCos""".stripMargin
+
   // --- D7: IVF-bucketed ANN -------------------------------------------------
 
   val IvfCentroids = 16 // vec_id in [NumQueries, NumQueries + IvfCentroids)
@@ -812,7 +862,8 @@ object Similarity {
     "s_mrl_rerank" -> mrlRerank,
     "s_quantized_ann" -> quantizedAnn,
     "s_pq_ann" -> pqAnn,
-    "d_embed_neardup" -> embedNearDup)
+    "d_embed_neardup" -> embedNearDup,
+    "d_semantic_neardup" -> semanticNearDup)
 
   val oracles: Map[String, String] = Map(
     "s_outlier_score" -> outlierScoreOracle,
@@ -825,5 +876,6 @@ object Similarity {
     "s_ivf_probe2" -> ivfAnn2Oracle,
     "s_mrl_rerank" -> mrlRerankOracle,
     "s_pq_ann" -> pqAnnOracle,
-    "d_embed_neardup" -> embedNearDupOracle)
+    "d_embed_neardup" -> embedNearDupOracle,
+    "d_semantic_neardup" -> semanticNearDupOracle)
 }

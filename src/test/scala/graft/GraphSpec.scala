@@ -653,6 +653,98 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qNum === 70L)
   }
 
+  test("bridges: planted instance exact on both routes; Wiki-Vote local ≡ distributed") {
+    import spark.implicits._
+    // the gated planted instance: hand-derived truth — the 9 edges whose
+    // removal disconnects their component (chain edges, leaves, and the
+    // cycle-to-cycle / triangle-to-K4 connectors; no cycle edge qualifies)
+    val expect = Set((5L, 10L), (13L, 20L), (20L, 21L), (2L, 30L),
+      (42L, 60L), (63L, 70L), (42L, 50L))
+    val edges = graft.operators.GraphOps.BridgeEdges.toDF("src", "dst")
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loc = asSet(Algorithms.bridges(edges,
+      graft.operators.GraphOps.BridgeRounds))
+    assert(loc === expect)
+    // forced-distributed: CC roots + BFS forest + XOR-cover — a genuinely
+    // different algorithm from the local Tarjan low-link pass
+    val dist = withLocalExecOff {
+      asSet(Algorithms.bridges(edges,
+        graft.operators.GraphOps.BridgeRounds, numParts = 2))
+    }
+    assert(dist === expect)
+    // reversed/duplicated rows and self-loops canonicalize away
+    val messy = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+      .unionAll(Seq((7L, 7L)).toDF("src", "dst"))
+    assert(asSet(Algorithms.bridges(messy,
+      graft.operators.GraphOps.BridgeRounds)) === expect)
+  }
+
+  test("bridges: local Tarjan and distributed XOR-cover agree on Wiki-Vote") {
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loc = asSet(Algorithms.bridges(g.edges, maxRounds = 24))
+    val dist = withLocalExecOff {
+      asSet(Algorithms.bridges(g.edges, maxRounds = 24, numParts = 4))
+    }
+    assert(loc === dist)
+    // the real graph has pendant voters — the bridge set is nonempty
+    assert(loc.nonEmpty)
+  }
+
+  test("modularityWeighted: hand-computed integers; parallel rows pre-sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // triangle 1-2-3; (1,2) carries weight 5 split across parallel rows
+    // in both orientations (3 + 2 reversed) — the canonical pre-sum is
+    // part of what's pinned. Communities: {1,2}=A(10), {3}=B(30).
+    // W = 7; w_intra(A) = 5; strengths: A = 2·5+1+1 = 12, B = 2.
+    // q_num(A) = 4·7·5 − 144 = −4; q_num(B) = 0 − 4 = −4.
+    val e = Seq((1L, 2L, 3L), (2L, 1L, 2L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val comm = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("node", "community")
+    val got = Algorithms.modularityWeighted(e, comm)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(10L -> (5L, 12L, -4L, 7L), 30L -> (0L, 2L, -4L, 7L)))
+    // w ≡ 1 reduces to the unweighted operator exactly
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val unw = Algorithms.modularity(e1, comm).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val w1 = Algorithms.modularityWeighted(
+        e1.withColumn("w", org.apache.spark.sql.functions.lit(1L)), comm)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(w1 === unw)
+  }
+
+  test("greedyModularityWeighted: heavy edge drives the merge order; w≡1 ≡ unweighted") {
+    import spark.implicits._
+    // path 1—2—3, w(1,2)=10, w(2,3)=1, W=11. Round 1: gains
+    // 2·11·10−10·11 = 110 and 2·11·1−11·1 = 11, node 2's best is 1 →
+    // mutual {1,2}. Round 2: pair ({1,2}, 3) w=1, gain 2·11·1−21·1 = 1
+    // > 0 → single community labeled 1.
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = Algorithms.greedyModularityWeighted(nodes, e, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // w ≡ 1: identical trajectory to the unweighted operator on the
+    // two-triangle instance (the delegation-consistency pin)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val n6 = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val unw = Algorithms.greedyModularity(n6, edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w1 = Algorithms.greedyModularityWeighted(n6,
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w1 === unw)
+    assert(unw === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("clustering: K4 corners are fully closed, a star center is fully open") {
     // K4 plus a pendant star edge at node 1: node 1 has degree 4 → 6
     // wedges, of which 3 close (its K4 triangles); pure K4 corners have
@@ -678,13 +770,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
     val pendant = Seq((1L, 8L), (1L, 9L), (8L, 9L))
     val edges = (k5 ++ pendant).toDF("src", "dst")
+    // both routes must answer identically — the bounded local peel (the
+    // route the gated instance takes) and the forced-distributed rounds
+    def both(e: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
+        : Map[(Long, Long), Long] = {
+      val loc = Algorithms.kTruss(e, k, rounds)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val dist = withLocalExecOff {
+        Algorithms.kTruss(e, k, rounds, numParts = 2)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      }
+      assert(loc === dist, s"local/distributed k-truss disagree at k=$k")
+      loc
+    }
     // k=4 (support >= 2): round 1 drops the pendant triangle whole; K5
     // survives at support 3 — and extra rounds are no-ops (fixpoint)
-    val got = Algorithms.kTruss(edges, k = 4, rounds = 3)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = both(edges, k = 4, rounds = 3)
     assert(got === k5.map(e => e -> 3L).toMap)
     // k=6 (support >= 4): nothing on this graph qualifies
-    assert(Algorithms.kTruss(edges, k = 6, rounds = 3).count() === 0L)
+    assert(both(edges, k = 6, rounds = 3).isEmpty)
     // cap semantics on a cascading strip: triangles (1,2,3),(2,3,4),
     // (3,4,5),(4,5,6) — interior shared edges have support 2, the rest 1.
     // One k=4 round keeps exactly {(2,3),(3,4),(4,5)}, whose supports
@@ -692,11 +796,26 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recompute must report the post-peel truth, not the stale supports.
     val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
       (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
-    val capped = Algorithms.kTruss(strip, k = 4, rounds = 1)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val capped = both(strip, k = 4, rounds = 1)
     assert(capped === Map((2L, 3L) -> 0L, (3L, 4L) -> 0L, (4L, 5L) -> 0L))
     // two rounds reach the empty fixpoint
-    assert(Algorithms.kTruss(strip, k = 4, rounds = 3).count() === 0L)
+    assert(both(strip, k = 4, rounds = 3).isEmpty)
+  }
+
+  test("kTruss: local and distributed routes agree on Wiki-Vote") {
+    // the gated instance's graph and parameters, both routes in full —
+    // the sibling pin to coreness's peel-vs-h-index agreement
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    val loc = Algorithms.kTruss(g.edges, graft.operators.GraphOps.KTrussK,
+        graft.operators.GraphOps.KTrussRounds)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(loc.nonEmpty && loc.valuesIterator.forall(_ >= 0L))
+    val dist = withLocalExecOff {
+      Algorithms.kTruss(g.edges, graft.operators.GraphOps.KTrussK,
+          graft.operators.GraphOps.KTrussRounds, numParts = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    }
+    assert(loc === dist)
   }
 
   test("coreness: exact peel values; distributed h-index iteration agrees") {

@@ -299,9 +299,16 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     // t_bottomk_sketch, where EVERY pass shifts together) still trips
     // identically. Published values stay the min — only the
     // cross-artifact comparison uses the robust estimator.
+    // size 2 takes the MEAN, not f(1): the middle-element pick on two
+    // passes is the slower one — a biased, artifact-asymmetric estimator
+    // that can spuriously trip (or mask) the agreement bars (r17 ADVICE)
     def med3(passes: Seq[Double], fallback: Double): Double = {
       val f = passes.sorted.take(3)
-      if (f.isEmpty) fallback else f(f.size / 2)
+      f.size match {
+        case 0 => fallback
+        case 2 => (f(0) + f(1)) / 2
+        case n => f(n / 2)
+      }
     }
     val sweepPasses: Map[String, Seq[Double]] = csv.linesIterator.drop(1)
       .filter(_.nonEmpty).map(_.split(",", -1)).collect {

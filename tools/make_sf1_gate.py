@@ -37,6 +37,16 @@ def main():
             rows[m.group(1)] = int(m.group(2))
         elif line.startswith("FAIL"):
             fails.append(line.strip())
+    # A crashed gate must read as RED, not as an empty green: if the
+    # oracle run exited nonzero without emitting parseable FAIL lines
+    # (missing oracle_sql.json, import error, bad args — the traceback
+    # goes to stderr), or emitted no verdict lines at all, record the
+    # stderr tail as the failure and exit 1.
+    if not fails and (p.returncode != 0 or not rows):
+        tail = (p.stderr or p.stdout or "").strip().splitlines()[-5:]
+        fails.append(
+            f"GATE CRASH: check_oracle.py rc={p.returncode}, "
+            f"{len(rows)} PASS lines parsed; tail: " + " | ".join(tail))
     con = duckdb.connect()
     scale = {}
     for t in ["lineitem", "orders", "events", "documents", "embeddings",
