@@ -120,6 +120,11 @@ object EmbedScale {
 
     val dir = s"/tmp/${Reset.ScratchPrefix}embedscale"
     synthesize(spark, n, dir)
+    // quarter-size twin corpus for the semantic (k-means-cell) near-dup
+    // row — same generator, same plant cadence
+    val n4 = n / 4
+    val dir4 = s"/tmp/${Reset.ScratchPrefix}embedscale_q"
+    synthesize(spark, n4, dir4)
 
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def op(name: String)(body: => DataFrame)(check: DataFrame => Long): (String, Double, Int, Option[String]) = {
@@ -170,7 +175,26 @@ object EmbedScale {
       // pairs recovered (sim ≥ 0.99 ⇒ only the N/1000 plants)
       op(s"neardup_p$neardupPlanes")(
         Similarity.embedNearDup(spark, dir, neardupPlanes))(
-        _.filter(col("sim") >= 0.99).count()))
+        _.filter(col("sim") >= 0.99).count()),
+      // SemDeDup at its production shape: K-means cells as learned
+      // buckets, K sized to the corpus (occupancy ~= n4/K), within-cell
+      // cosine pairs only. Runs on a quarter-size corpus because the
+      // honest cost is O(n·K·Dim) assignment + O(n·occupancy) pair
+      // cosines — the row exists to measure exactly that tradeoff, not
+      // to hide it. Check = EXACT plant recovery: a byte-identical copy
+      // has identical centroid cosines, so the deterministic argmax
+      // lands both copies in the same cell and the pair surfaces at
+      // sim 1.0 — recovered must equal planted, fail loud otherwise.
+      op("semantic_neardup_q")({
+        Similarity.semanticNearDup(spark, dir4, k = 1024)
+      })({ df =>
+        val got = df.filter(col("sim") >= 0.99).count()
+        val want = n4 / 1000
+        if (got != want)
+          throw new IllegalStateException(
+            s"planted $want exact-dup pairs, recovered $got")
+        got
+      }))
 
     val ok = results.filter(_._4.isEmpty)
     def obj(f: ((String, Double, Int, Option[String])) => String): String =

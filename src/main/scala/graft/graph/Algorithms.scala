@@ -1122,7 +1122,8 @@ object Algorithms {
     * (node, community). */
   def greedyModularity(nodes: DataFrame, edges: DataFrame,
                        rounds: Int, numParts: Int = 0,
-                       onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+                       onRound: (Int, DataFrame) => Unit = (_, _) => (),
+                       localBounded: Int = 0): DataFrame = {
     val ids = nodes.select(col("id"))
     val e0base = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -1130,7 +1131,7 @@ object Algorithms {
       .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"), lit(1L).as("w"))
-    greedyModularityCore(ids, e0base, rounds, numParts, onRound)
+    greedyModularityCore(ids, e0base, rounds, numParts, onRound, localBounded)
   }
 
   /** Weighted greedy agglomerative modularity — [[greedyModularity]]
@@ -1147,7 +1148,8 @@ object Algorithms {
     * core), so the two cannot drift. */
   def greedyModularityWeighted(nodes: DataFrame, edges: DataFrame,
                                rounds: Int, numParts: Int = 0,
-                               onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+                               onRound: (Int, DataFrame) => Unit = (_, _) => (),
+                               localBounded: Int = 0): DataFrame = {
     val ids = nodes.select(col("id"))
     val e0base = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -1157,13 +1159,44 @@ object Algorithms {
       .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-    greedyModularityCore(ids, e0base, rounds, numParts, onRound)
+    greedyModularityCore(ids, e0base, rounds, numParts, onRound, localBounded)
   }
 
   private def greedyModularityCore(ids: DataFrame, e0base: DataFrame,
                                    rounds: Int, numParts: Int,
-                                   onRound: (Int, DataFrame) => Unit): DataFrame = {
+                                   onRound: (Int, DataFrame) => Unit,
+                                   localBounded: Int): DataFrame = {
     require(rounds >= 1, "greedyModularity needs at least one round")
+    // caller-asserted bounded graph (the sampled gated instances): one
+    // probe-enforced collect + the in-process mutual-merge twin — a
+    // distributed merge round is ~8 scheduled stages; kCore's
+    // localBounded convention (the probe's limit makes a wrong
+    // assertion a cheap fallback, never a driver OOM)
+    if (localBounded > 0 && LocalExec.enabled(ids.sparkSession)) {
+      val spark = ids.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("community",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      def toDF(s: Seq[(Long, Long)]): DataFrame =
+        LocalExec.localDF(spark, schema,
+          s.map { case (n, c) => org.apache.spark.sql.Row(n, c) })
+      val routed = for {
+        idRows <- LocalExec.collectBounded(
+          ids.select(col("id").cast("long")), localBounded)
+        eRows <- LocalExec.collectBounded(
+          e0base.select(col("a").cast("long"), col("b").cast("long"),
+            col("w").cast("long")), localBounded)
+      } yield toDF(LocalExec.greedyModularity(
+        idRows.map(_.getLong(0)),
+        eRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        rounds, (rd, seq) => onRound(rd, toDF(seq))))
+      routed match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val e0 = (if (numParts > 0) e0base.repartition(numParts, col("a"))
               else e0base).localCheckpoint()
     // W = total edge weight (the unweighted caller's w ≡ 1 makes this

@@ -1152,6 +1152,77 @@ object LocalExec {
     }
   }
 
+  /** Local twin of [[Algorithms.greedyModularity]]'s weighted core —
+    * the SAME deterministic mutual-best-merge trajectory, in-process:
+    * per round, pair affinities between communities (summed edge
+    * weight), strength masses, integer gains 2W·w_AB − S_A·S_B
+    * (BigInt — exact like the distributed DECIMAL(38,0)), best partner
+    * per community (max gain, ties to the smaller id), mutual pairs
+    * merge to the min label, early exit on a merge-free round. A
+    * distributed round is ~8 scheduled stages; the gated sampled graphs
+    * are a few thousand edges. Takes the already-canonical (a, b, w)
+    * edge rows + the id universe; returns (node, community). */
+  def greedyModularity(ids: Array[Long], edges: Array[(Long, Long, Long)],
+                       rounds: Int,
+                       onRound: (Int, Seq[(Long, Long)]) => Unit): Seq[(Long, Long)] = {
+    val w0 = edges.map(_._3.toDouble) // only for the W sum guard below
+    require(w0.forall(_ >= 0), "negative edge weight")
+    val wTot = edges.iterator.map(_._3).sum
+    val strength = mutable.LongMap.empty[Long]
+    edges.foreach { case (a, b, w) =>
+      strength(a) = strength.getOrElse(a, 0L) + w
+      strength(b) = strength.getOrElse(b, 0L) + w
+    }
+    val comm = mutable.LongMap.empty[Long]
+    ids.foreach(id => comm(id) = id)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      // pair affinity between (distinct) communities
+      val pw = mutable.HashMap.empty[(Long, Long), Long]
+      edges.foreach { case (a, b, w) =>
+        val (ca, cb) = (comm(a), comm(b))
+        if (ca != cb) {
+          val key = (math.min(ca, cb), math.max(ca, cb))
+          pw(key) = pw.getOrElse(key, 0L) + w
+        }
+      }
+      // community strength masses
+      val d = mutable.LongMap.empty[Long]
+      ids.foreach { id =>
+        strength.get(id).foreach { k =>
+          val c = comm(id); d(c) = d.getOrElse(c, 0L) + k
+        }
+      }
+      // best positive-gain partner per community (gain desc, partner asc)
+      val best = mutable.LongMap.empty[(BigInt, Long)]
+      def offer(c: Long, p: Long, gain: BigInt): Unit =
+        if (gain > 0) best.get(c) match {
+          case Some((g, bp)) if g > gain || (g == gain && bp < p) => ()
+          case _ => best(c) = (gain, p)
+        }
+      val twoW = BigInt(2) * BigInt(wTot)
+      pw.foreach { case ((x, y), w) =>
+        val gain = twoW * BigInt(w) - BigInt(d(x)) * BigInt(d(y))
+        offer(x, y, gain); offer(y, x, gain)
+      }
+      // mutual nominations merge, label = the pair's min id
+      val relabel = mutable.LongMap.empty[Long]
+      best.foreach { case (c, (_, p)) =>
+        if (c < p && best.get(p).exists(_._2 == c)) relabel(p) = c
+      }
+      if (relabel.isEmpty) converged = true
+      else {
+        ids.foreach { id =>
+          relabel.get(comm(id)).foreach(nc => comm(id) = nc)
+        }
+        onRound(r, ids.toSeq.map(id => (id, comm(id))))
+      }
+    }
+    ids.toSeq.map(id => (id, comm(id)))
+  }
+
   /** Local twin of [[Algorithms.bridges]] — EXACT bridge detection by
     * Tarjan's low-link pass (iterative DFS, explicit stack) over the
     * canonical undirected simple graph: tree edge (u, c) is a bridge iff

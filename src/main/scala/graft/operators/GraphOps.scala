@@ -121,7 +121,13 @@ object GraphOps {
         .format("parquet")
         .saveAsTable(table)
     }
-    (table, spark.table(table))
+    // ONE Dataset instance per (table, warm window), not one per probe:
+    // a fresh spark.table() per call re-runs Catalyst analysis just to
+    // rediscover the same optimizedPlan — at ~5-8 ms per probe that WAS
+    // the warm lookup's cost (the @warm axis measured it); the memoized
+    // instance caches its QueryExecution, so a warm probe is a map hit +
+    // a driver filter. Reset.clear drops the memo with the warm store.
+    (table, LocalExec.prepared(spark, s"cust-lookup-$table")(spark.table(table)))
   }
 
   def nodeLookupFast(spark: SparkSession, dir: String): DataFrame = {
@@ -183,6 +189,34 @@ object GraphOps {
         nodeLookupMany(s, d, n))
     }.toMap
 
+  /** Warm-probe axis (`g_node_lookup_fast@warm<N>`): the SAME point
+    * lookup repeated N times against the warm store — the reference's
+    * iterated `get_single_node` protocol (benchmark.py iterate_bench:
+    * 1000 repeats / wall), where the `@n` axis above varies the KEY per
+    * probe. In the warm route the probe runs AT BUILD TIME (warmRows →
+    * driver-side filter → LocalRelation), so building N times measures
+    * N full probes and the row's per-op cost is value/N; the first
+    * sweep pass pays the one collect job that warms the store, and the
+    * published min is the all-warm pass. Fails loud if the warm route
+    * cannot serve (budget exceeded) — N-1 of the builds would otherwise
+    * be dead plans and the number a lie. WarmStoreSpec pins the
+    * zero-jobs property; this row makes the latency a committed
+    * measurement (VERDICT r17 order 7). */
+  private def warmLookupSweep: Map[String, (SparkSession, String) => DataFrame] =
+    Seq(32, 128).map { n =>
+      s"g_node_lookup_fast@warm$n" -> ((s: SparkSession, d: String) => {
+        val (_, t) = custLookupTable(s, d)
+        var df = nodeLookupFast(s, d) // primes the store on the cold pass
+        if (LocalExec.warmRows(t).isEmpty)
+          throw new IllegalStateException(
+            "@warm axis needs the warm-store route (LocalExec budget " +
+              "exceeded?) — repeated builds are only a probe measurement there")
+        var i = 1
+        while (i < n) { df = nodeLookupFast(s, d); i += 1 }
+        df
+      })
+    }.toMap
+
   // --- G3: k-hop ------------------------------------------------------------
 
   def khopGrid(spark: SparkSession, dir: String): DataFrame =
@@ -220,7 +254,8 @@ object GraphOps {
     * SF-derived N), plus the hops/target-depth/insert-count axes. Merged
     * over the gated map by BenchSweep. */
   val sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
-    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep ++ distSweep ++ lookupSweep
+    sizeSweep ++ khopSweep ++ sspSweep ++ insertSweep ++ distSweep ++
+      lookupSweep ++ warmLookupSweep
 
   /** Forced-distributed twins of gated graph rows (`<name>@dist`): the
     * identical query builders with [[graft.graph.LocalExec]] disabled for
@@ -997,7 +1032,10 @@ object GraphOps {
     * each community's min member id; quality is scorable with G26. */
   def communityCluster(spark: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph.componentSample(spark, dir)
-    Algorithms.greedyModularity(g.nodes, g.edges, GreedyModRounds)
+    // the sampled component graph is bounded by construction
+    // (orders % 20, first line only) — assert it, probe-enforced
+    Algorithms.greedyModularity(g.nodes, g.edges, GreedyModRounds,
+      localBounded = 1 << 21)
   }
 
   /** DuckDB mirror of [[communityCluster]] — the same mutual-best merge
@@ -1203,7 +1241,8 @@ object GraphOps {
     val e = weightedSampleEdges(spark, dir)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    Algorithms.greedyModularityWeighted(nodes, e, GreedyModRounds)
+    Algorithms.greedyModularityWeighted(nodes, e, GreedyModRounds,
+      localBounded = 1 << 21)
   }
 
   /** The G27 component sample with a weight column: l_quantity of the

@@ -282,8 +282,14 @@ object Similarity {
     * centroid row, one scan); the pair join clusters on cid. Output:
     * (cid, a, b, sim) under the fixed-point rounding protocol —
     * downstream canonicalization is D8's CC over these pairs. */
-  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssignment(spark, dir).localCheckpoint()
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame =
+    semanticNearDup(spark, dir, IvfCentroids)
+
+  /** K-parameterized form — the production knob: K ∝ corpus size keeps
+    * cell occupancy (and so the within-cell pair join) bounded at any N;
+    * [[graft.EmbedScale]] measures this at a corpus-sized K. */
+  def semanticNearDup(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val assigned = ivfAssignment(spark, dir, k).localCheckpoint()
     assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .selectExpr("x.cid AS cid", "x.vec_id AS a", "y.vec_id AS b",
@@ -338,7 +344,14 @@ object Similarity {
     * PlanShapeSpec asserts the exchange-free property on the SAME plan
     * ivfAnn executes (a test over a private copy would keep passing if
     * the production path regressed). */
-  def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignment(spark, dir, IvfCentroids)
+
+  /** K-parameterized assignment — K is the coarse quantizer's scale
+    * knob (K ∝ corpus bounds cell occupancy, hence any within-cell pair
+    * work); the gated queries pin [[IvfCentroids]], [[graft.EmbedScale]]
+    * drives the same code at a corpus-sized K. */
+  def ivfAssignment(spark: SparkSession, dir: String, k: Int): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding",
@@ -348,7 +361,7 @@ object Similarity {
     // first field)
     val centRow = emb
       .filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + IvfCentroids)
+        col("vec_id") < NumQueries + k)
       .agg(array_sort(collect_list(struct(
         col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))))
         .as("cents"))

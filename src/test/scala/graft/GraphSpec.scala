@@ -646,6 +646,11 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> 4L, 5L -> 4L, 6L -> 4L))
     // converged partition is a fixpoint: extra rounds are no-ops
     assert(run(6) === got)
+    // the bounded local route walks the identical merge trajectory
+    val loc = Algorithms.greedyModularity(nodes, edges, 4,
+        localBounded = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loc === got)
     // and the partition scores the textbook Q: Σ q_num/(4m²) = 70/196 = 5/14
     val comm = got.toSeq.toDF("node", "community")
     val qNum = Algorithms.modularity(edges, comm)
@@ -730,6 +735,11 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Algorithms.greedyModularityWeighted(nodes, e, rounds = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // bounded local route: identical trajectory on the weighted instance
+    val loc = Algorithms.greedyModularityWeighted(nodes, e, rounds = 4,
+        localBounded = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loc === got)
     // w ≡ 1: identical trajectory to the unweighted operator on the
     // two-triangle instance (the delegation-consistency pin)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),

@@ -376,6 +376,34 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("@warm axis: repeated probes stay warm (zero jobs) and the per-op ceiling holds") {
+    // prime + correctness: the builder returns the single-probe result
+    val rows = GraphOps.sweepQueries("g_node_lookup_fast@warm32")(spark, dir).collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 42L)
+    // all-warm builds schedule NO jobs (the probe is a driver memory hit)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val perOpMs = try {
+      org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      GraphOps.sweepQueries("g_node_lookup_fast@warm128")(spark, dir)
+      val ms = (System.nanoTime() - t0) / 1e6 / 128
+      org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() === 0,
+        s"warm probe builds scheduled ${jobs.get()} jobs — warm-store miss")
+      ms
+    } finally spark.sparkContext.removeSparkListener(l)
+    // ceiling: generous 5 ms/op — the reference's iterated get_single_node
+    // runs 3.4 ms/op; the warm probe is typically well under 1 ms
+    assert(perOpMs <= 5.0, f"warm per-op $perOpMs%.2f ms exceeds the 5 ms bar")
+  }
+
   test("depth axis: ssp targets sit at increasing distances, all reachable") {
     val n = GraphOps.gridNFor(spark, dir)
     val dists = Seq(25, 50, 75, 100).map { pct =>
