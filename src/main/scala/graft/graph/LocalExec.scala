@@ -1100,7 +1100,14 @@ object LocalExec {
         }
         s.toArray
       }
-      def supports(es: Array[(Long, Long)]): mutable.HashMap[(Long, Long), Long] = {
+      // the credit fold is the hot loop (3 map updates per triangle):
+      // when every id fits 31 bits — any realistic bounded graph — the
+      // canonical pair packs into one long and the fold runs on an
+      // unboxed LongMap; wider ids take the boxed-tuple fallback
+      val packable = live.forall { case (a, b) =>
+        a >= 0 && b < (1L << 31)
+      }
+      def supports(es: Array[(Long, Long)]): (Long, Long) => Long = {
         val deg = mutable.LongMap.empty[Int]
         es.foreach { case (a, b) =>
           deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
@@ -1115,11 +1122,16 @@ object LocalExec {
         }
         val sorted = mutable.LongMap.empty[Array[Long]]
         out.foreach { case (u, nb) => sorted(u) = nb.toArray.sorted }
-        val sup = mutable.HashMap.empty[(Long, Long), Long]
-        def credit(x: Long, y: Long): Unit = {
-          val key = (math.min(x, y), math.max(x, y))
-          sup(key) = sup.getOrElse(key, 0L) + 1L
-        }
+        val supPacked = mutable.LongMap.empty[Long]
+        val supBoxed = mutable.HashMap.empty[(Long, Long), Long]
+        val credit: (Long, Long) => Unit =
+          if (packable) (x, y) => {
+            val key = (math.min(x, y) << 31) | math.max(x, y)
+            supPacked(key) = supPacked.getOrElse(key, 0L) + 1L
+          } else (x, y) => {
+            val key = (math.min(x, y), math.max(x, y))
+            supBoxed(key) = supBoxed.getOrElse(key, 0L) + 1L
+          }
         val empty = Array.empty[Long]
         es.foreach { case (a, b) =>
           val (u, v) = if (aFirst(a, b)) (a, b) else (b, a)
@@ -1132,14 +1144,15 @@ object LocalExec {
             else { val w = un(i); credit(u, v); credit(u, w); credit(v, w); i += 1; j += 1 }
           }
         }
-        sup
+        if (packable) (a, b) => supPacked.getOrElse((a << 31) | b, 0L)
+        else (a, b) => supBoxed.getOrElse((a, b), 0L)
       }
-      var finalSup: Option[mutable.HashMap[(Long, Long), Long]] = None
+      var finalSup: Option[(Long, Long) => Long] = None
       var r = 0
       while (r < rounds && finalSup.isEmpty && live.nonEmpty) {
         r += 1
         val sup = supports(live)
-        val next = live.filter(e => sup.getOrElse(e, 0L) >= t)
+        val next = live.filter { case (a, b) => sup(a, b) >= t }
         if (next.length == live.length) finalSup = Some(sup)
         else live = next
       }
@@ -1148,7 +1161,7 @@ object LocalExec {
           StructField("a", LongType, nullable = false),
           StructField("b", LongType, nullable = false),
           StructField("support", LongType, nullable = false))),
-        live.toSeq.map { case (a, b) => Row(a, b, sup.getOrElse((a, b), 0L)) })
+        live.toSeq.map { case (a, b) => Row(a, b, sup(a, b)) })
     }
   }
 
