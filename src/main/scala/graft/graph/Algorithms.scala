@@ -1343,6 +1343,16 @@ object Algorithms {
     * [[triangleCountsWedge]] keeps the wedge-join formulation; GraphSpec
     * pins the two equal on real data. */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // bounded graphs count in-process (the kCore/coreness/kTruss move):
+    // the distributed pass below is 6 shuffle stages, and the 10M-edge
+    // GRAPH_SCALE `triangles` row keeps it measured; GraphSpec pins the
+    // routes equal (the wedge-join twin never routes local)
+    if (LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      LocalExec.triangleCounts(nodes, edges, 1 << 21) match {
+        case Some(df) => return df
+        case None => ()
+      }
     graft.functions.GraftFunctions.register(nodes.sparkSession)
     val dir = orientedEdges(edges)
     val adj = dir.groupBy(col("s"))
@@ -1401,6 +1411,12 @@ object Algorithms {
     * plus one degree aggregation and one node-keyed join — no
     * iteration. Nodes outside the edge set get (0, 0). */
   def clustering(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    if (LocalExec.enabled(nodes.sparkSession) &&
+        LocalExec.smallEnoughGraph(nodes, edges))
+      LocalExec.clustering(nodes, edges, 1 << 21) match {
+        case Some(df) => return df
+        case None => ()
+      }
     val e = edges.select(col("src"), col("dst"))
     val canon = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()

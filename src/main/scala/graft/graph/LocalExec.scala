@@ -1165,6 +1165,93 @@ object LocalExec {
     }
   }
 
+  /** Shared in-process triangle substrate: canonical dedup, degree
+    * orientation ((deg, id)-smaller endpoint first — the same O(√m)
+    * out-degree bound as the distributed edge-iterator), sorted
+    * out-lists, two-pointer intersection per oriented edge crediting
+    * all three corners. Returns (per-node triangle counts, per-node
+    * undirected canonical degree). */
+  private def triangleCredits(rows: Array[Row])
+      : (mutable.LongMap[Long], mutable.LongMap[Long]) = {
+    val canon = {
+      val s = mutable.HashSet.empty[(Long, Long)]
+      rows.foreach { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        if (x != y) s += ((math.min(x, y), math.max(x, y)))
+      }
+      s.toArray
+    }
+    val deg = mutable.LongMap.empty[Long]
+    canon.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L; deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    def aFirst(a: Long, b: Long): Boolean = {
+      val (da, db) = (deg(a), deg(b)); da < db || (da == db && a < b)
+    }
+    val out = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    canon.foreach { case (a, b) =>
+      val (s, d) = if (aFirst(a, b)) (a, b) else (b, a)
+      out.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val sorted = mutable.LongMap.empty[Array[Long]]
+    out.foreach { case (u, nb) => sorted(u) = nb.toArray.sorted }
+    val tri = mutable.LongMap.empty[Long]
+    def credit(x: Long): Unit = tri(x) = tri.getOrElse(x, 0L) + 1L
+    val empty = Array.empty[Long]
+    canon.foreach { case (a, b) =>
+      val (u, v) = if (aFirst(a, b)) (a, b) else (b, a)
+      val un = sorted.getOrElse(u, empty)
+      val vn = sorted.getOrElse(v, empty)
+      var i = 0; var j = 0
+      while (i < un.length && j < vn.length) {
+        if (un(i) < vn(j)) i += 1
+        else if (un(i) > vn(j)) j += 1
+        else { credit(u); credit(v); credit(un(i)); i += 1; j += 1 }
+      }
+    }
+    (tri, deg)
+  }
+
+  /** Local twin of [[Algorithms.triangleCounts]]: per-node triangle
+    * participation over the undirected closure, nodes outside the edge
+    * set at 0. Schema: (id, n_tri). */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame,
+                     maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    for {
+      eRows <- collectBounded(preparedEdges(edges), maxRows)
+      nRows <- collectBounded(preparedIds(nodes), maxRows)
+    } yield {
+      val (tri, _) = triangleCredits(eRows)
+      localDF(spark, schema2("id", LongType, "n_tri", LongType),
+        nRows.toSeq.map { r =>
+          val id = r.getLong(0); Row(id, tri.getOrElse(id, 0L))
+        })
+    }
+  }
+
+  /** Local twin of [[Algorithms.clustering]]: the (n_tri, n_wedges =
+    * d·(d−1)/2) pair per node from the same substrate. */
+  def clustering(nodes: DataFrame, edges: DataFrame,
+                 maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    for {
+      eRows <- collectBounded(preparedEdges(edges), maxRows)
+      nRows <- collectBounded(preparedIds(nodes), maxRows)
+    } yield {
+      val (tri, deg) = triangleCredits(eRows)
+      localDF(spark, StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("n_tri", LongType, nullable = false),
+          StructField("n_wedges", LongType, nullable = false))),
+        nRows.toSeq.map { r =>
+          val id = r.getLong(0)
+          val d = deg.getOrElse(id, 0L)
+          Row(id, tri.getOrElse(id, 0L), d * (d - 1L) / 2L)
+        })
+    }
+  }
+
   /** Local twin of [[Algorithms.greedyModularity]]'s weighted core —
     * the SAME deterministic mutual-best-merge trajectory, in-process:
     * per round, pair affinities between communities (summed edge

@@ -767,6 +767,12 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map(1L -> (3L, 6L), 2L -> (3L, 3L), 3L -> (3L, 3L),
       4L -> (3L, 3L), 9L -> (0L, 0L)))
+    // forced-distributed twin agrees pairwise
+    val dist = withLocalExecOff {
+      Algorithms.clustering(g.nodes, g.edges)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(dist === got)
     // transitivity over the same pairs: Σn_tri = 3·4 triangles... K4 has
     // 4 triangles → closed = 12; wedges = 6+3+3+3+0 = 15
     assert(got.values.map(_._1).sum === 12L)
@@ -865,6 +871,13 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Algorithms.triangleCounts(k4.nodes, k4.edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // forced-distributed twin: the local credit counter and the
+    // edge-iterator rounds must agree
+    val dist = withLocalExecOff {
+      Algorithms.triangleCounts(k4.nodes, k4.edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(dist === got)
   }
 
   test("triangleCounts: intersection route equals the wedge join on Wiki-Vote") {
