@@ -64,6 +64,32 @@ object GraphScale {
     * adjacency stress without giving up the planted answer. */
   val SccBlock = 32L
 
+  /** Planted connectivity-robustness fixtures for the bridges_10m /
+    * articulation_10m rows, hung off anchors 0..[[PlantN]]−1 of the
+    * power-law graph at fresh ids ≥ nNodes (so the base generator never
+    * collides with them): per anchor i, one pendant 3-edge chain
+    * i—c—c+1—c+2 (every chain edge is a bridge; i, c and c+1 are cut
+    * vertices; the leaf c+2 is not) and one triangle i—t—t+1—i (no
+    * planted edge a bridge, neither t nor t+1 ever a cut vertex) — the
+    * known-positive AND known-negative sets the soak checks recover
+    * exactly. Anchors are low ids (the power-law mass), so the plants
+    * hang off the giant component's densest region. */
+  val PlantN = 1000L
+
+  def chainBase(nNodes: Long): Long = nNodes
+  def triBase(nNodes: Long): Long = nNodes + 3 * PlantN
+
+  def plantedRobustnessEdges(spark: SparkSession, nNodes: Long): DataFrame = {
+    val c = chainBase(nNodes)
+    val t = triBase(nNodes)
+    spark.range(PlantN).selectExpr("id AS src", s"$c + 3*id AS dst")
+      .union(spark.range(PlantN).selectExpr(s"$c + 3*id AS src", s"$c + 3*id + 1 AS dst"))
+      .union(spark.range(PlantN).selectExpr(s"$c + 3*id + 1 AS src", s"$c + 3*id + 2 AS dst"))
+      .union(spark.range(PlantN).selectExpr("id AS src", s"$t + 2*id AS dst"))
+      .union(spark.range(PlantN).selectExpr("id AS src", s"$t + 2*id + 1 AS dst"))
+      .union(spark.range(PlantN).selectExpr(s"$t + 2*id AS src", s"$t + 2*id + 1 AS dst"))
+  }
+
   def plantedSccEdges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame = {
     val b = SccBlock
     val cycle = spark.range(nNodes).selectExpr(
@@ -110,11 +136,19 @@ object GraphScale {
     val nodes = spark.range(nNodes).select(col("id"))
     val g = PropertyGraph(nodes, edges)
     val edgeCount = edges.count()
+    // weighted twin of the shared edge relation (greedy_modularity_w_10m):
+    // deterministic hash weights 1..8 — a cheap projection over the
+    // checkpointed edges, never materialized separately
+    val wEdges = edges.selectExpr("src", "dst",
+      "CAST(1 + pmod(xxhash64(src, dst, 7), 8) AS BIGINT) AS w")
 
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // per-round Q numerators stashed by greedy_modularity_10m's body for
     // its check lambda (the op() contract passes only the result frame)
     var gmQnums: scala.collection.mutable.ArrayBuffer[Long] =
+      scala.collection.mutable.ArrayBuffer.empty
+    // the weighted row's twin stash (greedy_modularity_w_10m)
+    var gmwQnums: scala.collection.mutable.ArrayBuffer[Long] =
       scala.collection.mutable.ArrayBuffer.empty
     // the verification wall per op, published alongside "queries" —
     // see the op() timing contract below
@@ -435,8 +469,18 @@ object GraphScale {
           throw new IllegalStateException(
             s"$changed nodes not at the h-index fixpoint — cap too low")
         Seq(3, 5, 10).foreach { k =>
-          val peel = Algorithms.kCore(edges, k = k, rounds = 60)
-            .select(col("id"))
+          val peelSup = Algorithms.kCore(edges, k = k, rounds = 60)
+            .localCheckpoint()
+          // cap diagnosis BEFORE the comparison: a cap exit returns an
+          // unconverged superset (survivors still under degree k), which
+          // would otherwise surface as a misleading "nodes differ from
+          // the kCore peel" — name the actual failure instead
+          val under = peelSup.filter(col("deg") < k).count()
+          if (under != 0)
+            throw new IllegalStateException(
+              s"kCore(k=$k) hit its 60-round cap unconverged " +
+                s"($under survivors under degree $k) — raise the cap")
+          val peel = peelSup.select(col("id"))
           val level = df.filter(col("coreness") >= k).select(col("id"))
           val diff = peel.except(level).count() + level.except(peel).count()
           if (diff > 0)
@@ -444,6 +488,108 @@ object GraphScale {
               s"level set k=$k: $diff nodes differ from the kCore peel")
         }
         df.agg(sum(col("coreness"))).head.getLong(0)
+      }),
+      // bridge detection at 10M edges — the last graph operator whose
+      // at-scale path was only parity-pinned (r18 gap #1): the
+      // distributed CC-roots + BFS-forest + XOR-cut-sketch route (the
+      // knob is off, so the local Tarjan cannot serve) over the power-law
+      // graph with the planted robustness fixtures. Check (untimed):
+      // every planted chain edge recovered (3000 known bridges), ZERO of
+      // the planted triangle edges reported (3000 known non-bridges —
+      // each closes a cycle), and the fail-loud BFS cap untripped
+      // (implicit: a cap trip errors the row). Recorded value = total
+      // reported bridge count (plants + the power-law graph's own
+      // pendant attachments).
+      op("bridges_10m")(Algorithms.bridges(
+        edges.union(plantedRobustnessEdges(spark, nNodes)),
+        maxRounds = 64, numParts = 32))({ df =>
+        val out = df.localCheckpoint()
+        val c = chainBase(nNodes)
+        val t = triBase(nNodes)
+        val chainEdges = spark.range(PlantN)
+          .selectExpr("id AS a", s"$c + 3*id AS b")
+          .union(spark.range(PlantN).selectExpr(s"$c + 3*id AS a", s"$c + 3*id + 1 AS b"))
+          .union(spark.range(PlantN).selectExpr(s"$c + 3*id + 1 AS a", s"$c + 3*id + 2 AS b"))
+        val missing = chainEdges.except(out).count()
+        if (missing != 0)
+          throw new IllegalStateException(
+            s"$missing of ${3 * PlantN} planted bridge edges not recovered")
+        val triEdges = spark.range(PlantN)
+          .selectExpr("id AS a", s"$t + 2*id AS b")
+          .union(spark.range(PlantN).selectExpr("id AS a", s"$t + 2*id + 1 AS b"))
+          .union(spark.range(PlantN).selectExpr(s"$t + 2*id AS a", s"$t + 2*id + 1 AS b"))
+        val fp = out.intersect(triEdges).count()
+        if (fp != 0)
+          throw new IllegalStateException(
+            s"$fp planted cycle edges falsely reported as bridges")
+        out.count()
+      }),
+      // articulation points at 10M edges — the NODE analog measured on
+      // the same planted instance: the distributed Tarjan–Vishkin route
+      // (BFS forest + preorder intervals + block CC; the local DFS twin
+      // cannot serve with the knob off). Check (untimed): every planted
+      // cut vertex recovered (anchor + both interior chain nodes per
+      // chain), ZERO of the planted never-cut nodes reported (chain
+      // leaves, triangle corners). Recorded value = total cut-vertex
+      // count.
+      op("articulation_10m")(Algorithms.articulationPoints(
+        edges.union(plantedRobustnessEdges(spark, nNodes)),
+        maxRounds = 64, numParts = 32))({ df =>
+        val out = df.localCheckpoint()
+        val c = chainBase(nNodes)
+        val t = triBase(nNodes)
+        val mustArt = spark.range(PlantN).selectExpr("id")
+          .union(spark.range(PlantN).selectExpr(s"$c + 3*id AS id"))
+          .union(spark.range(PlantN).selectExpr(s"$c + 3*id + 1 AS id"))
+        val missing = mustArt.except(out).count()
+        if (missing != 0)
+          throw new IllegalStateException(
+            s"$missing of ${3 * PlantN} planted cut vertices not recovered")
+        val mustNot = spark.range(PlantN).selectExpr(s"$c + 3*id + 2 AS id")
+          .union(spark.range(PlantN).selectExpr(s"$t + 2*id AS id"))
+          .union(spark.range(PlantN).selectExpr(s"$t + 2*id + 1 AS id"))
+        val fp = out.intersect(mustNot).count()
+        if (fp != 0)
+          throw new IllegalStateException(
+            s"$fp planted never-cut nodes falsely reported")
+        out.count()
+      }),
+      // weighted greedy modularity at 10M edges with a NON-TRIVIAL weight
+      // distribution (w = 1 + xxhash64(src,dst) mod 8, W ≈ 4.5e7 — inside
+      // the 2^30 fail-loud bound): the r18 soak exercised the weighted
+      // core only at w ≡ 1 via the unweighted delegation identity; this
+      // row drives the strength-mass aggregations with real weight skew.
+      // onRound scores each merged round's partition with the exact
+      // integer weighted numerator; the check asserts Q is STRICTLY
+      // monotone from the singleton baseline (mutual-positive merges can
+      // only raise weighted Q) and that every community label is one of
+      // its members. Recorded value = final community count.
+      op("greedy_modularity_w_10m")({
+        val qn = scala.collection.mutable.ArrayBuffer.empty[Long]
+        gmwQnums = qn
+        Algorithms.greedyModularityWeighted(nodes, wEdges, rounds = 5,
+          onRound = (_, cm) => qn += Algorithms.modularityWeighted(wEdges, cm)
+            .agg(sum(col("q_num_4w2"))).head.getLong(0))
+      })({ df =>
+        val lab = df.localCheckpoint()
+        val q0 = Algorithms.modularityWeighted(wEdges,
+            nodes.select(col("id").as("node"), col("id").as("community")))
+          .agg(sum(col("q_num_4w2"))).head.getLong(0)
+        val traj = q0 +: gmwQnums.toSeq
+        traj.sliding(2).foreach {
+          case Seq(p, n) if n <= p =>
+            throw new IllegalStateException(
+              s"weighted Q numerator not strictly monotone: $traj")
+          case _ => ()
+        }
+        val nComm = lab.agg(countDistinct(col("community"))).head.getLong(0)
+        val selfLabeled = lab.filter(col("node") === col("community")).count()
+        if (selfLabeled != nComm)
+          throw new IllegalStateException(
+            s"$nComm communities but $selfLabeled self-labeled nodes — " +
+              "some label is not a member of its community")
+        checks("greedy_modularity_w_10m_rounds") = gmwQnums.size.toLong
+        nComm
       }),
       // distributed personalized PageRank seeded at the hub (the DataFrame
       // loop — the knob is off, so the local twin cannot serve): mass in
@@ -514,8 +660,13 @@ object GraphScale {
     val ok = ran.filter(_._4.isEmpty)
     def obj(f: ((String, Double, Int, Option[String])) => String): String =
       ok.map(f).mkString("{", ",", "}")
+    // a filtered (iteration-aid) run must be self-describing: without the
+    // marker a committed filtered line would be indistinguishable in
+    // shape from a real unfiltered soak (same keys-object schema)
+    val filteredPart = if (only.isEmpty) ""
+      else s""""filtered":true,"only":"${only.toSeq.sorted.mkString(",")}","""
     val line =
-      s"""{"metric":"graph_scale","value":${Bench.jsonNum(ok.map(_._2).sum)},""" +
+      s"""{"metric":"graph_scale",$filteredPart"value":${Bench.jsonNum(ok.map(_._2).sum)},""" +
       s""""unit":"sec","n_nodes":$nNodes,"n_edges":$edgeCount,""" +
       s""""queries":${obj(r => s"\"${r._1}\":${Bench.jsonNum(r._2)}")},""" +
       s""""jobs":${obj(r => s"\"${r._1}\":${r._3}")},""" +

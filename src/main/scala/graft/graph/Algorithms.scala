@@ -1200,11 +1200,17 @@ object Algorithms {
     val e0 = (if (numParts > 0) e0base.repartition(numParts, col("a"))
               else e0base).localCheckpoint()
     // W = total edge weight (the unweighted caller's w ≡ 1 makes this
-    // the edge count m, bit-identical to the pre-weight formulation)
-    val m = {
-      val r = e0.agg(sum(col("w"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // the edge count m, bit-identical to the pre-weight formulation).
+    // min(w) rides the same scalar job as the contract check: integer
+    // w ≥ 1, enforced identically on the LocalExec route — an
+    // out-of-contract weight (0, negative) would silently skew every
+    // gain product instead of failing loud.
+    val (m, minW) = {
+      val r = e0.agg(sum(col("w")), min(col("w"))).head()
+      if (r.isNullAt(0)) (0L, 1L) else (r.getLong(0), r.getLong(1))
     }
+    require(minW >= 1L,
+      s"greedyModularity: edge weight must be a positive integer (w >= 1), found $minW")
     val deg = e0.select(col("a").as("node"), col("w"))
       .unionAll(e0.select(col("b").as("node"), col("w")))
       .groupBy(col("node")).agg(sum(col("w")).as("k"))
@@ -1818,37 +1824,8 @@ object Algorithms {
       .localCheckpoint()
     val nodes = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id"))).distinct().localCheckpoint()
-    // 1. forest roots = component minima
-    val comp = connectedComponents(nodes,
-      canon.select(col("a").as("src"), col("b").as("dst")), numParts)
-    var visited = comp.filter(col("node") === col("comp"))
-      .select(col("node"), lit(null).cast("long").as("parent"),
-        lit(0).as("depth"))
-      .localCheckpoint()
-    var frontier = visited.select(col("node"))
-    var depth = 0
-    var grew = frontier.count() > 0
-    while (grew && depth < maxRounds) {
-      depth += 1
-      val cand = und.join(frontier.select(col("node").as("dst")), Seq("dst"))
-        .select(col("src").as("node"), col("dst").as("parent"))
-      val fresh = cand
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .groupBy(col("node")).agg(min(col("parent")).as("parent"))
-        .select(col("node"), col("parent"), lit(depth).as("depth"))
-        .localCheckpoint()
-      if (fresh.count() > 0) {
-        visited = visited.unionByName(fresh).localCheckpoint()
-        frontier = fresh.select(col("node"))
-      } else { grew = false; depth -= 1 }
-    }
-    val missing = nodes
-      .join(visited.select(col("node").as("id")), Seq("id"), "left_anti").count()
-    if (missing > 0)
-      throw new IllegalStateException(
-        s"bridges: BFS forest incomplete after $maxRounds rounds " +
-          s"($missing nodes unreached) — raise maxRounds; an unfinished " +
-          "forest would misclassify, so this fails loud instead")
+    val visited = spanningForest(nodes, canon, und, maxRounds, numParts, "bridges")
+    val depth = visited.agg(max(col("depth"))).head.getInt(0)
     // 2. non-tree signatures + per-node XOR fold
     val treeCanon = visited.filter(col("parent").isNotNull)
       .select(least(col("node"), col("parent")).as("a"),
@@ -1888,9 +1865,236 @@ object Algorithms {
         greatest(col("node"), col("parent")).as("b"))
   }
 
+  /** Deterministic BFS spanning forest over the canonical undirected
+    * graph — the shared substrate of [[bridges]] and
+    * [[articulationPoints]]: each component grows from its minimum id
+    * (the [[connectedComponents]] label), parent = min frontier
+    * neighbor. Returns (node, parent NULL at roots, depth). `maxRounds`
+    * caps the BFS depth and FAILS LOUD if the forest is not complete —
+    * both consumers would silently misclassify on a truncated forest
+    * (the Brandes-cap rule, not the peel-cap rule). Scale shape: CC
+    * rounds + depth rounds of node-sized state over one edge-sized join
+    * per round. */
+  private[graft] def spanningForest(nodes: DataFrame, canon: DataFrame,
+                                    und: DataFrame, maxRounds: Int,
+                                    numParts: Int, who: String): DataFrame = {
+    val comp = connectedComponents(nodes,
+      canon.select(col("a").as("src"), col("b").as("dst")), numParts)
+    var visited = comp.filter(col("node") === col("comp"))
+      .select(col("node"), lit(null).cast("long").as("parent"),
+        lit(0).as("depth"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var depth = 0
+    var grew = frontier.count() > 0
+    while (grew && depth < maxRounds) {
+      depth += 1
+      val cand = und.join(frontier.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src").as("node"), col("dst").as("parent"))
+      val fresh = cand
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .groupBy(col("node")).agg(min(col("parent")).as("parent"))
+        .select(col("node"), col("parent"), lit(depth).as("depth"))
+        .localCheckpoint()
+      if (fresh.count() > 0) {
+        visited = visited.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select(col("node"))
+      } else { grew = false; depth -= 1 }
+    }
+    val missing = nodes
+      .join(visited.select(col("node").as("id")), Seq("id"), "left_anti").count()
+    if (missing > 0)
+      throw new IllegalStateException(
+        s"$who: BFS forest incomplete after $maxRounds rounds " +
+          s"($missing nodes unreached) — raise maxRounds; an unfinished " +
+          "forest would misclassify, so this fails loud instead")
+    visited
+  }
+
+  /** Articulation points — the NODE analog of [[bridges]] (which single
+    * vertices disconnect the graph: the service/account/broker
+    * single-point-of-failure audit). A cut vertex is one contained in
+    * ≥ 2 biconnected components.
+    *
+    * Distributed formulation (bounded graphs route to
+    * [[LocalExec.articulationPoints]], the exact Tarjan low-link twin):
+    * the Tarjan–Vishkin block-labeling over an ARBITRARY rooted spanning
+    * forest — a BFS forest here, nothing DFS-sequential anywhere:
+    *   1. [[spanningForest]] (CC roots + min-parent BFS), then three
+    *      forest passes of node-sized state: subtree sizes `nd`
+    *      (bottom-up level peel), a preorder numbering (top-down —
+    *      pre(child) = pre(parent) + 1 + Σ nd(earlier siblings), one
+    *      sibling window per level), and subtree-reach bounds
+    *      low/high = min/max preorder reachable from the subtree via
+    *      one non-tree hop (bottom-up peel seeded by the non-tree
+    *      endpoint preorders);
+    *   2. the block graph on non-root vertices (vertex v ≙ tree edge
+    *      (parent(v), v)): non-tree edge {x, y} with PRE-DISJOINT
+    *      subtrees links {x, y} (its fundamental cycle's two chain
+    *      bottoms), and tree edge (u, v) links {u, v} iff subtree(v)
+    *      escapes subtree(u) (low(v) < pre(u) ∨ high(v) ≥
+    *      pre(u) + nd(u)) — each fundamental cycle's tree path is thus
+    *      chained link-by-link, ancestor-type non-tree edges included,
+    *      so [[connectedComponents]] over these links labels every tree
+    *      edge with its biconnected component;
+    *   3. a vertex is an articulation point iff its incident TREE edges
+    *      span ≥ 2 block labels (every block containing v contains a
+    *      tree edge at v — any spanning tree of G induces a spanning
+    *      tree on each block): non-root u with some child c where
+    *      label(c) ≠ label(u), or a root whose children span ≥ 2
+    *      labels.
+    *
+    * A genuinely different algorithm from the local twin's DFS low-link
+    * test, so their GraphSpec agreement on Wiki-Vote is evidence, not
+    * tautology. `maxRounds` caps the BFS depth (fail-loud, inherited
+    * from [[spanningForest]]). Scale shape: CC + 4·depth forest rounds
+    * of node-sized frames, one edge-sized non-tree join, and a block-CC
+    * over ≤ |E| links — no driver-side edge lists. Output: (id). */
+  def articulationPoints(edges: DataFrame, maxRounds: Int, numParts: Int = 0,
+                         localBounded: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "articulationPoints needs at least one BFS round")
+    val spark = edges.sparkSession
+    if (LocalExec.enabled(spark)) {
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnoughEdges(edges)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.articulationPoints(edges, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
+    val e = edges.select(col("src"), col("dst"))
+    val canon0 = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val canon = (if (numParts > 0) canon0.repartition(numParts, col("a"))
+                 else canon0).localCheckpoint()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id"))).distinct().localCheckpoint()
+    val visited =
+      spanningForest(nodes, canon, und, maxRounds, numParts, "articulationPoints")
+        .localCheckpoint()
+    val maxDepth = visited.agg(max(col("depth"))).head.getInt(0)
+    // subtree sizes: bottom-up level peel — nodes at depth d are final
+    // once every deeper level has pushed (the bridges XOR-peel pattern)
+    var nd = visited.select(col("node"), col("parent"), col("depth"),
+      lit(1L).as("nd")).localCheckpoint()
+    var d = maxDepth
+    while (d >= 1) {
+      val push = nd.filter(col("depth") === d)
+        .groupBy(col("parent").as("node")).agg(sum(col("nd")).as("add"))
+      nd = nd.join(push, Seq("node"), "left")
+        .select(col("node"), col("parent"), col("depth"),
+          (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
+        .localCheckpoint()
+      d -= 1
+    }
+    // preorder: top-down — per-component numbering from 0 at the root
+    // (all comparisons below are within a component, and rule B can
+    // never fire on a root child: low ≥ 0 = pre(root) and
+    // high ≤ size − 1 < nd(root))
+    val byParent = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent")).orderBy(col("node"))
+    var lvl = nd.filter(col("depth") === 0)
+      .select(col("node"), lit(0L).as("pre")).localCheckpoint()
+    var pre = lvl
+    d = 1
+    while (d <= maxDepth) {
+      val kids = nd.filter(col("depth") === d)
+        .withColumn("before", coalesce(sum(col("nd")).over(
+          byParent.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      lvl = kids
+        .join(lvl.select(col("node").as("parent"), col("pre").as("ppre")),
+          Seq("parent"))
+        .select(col("node"), (col("ppre") + 1L + col("before")).as("pre"))
+        .localCheckpoint()
+      pre = pre.unionByName(lvl).localCheckpoint()
+      d += 1
+    }
+    val info = nd.join(pre, Seq("node")).localCheckpoint()
+    // non-tree edges, with both endpoint preorders + subtree sizes
+    val treeCanon = visited.filter(col("parent").isNotNull)
+      .select(least(col("node"), col("parent")).as("a"),
+        greatest(col("node"), col("parent")).as("b"))
+    val nonTree = canon.join(treeCanon, Seq("a", "b"), "left_anti")
+      .join(info.select(col("node").as("a"), col("pre").as("pa"),
+        col("nd").as("na")), Seq("a"))
+      .join(info.select(col("node").as("b"), col("pre").as("pb"),
+        col("nd").as("nb")), Seq("b"))
+      .localCheckpoint()
+    // block-graph links, rule A: pre-disjoint non-tree {x, y} → {x, y}
+    val auxA = nonTree.select(
+        when(col("pa") < col("pb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("pa") < col("pb"), col("b")).otherwise(col("a")).as("dst"),
+        least(col("pa"), col("pb")).as("px"),
+        when(col("pa") < col("pb"), col("na")).otherwise(col("nb")).as("nx"),
+        greatest(col("pa"), col("pb")).as("py"))
+      .filter(col("py") >= col("px") + col("nx"))
+      .select(col("src"), col("dst"))
+    // low/high: bottom-up peel seeded by non-tree endpoint preorders
+    val ntPre = nonTree.select(col("a").as("node"), col("pb").as("p"))
+      .unionAll(nonTree.select(col("b").as("node"), col("pa").as("p")))
+      .groupBy(col("node")).agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+    var lh = info.join(ntPre, Seq("node"), "left")
+      .select(col("node"), col("parent"), col("depth"), col("pre"), col("nd"),
+        least(col("pre"), coalesce(col("lo"), col("pre"))).as("low"),
+        greatest(col("pre"), coalesce(col("hi"), col("pre"))).as("high"))
+      .localCheckpoint()
+    d = maxDepth
+    while (d >= 1) {
+      val push = lh.filter(col("depth") === d)
+        .groupBy(col("parent").as("node"))
+        .agg(min(col("low")).as("clo"), max(col("high")).as("chi"))
+      lh = lh.join(push, Seq("node"), "left")
+        .select(col("node"), col("parent"), col("depth"), col("pre"), col("nd"),
+          least(col("low"), coalesce(col("clo"), col("low"))).as("low"),
+          greatest(col("high"), coalesce(col("chi"), col("high"))).as("high"))
+        .localCheckpoint()
+      d -= 1
+    }
+    // rule B: tree edge (u = parent(v), v) links {u, v} iff subtree(v)
+    // escapes subtree(u)
+    val auxB = lh.filter(col("parent").isNotNull)
+      .join(lh.select(col("node").as("parent"), col("pre").as("pu"),
+        col("nd").as("ndu")), Seq("parent"))
+      .filter(col("low") < col("pu") ||
+        col("high") >= col("pu") + col("ndu"))
+      .select(col("parent").as("src"), col("node").as("dst"))
+    val auxNodes = lh.filter(col("parent").isNotNull)
+      .select(col("node").as("id"))
+    val blockCC = connectedComponents(auxNodes, auxA.unionByName(auxB),
+      numParts).localCheckpoint()
+    // extraction: non-root u with a child in another block; roots whose
+    // children span ≥ 2 blocks
+    val childCc = lh.filter(col("parent").isNotNull)
+      .join(blockCC.select(col("node"), col("comp").as("childcc")), Seq("node"))
+      .select(col("node"), col("parent"), col("childcc"))
+      .localCheckpoint()
+    val nonRootArt = childCc
+      .join(blockCC.select(col("node").as("parent"),
+        col("comp").as("parentcc")), Seq("parent"))
+      .filter(col("childcc") =!= col("parentcc"))
+      .select(col("parent").as("id")).distinct()
+    val rootArt = childCc
+      .join(lh.filter(col("parent").isNull).select(col("node").as("parent")),
+        Seq("parent"), "left_semi")
+      .groupBy(col("parent"))
+      .agg(countDistinct(col("childcc")).as("nblocks"))
+      .filter(col("nblocks") >= 2)
+      .select(col("parent").as("id"))
+    nonRootArt.unionByName(rootArt)
+  }
+
   /** Synchronous label propagation (community detection), fixed rounds.
     * Deterministic tie-break: the smallest among the most-frequent neighbor
-    * labels. Test-verified (G12) — no SQL oracle. */
+    * labels. Oracle-gated (`g_label_prop` unrolls the same synchronous
+    * vote in SQL) on top of the G12 test pin. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int,
                        localBounded: Int = 0): DataFrame = {
     // same bounded-local route as kCore: a fixed-round synchronous vote

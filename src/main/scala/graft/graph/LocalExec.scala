@@ -1265,8 +1265,11 @@ object LocalExec {
   def greedyModularity(ids: Array[Long], edges: Array[(Long, Long, Long)],
                        rounds: Int,
                        onRound: (Int, Seq[(Long, Long)]) => Unit): Seq[(Long, Long)] = {
-    val w0 = edges.map(_._3.toDouble) // only for the W sum guard below
-    require(w0.forall(_ >= 0), "negative edge weight")
+    // contract check on the Long values directly (same w ≥ 1 integer
+    // contract the distributed core enforces in greedyModularityCore, so
+    // an out-of-contract weight fails loud on BOTH routes)
+    require(edges.forall(_._3 >= 1L),
+      "greedyModularity: edge weight must be a positive integer (w >= 1)")
     val wTot = edges.iterator.map(_._3).sum
     val strength = mutable.LongMap.empty[Long]
     edges.foreach { case (a, b, w) =>
@@ -1385,6 +1388,70 @@ object LocalExec {
       }
       localDF(spark, schema2("a", LongType, "b", LongType),
         out.sortBy(identity).toSeq.map { case (a, b) => Row(a, b) })
+    }
+  }
+
+  /** Local twin of [[Algorithms.articulationPoints]] — EXACT cut-vertex
+    * detection by the same iterative Tarjan low-link DFS as [[bridges]]:
+    * non-root u is an articulation point iff some DFS child c has
+    * low(c) ≥ disc(u) (nothing in c's subtree reaches strictly above u),
+    * a root iff it has ≥ 2 DFS children. A genuinely different algorithm
+    * from the distributed twin's BFS-forest block labeling
+    * (Tarjan–Vishkin), so their GraphSpec agreement is evidence, not
+    * tautology. Schema: (id), sorted. */
+  def articulationPoints(edges: DataFrame, maxRows: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    collectBounded(preparedEdges(edges), maxRows).map { rows =>
+      val canon = {
+        val s = mutable.HashSet.empty[(Long, Long)]
+        rows.foreach { r =>
+          val (x, y) = (r.getLong(0), r.getLong(1))
+          if (x != y) s += ((math.min(x, y), math.max(x, y)))
+        }
+        s.toArray
+      }
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Int)]]
+      canon.zipWithIndex.foreach { case ((a, b), i) =>
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, i))
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, i))
+      }
+      val disc = mutable.LongMap.empty[Long]
+      val low = mutable.LongMap.empty[Long]
+      val art = mutable.HashSet.empty[Long]
+      var timer = 0L
+      adj.keys.toArray.sorted.foreach { root =>
+        if (!disc.contains(root)) {
+          var rootKids = 0
+          val stack = mutable.ArrayBuffer.empty[(Long, Int, Int)]
+          disc(root) = timer; low(root) = timer; timer += 1
+          stack += ((root, -1, 0))
+          while (stack.nonEmpty) {
+            val (u, pe, ci) = stack.last
+            val nbrs = adj(u)
+            if (ci < nbrs.length) {
+              stack(stack.length - 1) = (u, pe, ci + 1)
+              val (v, ei) = nbrs(ci)
+              if (ei != pe) {
+                if (!disc.contains(v)) {
+                  disc(v) = timer; low(v) = timer; timer += 1
+                  stack += ((v, ei, 0))
+                } else low(u) = math.min(low(u), disc(v))
+              }
+            } else {
+              stack.remove(stack.length - 1)
+              if (stack.nonEmpty) {
+                val p = stack.last._1
+                low(p) = math.min(low(p), low(u))
+                if (p == root && stack.length == 1) rootKids += 1
+                else if (low(u) >= disc(p)) art += p
+              }
+            }
+          }
+          if (rootKids >= 2) art += root
+        }
+      }
+      localDF(spark, StructType(Seq(StructField("id", LongType, nullable = false))),
+        art.toSeq.sorted.map(Row(_)))
     }
   }
 

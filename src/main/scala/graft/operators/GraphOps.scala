@@ -295,7 +295,13 @@ object GraphOps {
       "g_stress" -> gridStress, "g_harmonic" -> gridHarmonic,
       "g_betweenness" -> ladderBetweenness,
       "g_eccentricity" -> gridEccentricity,
-      "g_coreness" -> wikivoteCoreness)
+      "g_coreness" -> wikivoteCoreness,
+      // r18 routed the bounded triangle family in-process; the Wiki-Vote
+      // clustering twin keeps its distributed wedge/support plan measured
+      // in a committed artifact (the r18 ADVICE regression-invisibility
+      // hole; bridges' distributed route is measured by GRAPH_SCALE's
+      // bridges_10m row instead — the planted gate instance is 25 edges)
+      "g_clustering" -> wikivoteClustering)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
@@ -1174,6 +1180,51 @@ object GraphOps {
        |  WHERE r.ea = e.a AND r.eb = e.b AND r.node = e.b)""".stripMargin
   }
 
+  // --- G34: articulation points (node-robustness audit) ------------------------
+
+  /** G34: articulation points on the same planted instance as G33 — the
+    * nodes whose removal disconnects their component (the NODE analog of
+    * the bridge audit: 8 cut vertices — the cycle-junction 5 and 10, the
+    * chain nodes 13 and 20, the leaf anchors 2, 42 and 63, and the
+    * triangle-to-K4 connector 60). See
+    * [[graft.graph.Algorithms.articulationPoints]]; the oracle is again
+    * the DEFINITION itself (per-candidate-removal reachability), so the
+    * gate is independent of both the local Tarjan low-link route and the
+    * distributed Tarjan–Vishkin block labeling. */
+  def plantedArticulation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Algorithms.articulationPoints(BridgeEdges.toDF("src", "dst"), BridgeRounds)
+  }
+
+  private lazy val articulationOracle: String = {
+    val vals = BridgeEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM (VALUES $vals) t(a, b)),
+       |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT u AS id FROM und),
+       |-- full reachability per start: component label + size
+       |fr(src, node) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT fr.src, und.v FROM fr JOIN und ON und.u = fr.node),
+       |comp AS (SELECT src AS id, COUNT(*) AS csize FROM fr GROUP BY src),
+       |compof AS (SELECT src AS id, MIN(node) AS c FROM fr GROUP BY src),
+       |-- seed per candidate: the min other node of its component
+       |seed AS (SELECT ca.id AS cand, MIN(cb.id) AS s
+       |  FROM compof ca JOIN compof cb ON cb.c = ca.c AND cb.id <> ca.id
+       |  GROUP BY ca.id),
+       |-- rr(cand, node): reachable from the seed with cand removed
+       |rr(cand, node) AS (
+       |  SELECT cand, s FROM seed
+       |  UNION
+       |  SELECT rr.cand, und.v FROM rr JOIN und ON und.u = rr.node
+       |  WHERE und.v <> rr.cand),
+       |cnt AS (SELECT cand, COUNT(*) AS n FROM rr GROUP BY cand)
+       |SELECT cnt.cand AS id FROM cnt
+       |JOIN comp ON comp.id = cnt.cand
+       |WHERE cnt.n < comp.csize - 1""".stripMargin
+  }
+
   // --- G26b/G27b: weighted community operators --------------------------------
 
   /** G26b: WEIGHTED modularity of the nation partition — the same
@@ -1956,6 +2007,7 @@ object GraphOps {
     "g_modularity_w" -> nationModularityWeighted,
     "g_greedy_modularity" -> communityCluster,
     "g_bridges" -> plantedBridges,
+    "g_articulation" -> plantedArticulation,
     "g_greedy_modularity_w" -> communityClusterWeighted,
     "g_assortativity" -> wikivoteAssortativity,
     "g_reciprocity" -> wikivoteReciprocity,
@@ -2048,6 +2100,7 @@ object GraphOps {
     "g_modularity" -> modularityOracle,
     "g_modularity_w" -> modularityWOracle,
     "g_bridges" -> bridgeOracle,
+    "g_articulation" -> articulationOracle,
     "g_greedy_modularity" -> greedyModularityOracle(sparseEdgesSql,
       GreedyModRounds),
     "g_greedy_modularity_w" -> greedyModularityOracle(weightedSampleEdgesSql,

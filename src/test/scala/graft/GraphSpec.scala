@@ -660,7 +660,7 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bridges: planted instance exact on both routes; Wiki-Vote local ≡ distributed") {
     import spark.implicits._
-    // the gated planted instance: hand-derived truth — the 9 edges whose
+    // the gated planted instance: hand-derived truth — the 7 edges whose
     // removal disconnects their component (chain edges, leaves, and the
     // cycle-to-cycle / triangle-to-K4 connectors; no cycle edge qualifies)
     val expect = Set((5L, 10L), (13L, 20L), (20L, 21L), (2L, 30L),
@@ -696,6 +696,62 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loc === dist)
     // the real graph has pendant voters — the bridge set is nonempty
     assert(loc.nonEmpty)
+  }
+
+  test("articulationPoints: planted instance exact on both routes") {
+    import spark.implicits._
+    // hand-derived truth on the G33 instance — the 8 nodes whose removal
+    // disconnects their component: the cycle junctions 5 and 10, the
+    // chain nodes 13 and 20, the leaf anchors 2, 42 and 63, and the
+    // triangle-to-K4 connector 60. No K4/triangle/cycle interior node
+    // qualifies, and no leaf (21, 30, 50, 70) ever can.
+    val expect = Set(2L, 5L, 10L, 13L, 20L, 42L, 60L, 63L)
+    val edges = graft.operators.GraphOps.BridgeEdges.toDF("src", "dst")
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val loc = asSet(Algorithms.articulationPoints(edges,
+      graft.operators.GraphOps.BridgeRounds))
+    assert(loc === expect)
+    // forced-distributed: BFS forest + preorder-interval block labeling
+    // (Tarjan–Vishkin) — a genuinely different algorithm from the local
+    // DFS low-link test
+    val dist = withLocalExecOff {
+      asSet(Algorithms.articulationPoints(edges,
+        graft.operators.GraphOps.BridgeRounds, numParts = 2))
+    }
+    assert(dist === expect)
+    // reversed/duplicated rows and self-loops canonicalize away
+    val messy = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+      .unionAll(Seq((7L, 7L)).toDF("src", "dst"))
+    assert(asSet(Algorithms.articulationPoints(messy,
+      graft.operators.GraphOps.BridgeRounds)) === expect)
+  }
+
+  test("articulationPoints: local Tarjan and distributed block labeling agree on Wiki-Vote") {
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val loc = asSet(Algorithms.articulationPoints(g.edges, maxRounds = 24))
+    val dist = withLocalExecOff {
+      asSet(Algorithms.articulationPoints(g.edges, maxRounds = 24, numParts = 4))
+    }
+    assert(loc === dist)
+    // pendant voters make every pendant's anchor a cut vertex — nonempty
+    assert(loc.nonEmpty)
+    // cross-operator consistency: every bridge endpoint with degree ≥ 2
+    // is an articulation point (removing it orphans the bridge's other
+    // side), so the node set must cover those endpoints
+    val bridges = Algorithms.bridges(g.edges, maxRounds = 24).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val deg = withLocalExecOff {
+      val e = g.edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where("a <> b").distinct()
+      e.selectExpr("a AS n").union(e.selectExpr("b AS n"))
+        .groupBy("n").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val mustBeArt = bridges.filter(n => deg(n) >= 2L)
+    assert(mustBeArt.subsetOf(loc))
   }
 
   test("modularityWeighted: hand-computed integers; parallel rows pre-sum") {
