@@ -256,21 +256,32 @@ case class ArrayMd5Head(child: Expression)
 /** Helper for [[MinhashSignature]] — plain static JVM code (same rule as
   * [[Md5Head]]). */
 object MinhashSig {
-  /** `mins[j] = min over h in hvs of ((2j+1)*h + 7919j + 911) mod
-    * 1000000007` for j in 0 until k — one pass over the hash array with
-    * all k permutation registers live, replacing k interpreted
+  /** `mins[j] = min over h in hvs of (a_j*h + 7919j + 911) mod
+    * 1000000007` with a_j = 2654435761^(j+1) mod p (the decorrelated
+    * powers family — see the permA doc in Dedup), for j in
+    * 0 until k — one pass over the hash array with all k permutation
+    * registers live, replacing k interpreted
     * `array_min(transform(hvs, ...))` walks (k = 128 at the production
     * profile). Constants are `Dedup.MinhashMod`/`permA`/`permB` spelled
-    * as literals; DedupSpec pins value parity against the SQL
-    * formulation so they cannot drift apart silently. Null elements are
-    * skipped (the SQL transform maps null→null and array_min ignores
-    * nulls); a doc with no non-null hash yields MaxValue-free behavior:
-    * all-null input returns null mins — callers never see it because
-    * shingleSets filters empty docs. */
+    * as literals (the large multiplier decorrelates the permutations —
+    * see the permA doc in Dedup); DedupSpec pins value parity against
+    * the SQL formulation so they cannot drift apart silently. Null
+    * elements are skipped (the SQL transform maps null→null and
+    * array_min ignores nulls); a doc with no non-null hash yields
+    * MaxValue-free behavior: all-null input returns null mins — callers
+    * never see it because shingleSets filters empty docs. */
   def signature(a: ArrayData, k: Int): ArrayData = {
     val n = a.numElements()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](k)
+    var acc = 1L
+    var j0 = 0
+    while (j0 < k) {
+      acc = (acc * 2654435761L) % 1000000007L
+      as(j0) = acc
+      j0 += 1
+    }
     var any = false
     var i = 0
     while (i < n) {
@@ -279,7 +290,7 @@ object MinhashSig {
         val h = a.getLong(i)
         var j = 0
         while (j < k) {
-          val v = ((2L * j + 1L) * h + 7919L * j + 911L) % 1000000007L
+          val v = (as(j) * h + 7919L * j + 911L) % 1000000007L
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -302,7 +313,7 @@ object MinhashSig {
   * production profile (128 hashes) over a 100 TB corpus that is the
   * dominant dedup-signature cost. Values are bit-identical to the SQL
   * (same integer ops in the same order; no overflow: h < 2^32,
-  * a_j ≤ 257 → a_j*h + b_j < 2^41). */
+  * a_j < p ≈ 2^30 → a_j*h + b_j < 2^62). */
 case class MinhashSignature(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

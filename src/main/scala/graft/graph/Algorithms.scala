@@ -1555,6 +1555,18 @@ object Algorithms {
     var r = 0
     while (r < rounds && finalSup.isEmpty && nLive > 0) {
       r += 1
+      // ACCEPTED TRADEOFF (r19): supports are recomputed from scratch over
+      // the survivors each round, though only edges adjacent to a dropped
+      // edge can lose support (kCore's broadcast-drop-set pattern would
+      // bound late rounds to the affected neighborhoods). The 10M-edge
+      // soak priced the full recompute at 26 s TOTAL for the whole k=5
+      // peel (GRAPH_SCALE ktruss_k5, converged fixpoint) — the late
+      // trickle rounds run on a live set already shrunk by the heavy
+      // early drops, so the affected-edge bookkeeping (an extra
+      // edge-to-drop-set semi-join per round plus a stale-support merge)
+      // would complicate the partition-invariance contract for at most a
+      // few seconds at this scale. Revisit only if a heavier soak shows
+      // late rounds dominating.
       val sup = edgeSupports(live, numParts).localCheckpoint()
       val next = sup.filter(col("support") >= t).localCheckpoint()
       val nNext = next.count()

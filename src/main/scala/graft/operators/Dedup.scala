@@ -40,7 +40,9 @@ object Dedup {
     * s≈0.7 than the demo 1-(1-s^2)^4, so low-similarity pairs stop
     * flooding the candidate join while true near-dups are still caught
     * with ≥99.9% probability. Same code path as the gated entries
-    * (DedupProfileSpec proves recall on planted dups); not oracle-gated —
+    * (DedupProfileSpec proves recall on planted dups; since r19
+    * [[graft.DocScale]]'s `minhash_pairs_prod` row soaks this profile at
+    * 2M docs with a DETERMINISTIC plant-recovery bar); not oracle-gated —
     * a 128-hash unrolled oracle would be SQL-generation noise, and the
     * equivalence to the gated path is structural. */
   val ProdNumHashes = 128
@@ -85,7 +87,32 @@ object Dedup {
       .mkString(" + ")
 
   val MinhashMod = 1000000007L
-  private def permA(j: Int) = 2 * j + 1
+
+  /** Universal-hash permutation multipliers — a_j = c^(j+1) mod p with
+    * c = 2654435761 (Knuth's multiplicative constant). The PAIRWISE
+    * RATIO of any two multipliers must be large mod p: the original
+    * a_j = 2j+1 family made consecutive permutations near-order-
+    * preserving on the small end (u < p/3 ⇒ 3u < p never wraps), so a
+    * near-dup pair's ONE differing shingle tended to win the argmin of
+    * many permutations TOGETHER — DocScale measured the correlation as
+    * a ~1.5e-3 per-pair miss rate at the demo profile where independent
+    * permutations predict ~2e-6 (and ~5e-4 at the production profile
+    * vs ~1e-14). Note the obvious patch a_j = c·(2j+1) is an ALGEBRAIC
+    * NO-OP for this: it equals the old family applied to u = c·h, same
+    * ratios, same correlation (measured: misses unchanged). The powers
+    * family has every ratio a_j/a_k = c^(j−k) large mod p; simulation
+    * at 300k synthetic near-pairs shows zero misses (theory ≈ 2e-6),
+    * and DOC_SCALE's committed checks hold it to exact plant recovery.
+    * BIGINT-safe on both engines (a_j < p ≈ 2³⁰, h < 2³², a_j·h + b_j
+    * < 2⁶²). Mirrored as the same running product in the native
+    * one-pass fold (functions.MinhashSig — DedupSpec pins value parity)
+    * and interpolated per-j as literals into both engines' SQL. */
+  private def permA(j: Int): Long = {
+    var a = 1L
+    var i = 0
+    while (i <= j) { a = (a * 2654435761L) % MinhashMod; i += 1 }
+    a
+  }
   private def permB(j: Int) = 7919L * j + 911L
 
   private[graft] def sparkMinhash(j: Int) =
@@ -108,13 +135,22 @@ object Dedup {
                           keep: Seq[String] = Nil): DataFrame =
     shingleSetsOf(Tables.documents(spark, dir), keep)
 
-  /** Docs with their LSH band values: band b = concat of its
-    * `numHashes/bands` consecutive minhashes. Input must have (doc_id,
-    * shingles). Each exploded row carries the full band-value array
-    * (`vals`) so the pair join can dedupe multi-band collisions with a
-    * first-agreeing-band predicate instead of a global DISTINCT shuffle.
-    * Profile-parameterized: the gated queries pass the demo 8/4, the
-    * production path passes 128/16 through the identical expressions. */
+  /** Docs with their LSH band values: band b = the xxhash64 of the
+    * '|'-joined `numHashes/bands` consecutive minhashes — an 8-BYTE key
+    * (the spanDedup/containment fixed-width-key rule): the band value is
+    * join-internal, never published, so hashing it shrinks the banding's
+    * exchange AND checkpoint payload from bands × ~(9 digits + sep) × rows
+    * strings per doc to bands longs (16× at the production profile —
+    * DocScale measured the string form dominating the prod row's wall),
+    * and a 64-bit collision merely ADDS a candidate pair that the
+    * downstream exact verify rejects (~N²·bands/2⁶⁴ ≈ 1e-5 at 2M docs;
+    * the DuckDB gate on the demo profile would surface one). Input must
+    * have (doc_id, shingles). Each exploded row carries the full
+    * band-value array (`vals`) so the pair join can dedupe multi-band
+    * collisions with a first-agreeing-band predicate instead of a global
+    * DISTINCT shuffle. Profile-parameterized: the gated queries pass the
+    * demo 8/4, the production path passes 128/16 through the identical
+    * expressions. */
   private def bandedFromShingles(sh: DataFrame, keep: Seq[String] = Nil,
                                  numHashes: Int = NumHashes,
                                  bands: Int = Bands): DataFrame = {
@@ -122,7 +158,7 @@ object Dedup {
     val rows = numHashes / bands
     val bandVals = (0 until bands).map(b =>
       (0 until rows).map(r => s"CAST(element_at(mhs, ${rows * b + r + 1}) AS STRING)")
-        .mkString("concat_ws('|', ", ", ", ")")).mkString(", ")
+        .mkString("xxhash64(concat_ws('|', ", ", ", "))")).mkString(", ")
     val id = "doc_id" +: keep
     graft.functions.GraftFunctions.register(sh.sparkSession)
     // graft_md5h = the native one-pass form of
