@@ -42,17 +42,27 @@ import graft.sources.Tables
   *   - SPAN:        doc 95 carries doc 94's tokens 5..16 spliced at
   *                  position 10 (a 12-token verbatim island in each,
   *                  8 duplicated 5-grams; jaccard ≈ 0.2 — below every
-  *                  pair threshold, visible only to D12).
+  *                  pair threshold, visible only to D12); its FILLER
+  *                  words draw from a disjoint 'v'-prefixed
+  *                  sub-vocabulary so a splice-boundary gram can never
+  *                  coincide by the 1/|V| birthday term (see
+  *                  [[vocabWord]]).
   * Every planted doc's span diagnosis is closed-form (see
   * [[checkSpanDedup]]), so the span check covers ALL 8 planted doc
   * classes exactly and pins unplanted docs to ZERO output rows. */
 object DocScale {
 
-  /** Vocabulary: 'w' + 3 lowercase letters, hash-indexed. */
+  /** Vocabulary: a prefix letter + 3 hash-indexed lowercase letters.
+    * Normal words use prefix 'w'; a spliced doc's FILLER words use the
+    * disjoint 'v' sub-vocabulary — without it, the filler word adjacent
+    * to the splice window coincides with the corresponding source word
+    * with probability 1/17576 per boundary, which at 2M docs is ~2
+    * planted pairs whose island grows one gram past the closed form
+    * (measured: exactly that, twice, in the first 2M run). */
   private val VocabSize = 26 * 26 * 26
 
-  private val vocabWord = (h: String) =>
-    s"""concat('w',
+  private def vocabWord(prefix: String, h: String) =
+    s"""concat($prefix,
        |  chr(97 + CAST(($h DIV 676) % 26 AS INT)),
        |  chr(97 + CAST(($h DIV 26) % 26 AS INT)),
        |  chr(97 + CAST($h % 26 AS INT)))""".stripMargin
@@ -68,7 +78,9 @@ object DocScale {
         |     WHEN doc_id % 100 = 95 THEN doc_id
         |     ELSE base END""".stripMargin
     val pos = "CASE WHEN doc_id % 100 = 95 AND j BETWEEN 10 AND 21 THEN j - 5 ELSE j END"
-    val word = vocabWord(s"pmod(xxhash64($salt, $pos), $VocabSize)")
+    val prefix =
+      "CASE WHEN doc_id % 100 = 95 AND NOT (j BETWEEN 10 AND 21) THEN 'v' ELSE 'w' END"
+    val word = vocabWord(prefix, s"pmod(xxhash64($salt, $pos), $VocabSize)")
     spark.range(n)
       .select(col("id").as("doc_id"),
         expr("CASE WHEN id % 100 IN (93, 95, 97, 99) THEN id - 1 ELSE id END").as("base"))

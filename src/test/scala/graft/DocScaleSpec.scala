@@ -52,8 +52,14 @@ class DocScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w95.zip(w94).zipWithIndex.forall { case ((a, b), i) =>
       if (i >= 9 && i < 21) true else a != b
     })
-    // word lengths: every token is 'w' + 3 letters (tokenizer-visible)
+    // word lengths: every token is prefix + 3 letters (tokenizer-visible)
     assert(w94.forall(w => w.length == 4 && w.forall(_.isLetter)))
+    // the splice doc's FILLER words come from the disjoint 'v'
+    // sub-vocabulary (so no splice-boundary gram can ever coincide);
+    // the splice window itself carries 94's 'w' words
+    assert(w95.zipWithIndex.forall { case (w, i) =>
+      w.head == (if (i >= 9 && i < 21) 'w' else 'v')
+    })
   }
 
   test("soak checks pass end-to-end through the gated operators") {
