@@ -161,7 +161,11 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "g_eccentricity@dist" -> 19.38,
       // 27 h-index rounds x ~4 scheduled jobs on the fixed Wiki-Vote
       // graph (r17 first committed measurement)
-      "g_coreness@dist" -> 10.83)
+      "g_coreness@dist" -> 10.83,
+      // one distributed wedge/support pass over the fixed Wiki-Vote
+      // graph (r19 first committed measurement — the twin added when
+      // r18's local routing left the triangle substrate unmeasured)
+      "g_clustering@dist" -> 1.16)
     for (q <- distQs) {
       val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
       assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
