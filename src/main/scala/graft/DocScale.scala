@@ -252,6 +252,7 @@ object DocScale {
     synthesize(spark, n, dir)
 
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val checkSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def op(name: String)(body: => DataFrame)(check: DataFrame => Long): (String, Double, Int, Option[String]) = {
       try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
       catch { case _: Throwable => () }
@@ -263,7 +264,12 @@ object DocScale {
         val df = body.localCheckpoint() // materialized: the operator ran
         secs = (System.nanoTime() - t0) / 1e9
         nj = jobs.get()
-        checks(name) = check(df) // verification untimed (GraphScale contract)
+        // verification untimed in `secs` (GraphScale contract) but its
+        // own wall is published as check_secs so a pathologically slow
+        // closed-form check is visible in the line (r19 ADVICE)
+        val c0 = System.nanoTime()
+        checks(name) = check(df)
+        checkSecs(name) = (System.nanoTime() - c0) / 1e9
         None
       } catch {
         case t: Throwable =>
@@ -307,6 +313,7 @@ object DocScale {
       s""""queries":${obj(r => s"\"${r._1}\":${Bench.jsonNum(r._2)}")},""" +
       s""""jobs":${obj(r => s"\"${r._1}\":${r._3}")},""" +
       s""""checks":${checks.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},""" +
+      s""""check_secs":${checkSecs.map { case (k, v) => s"\"$k\":${Bench.jsonNum(v)}" }.mkString("{", ",", "}")},""" +
       s""""errors":${results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }.mkString("{", ",", "}")}}"""
     println(line)
     Reset.clear(spark, scratch = true)

@@ -270,18 +270,31 @@ object MinhashSig {
     * array_min ignores nulls); a doc with no non-null hash yields
     * MaxValue-free behavior: all-null input returns null mins — callers
     * never see it because shingleSets filters empty docs. */
+  /** Per-k multiplier tables, computed once per JVM — the table is a
+    * pure function of k, so rebuilding it per row (k modmuls + an
+    * alloc at k = 128) was pure overhead on a corpus-scale scan
+    * (r19 ADVICE). */
+  private val multTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def multipliers(k: Int): Array[Long] =
+    multTables.computeIfAbsent(k, { kk =>
+      val as = new Array[Long](kk)
+      var acc = 1L
+      var j0 = 0
+      while (j0 < kk) {
+        acc = (acc * 2654435761L) % 1000000007L
+        as(j0) = acc
+        j0 += 1
+      }
+      as
+    })
+
   def signature(a: ArrayData, k: Int): ArrayData = {
     val n = a.numElements()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val as = new Array[Long](k)
-    var acc = 1L
-    var j0 = 0
-    while (j0 < k) {
-      acc = (acc * 2654435761L) % 1000000007L
-      as(j0) = acc
-      j0 += 1
-    }
+    val as = multipliers(k)
     var any = false
     var i = 0
     while (i < n) {

@@ -1837,7 +1837,11 @@ object Algorithms {
     val nodes = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id"))).distinct().localCheckpoint()
     val visited = spanningForest(nodes, canon, und, maxRounds, numParts, "bridges")
-    val depth = visited.agg(max(col("depth"))).head.getInt(0)
+    // Null-safe: with no non-self-loop edges the forest is empty and
+    // max(depth) is NULL; depth = 0 skips the peel loops and the empty
+    // frame falls through (r19 ADVICE).
+    val depthRow = visited.agg(max(col("depth"))).head
+    val depth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
     // 2. non-tree signatures + per-node XOR fold
     val treeCanon = visited.filter(col("parent").isNotNull)
       .select(least(col("node"), col("parent")).as("a"),
@@ -1977,6 +1981,114 @@ object Algorithms {
           case None => ()
         }
     }
+    val (_, lh, blockCC) =
+      blockLabeling(edges, maxRounds, numParts, "articulationPoints")
+    // extraction: non-root u with a child in another block; roots whose
+    // children span ≥ 2 blocks
+    val childCc = lh.filter(col("parent").isNotNull)
+      .join(blockCC.select(col("node"), col("comp").as("childcc")), Seq("node"))
+      .select(col("node"), col("parent"), col("childcc"))
+      .localCheckpoint()
+    val nonRootArt = childCc
+      .join(blockCC.select(col("node").as("parent"),
+        col("comp").as("parentcc")), Seq("parent"))
+      .filter(col("childcc") =!= col("parentcc"))
+      .select(col("parent").as("id")).distinct()
+    val rootArt = childCc
+      .join(lh.filter(col("parent").isNull).select(col("node").as("parent")),
+        Seq("parent"), "left_semi")
+      .groupBy(col("parent"))
+      .agg(countDistinct(col("childcc")).as("nblocks"))
+      .filter(col("nblocks") >= 2)
+      .select(col("parent").as("id"))
+    nonRootArt.unionByName(rootArt)
+  }
+
+  /** G35: biconnected components — publish the block partition the
+    * Tarjan–Vishkin labeling in [[articulationPoints]] already
+    * computes: every canonical edge tagged with its 2-connected
+    * cluster, labeled by the block's minimum member vertex (the
+    * robustness query one step past "which vertices are cut": WHICH
+    * edges ride together once the cut vertices are known). Tree edge
+    * (parent(v), v) carries block label comp(v) directly; a non-tree
+    * edge {x, y} shares a fundamental cycle — hence a block — with the
+    * tree edge below its DEEPER endpoint (the deeper endpoint is never
+    * the cycle's LCA, so its parent edge lies on the tree path; on
+    * ties neither endpoint is the ancestor and either works — we take
+    * x). Bounded graphs route to [[LocalExec.biconnectedComponents]],
+    * the exact Tarjan edge-stack twin.
+    *
+    * The canonical label is the block's lexicographically MINIMAL EDGE
+    * (block_a, block_b) — NOT its minimal member vertex, which is
+    * ambiguous: two blocks share a min member exactly when a cut
+    * vertex is the min of both (on the gated instance, bridges
+    * (42, 50) and (42, 60) are distinct blocks with min member 42),
+    * which would break the singleton-block ⟺ bridge identity. With
+    * min-edge labels the cross-checks are exact and pinned in
+    * GraphSpec: an edge that IS its own block label with no other
+    * edge sharing it ⟺ bridge (G33); a vertex incident to ≥ 2
+    * distinct labels ⟺ cut vertex (G34). Scale shape =
+    * [[articulationPoints]] plus two node-sized joins and one
+    * comp-keyed agg. Output: (a, b, block_a, block_b), canonical
+    * a < b. */
+  def biconnectedComponents(edges: DataFrame, maxRounds: Int,
+                            numParts: Int = 0,
+                            localBounded: Int = 0): DataFrame = {
+    require(maxRounds >= 1, "biconnectedComponents needs at least one BFS round")
+    val spark = edges.sparkSession
+    if (LocalExec.enabled(spark)) {
+      val bound =
+        if (localBounded > 0) localBounded
+        else if (LocalExec.smallEnoughEdges(edges)) 1 << 21
+        else 0
+      if (bound > 0)
+        LocalExec.biconnectedComponents(edges, bound) match {
+          case Some(df) => return df
+          case None => ()
+        }
+    }
+    val (canon, lh, blockCC) =
+      blockLabeling(edges, maxRounds, numParts, "biconnectedComponents")
+    val tree = lh.filter(col("parent").isNotNull)
+      .join(blockCC.select(col("node"), col("comp")), Seq("node"))
+      .select(least(col("node"), col("parent")).as("a"),
+        greatest(col("node"), col("parent")).as("b"), col("comp"))
+    val treeCanon = lh.filter(col("parent").isNotNull)
+      .select(least(col("node"), col("parent")).as("a"),
+        greatest(col("node"), col("parent")).as("b"))
+    val depths = lh.select(col("node"), col("depth"))
+    // non-tree {x, y} → aux vertex of the deeper endpoint (depths can
+    // differ by at most 1 in a BFS forest, but the rule is general);
+    // the deeper endpoint has depth ≥ 1 — two roots are two components
+    // and cannot share an edge — so it IS a blockCC aux vertex
+    val nonTree = canon.join(treeCanon, Seq("a", "b"), "left_anti")
+      .join(depths.select(col("node").as("a"), col("depth").as("da")), Seq("a"))
+      .join(depths.select(col("node").as("b"), col("depth").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("da") >= col("db"), col("a")).otherwise(col("b")).as("node"))
+      .join(blockCC.select(col("node"), col("comp")), Seq("node"))
+      .select(col("a"), col("b"), col("comp"))
+    val all = tree.unionByName(nonTree).localCheckpoint()
+    // canonical label = the block's lexicographically minimal edge
+    // (struct min is lexicographic) — unique per block, unlike the
+    // min member vertex (see doc)
+    val lab = all.groupBy(col("comp"))
+      .agg(min(struct(col("a"), col("b"))).as("e"))
+      .select(col("comp"), col("e.a").as("block_a"), col("e.b").as("block_b"))
+    all.join(lab, Seq("comp"))
+      .select(col("a"), col("b"), col("block_a"), col("block_b"))
+  }
+
+  /** Shared core of [[articulationPoints]] and
+    * [[biconnectedComponents]] — steps 1–2 of the Tarjan–Vishkin doc
+    * above: the CC-rooted BFS spanning forest, subtree sizes, preorder,
+    * low/high subtree-reach bounds, then the block CC over tree-edge
+    * links. Returns (canon, lh, blockCC): the canonical simple edges,
+    * the forest frame (node, parent, depth, pre, nd, low, high), and
+    * the per-tree-edge block label (aux vertex v ≙ tree edge
+    * (parent(v), v) → comp). */
+  private def blockLabeling(edges: DataFrame, maxRounds: Int, numParts: Int,
+                            caller: String): (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"))
     val canon0 = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -1989,9 +2101,12 @@ object Algorithms {
     val nodes = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id"))).distinct().localCheckpoint()
     val visited =
-      spanningForest(nodes, canon, und, maxRounds, numParts, "articulationPoints")
+      spanningForest(nodes, canon, und, maxRounds, numParts, caller)
         .localCheckpoint()
-    val maxDepth = visited.agg(max(col("depth"))).head.getInt(0)
+    // Null-safe for an empty forest (no non-self-loop edges) — see the
+    // bridges twin above (r19 ADVICE).
+    val maxDepthRow = visited.agg(max(col("depth"))).head
+    val maxDepth = if (maxDepthRow.isNullAt(0)) 0 else maxDepthRow.getInt(0)
     // subtree sizes: bottom-up level peel — nodes at depth d are final
     // once every deeper level has pushed (the bridges XOR-peel pattern)
     var nd = visited.select(col("node"), col("parent"), col("depth"),
@@ -2082,25 +2197,7 @@ object Algorithms {
       .select(col("node").as("id"))
     val blockCC = connectedComponents(auxNodes, auxA.unionByName(auxB),
       numParts).localCheckpoint()
-    // extraction: non-root u with a child in another block; roots whose
-    // children span ≥ 2 blocks
-    val childCc = lh.filter(col("parent").isNotNull)
-      .join(blockCC.select(col("node"), col("comp").as("childcc")), Seq("node"))
-      .select(col("node"), col("parent"), col("childcc"))
-      .localCheckpoint()
-    val nonRootArt = childCc
-      .join(blockCC.select(col("node").as("parent"),
-        col("comp").as("parentcc")), Seq("parent"))
-      .filter(col("childcc") =!= col("parentcc"))
-      .select(col("parent").as("id")).distinct()
-    val rootArt = childCc
-      .join(lh.filter(col("parent").isNull).select(col("node").as("parent")),
-        Seq("parent"), "left_semi")
-      .groupBy(col("parent"))
-      .agg(countDistinct(col("childcc")).as("nblocks"))
-      .filter(col("nblocks") >= 2)
-      .select(col("parent").as("id"))
-    nonRootArt.unionByName(rootArt)
+    (canon, lh, blockCC)
   }
 
   /** Synchronous label propagation (community detection), fixed rounds.

@@ -1225,6 +1225,68 @@ object GraphOps {
        |WHERE cnt.n < comp.csize - 1""".stripMargin
   }
 
+  // --- G35: biconnected components (block partition) ---------------------------
+
+  /** G35: biconnected components on the same planted instance as
+    * G33/G34 — every edge tagged with its 2-connected cluster, labeled
+    * by the block's lexicographically minimal edge. The instance's 25
+    * edges fall into exactly 11 blocks: the 5-cycle, 4-cycle, triangle
+    * and K4 (4 dense blocks) plus the 7 bridges, each alone in its own
+    * block. See [[graft.graph.Algorithms.biconnectedComponents]]. */
+  def plantedBiconnected(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Algorithms.biconnectedComponents(BridgeEdges.toDF("src", "dst"),
+      BridgeRounds)
+  }
+
+  /** DuckDB mirror of [[plantedBiconnected]] — the DEFINITION of the
+    * block partition, independent of both the local Tarjan edge stack
+    * and the distributed Tarjan–Vishkin labeling: two adjacent edges
+    * (u, v), (v, w) lie on a common simple cycle — hence in one block —
+    * iff u and w stay connected with v removed; blocks are the
+    * transitive closure of that relation (a bridge links to nothing and
+    * stays alone); the label is the block's lexicographically minimal
+    * edge (min vertex would collide across blocks — see the operator
+    * doc). */
+  private lazy val biconnectedOracle: String = {
+    val vals = BridgeEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM (VALUES $vals) t(a, b)),
+       |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT u AS id FROM und),
+       |-- rm(cand, src, node): nodes reachable from src in G - cand
+       |rm(cand, src, node) AS (
+       |  SELECT c.id, s.id, s.id FROM nodes c JOIN nodes s ON s.id <> c.id
+       |  UNION
+       |  SELECT rm.cand, rm.src, und.v FROM rm JOIN und ON und.u = rm.node
+       |  WHERE und.v <> rm.cand),
+       |-- edge incidences: edge (a, b) seen from shared vertex v with
+       |-- other endpoint o
+       |inc AS (SELECT a, b, a AS v, b AS o FROM e
+       |  UNION ALL SELECT a, b, b AS v, a AS o FROM e),
+       |-- adjacent edges sharing v whose other endpoints survive v's
+       |-- removal together → common cycle → same block
+       |link AS (SELECT i1.a AS a1, i1.b AS b1, i2.a AS a2, i2.b AS b2
+       |  FROM inc i1 JOIN inc i2 ON i2.v = i1.v
+       |  WHERE (i1.a <> i2.a OR i1.b <> i2.b)
+       |    AND EXISTS (SELECT 1 FROM rm
+       |      WHERE rm.cand = i1.v AND rm.src = i1.o AND rm.node = i2.o)),
+       |-- closure: every edge reaches every edge of its block
+       |blk(a, b, ra, rb) AS (
+       |  SELECT a, b, a, b FROM e
+       |  UNION
+       |  SELECT blk.a, blk.b, l.a2, l.b2 FROM blk
+       |  JOIN link l ON l.a1 = blk.ra AND l.b1 = blk.rb),
+       |-- lexicographic min edge of each block: min ra, then min rb
+       |-- among reachable edges at that ra
+       |ba AS (SELECT a, b, MIN(ra) AS block_a FROM blk GROUP BY a, b)
+       |SELECT blk.a, blk.b, ba.block_a, MIN(blk.rb) AS block_b
+       |FROM blk JOIN ba ON ba.a = blk.a AND ba.b = blk.b
+       |  AND blk.ra = ba.block_a
+       |GROUP BY 1, 2, 3"""
+      .stripMargin
+  }
+
   // --- G26b/G27b: weighted community operators --------------------------------
 
   /** G26b: WEIGHTED modularity of the nation partition — the same
@@ -2008,6 +2070,7 @@ object GraphOps {
     "g_greedy_modularity" -> communityCluster,
     "g_bridges" -> plantedBridges,
     "g_articulation" -> plantedArticulation,
+    "g_biconnected" -> plantedBiconnected,
     "g_greedy_modularity_w" -> communityClusterWeighted,
     "g_assortativity" -> wikivoteAssortativity,
     "g_reciprocity" -> wikivoteReciprocity,
@@ -2101,6 +2164,7 @@ object GraphOps {
     "g_modularity_w" -> modularityWOracle,
     "g_bridges" -> bridgeOracle,
     "g_articulation" -> articulationOracle,
+    "g_biconnected" -> biconnectedOracle,
     "g_greedy_modularity" -> greedyModularityOracle(sparseEdgesSql,
       GreedyModRounds),
     "g_greedy_modularity_w" -> greedyModularityOracle(weightedSampleEdgesSql,

@@ -754,6 +754,78 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mustBeArt.subsetOf(loc))
   }
 
+  test("biconnectedComponents: planted instance exact on both routes") {
+    import spark.implicits._
+    // hand-derived truth on the G33 instance: 11 blocks — the 5-cycle,
+    // 4-cycle, triangle and K4 each one block labeled by their lex-min
+    // edge, and each of the 7 bridges alone in its own block. Note the
+    // min-member-VERTEX label would collide here: bridges (42,50) and
+    // (42,60) are distinct blocks both with min member 42.
+    val expect = Set(
+      (1L, 2L, 1L, 2L), (2L, 3L, 1L, 2L), (3L, 4L, 1L, 2L),
+      (4L, 5L, 1L, 2L), (1L, 5L, 1L, 2L), // 5-cycle → (1,2)
+      (10L, 11L, 10L, 11L), (11L, 12L, 10L, 11L), (12L, 13L, 10L, 11L),
+      (10L, 13L, 10L, 11L), // 4-cycle → (10,11)
+      (40L, 41L, 40L, 41L), (41L, 42L, 40L, 41L),
+      (40L, 42L, 40L, 41L), // triangle → (40,41)
+      (60L, 61L, 60L, 61L), (60L, 62L, 60L, 61L), (60L, 63L, 60L, 61L),
+      (61L, 62L, 60L, 61L), (61L, 63L, 60L, 61L),
+      (62L, 63L, 60L, 61L), // K4 → (60,61)
+      (5L, 10L, 5L, 10L), (13L, 20L, 13L, 20L), (20L, 21L, 20L, 21L),
+      (2L, 30L, 2L, 30L), (42L, 60L, 42L, 60L), (63L, 70L, 63L, 70L),
+      (42L, 50L, 42L, 50L)) // bridges: singleton blocks
+    val edges = graft.operators.GraphOps.BridgeEdges.toDF("src", "dst")
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val loc = asSet(Algorithms.biconnectedComponents(edges,
+      graft.operators.GraphOps.BridgeRounds))
+    assert(loc === expect)
+    // forced-distributed: Tarjan–Vishkin block labeling projected to
+    // edges (non-tree edges take the deeper endpoint's tree-edge block)
+    val dist = withLocalExecOff {
+      asSet(Algorithms.biconnectedComponents(edges,
+        graft.operators.GraphOps.BridgeRounds, numParts = 2))
+    }
+    assert(dist === expect)
+    // reversed/duplicated rows and self-loops canonicalize away
+    val messy = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+      .unionAll(Seq((7L, 7L)).toDF("src", "dst"))
+    assert(asSet(Algorithms.biconnectedComponents(messy,
+      graft.operators.GraphOps.BridgeRounds)) === expect)
+  }
+
+  test("biconnectedComponents: routes agree on Wiki-Vote; blocks cross-check G33/G34") {
+    val g = graft.operators.GraphOps.wikiVote(spark)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val loc = asSet(Algorithms.biconnectedComponents(g.edges, maxRounds = 24))
+    val dist = withLocalExecOff {
+      asSet(Algorithms.biconnectedComponents(g.edges, maxRounds = 24,
+        numParts = 4))
+    }
+    assert(loc === dist)
+    // every edge appears exactly once (the blocks partition the edges)
+    assert(loc.map(t => (t._1, t._2)).size === loc.size)
+    // cross-check vs G33: an edge alone in its block ⟺ bridge
+    val blockSizes = loc.groupBy(t => (t._3, t._4)).map { case (k, v) => (k, v.size) }
+    val singletons = loc.filter(t => blockSizes((t._3, t._4)) == 1)
+      .map(t => (t._1, t._2))
+    val bridges = Algorithms.bridges(g.edges, maxRounds = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(singletons === bridges)
+    // cross-check vs G34: a vertex incident to ≥ 2 distinct block
+    // labels ⟺ cut vertex
+    val byVertex = loc.toSeq
+      .flatMap(t => Seq((t._1, (t._3, t._4)), (t._2, (t._3, t._4))))
+      .groupBy(_._1).map { case (v, ls) => (v, ls.map(_._2).distinct.size) }
+    val multiBlock = byVertex.collect { case (v, n) if n >= 2 => v }.toSet
+    val art = Algorithms.articulationPoints(g.edges, maxRounds = 24)
+      .collect().map(_.getLong(0)).toSet
+    assert(multiBlock === art)
+  }
+
   test("modularityWeighted: hand-computed integers; parallel rows pre-sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.sum
