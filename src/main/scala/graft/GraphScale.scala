@@ -90,6 +90,53 @@ object GraphScale {
       .union(spark.range(PlantN).selectExpr(s"$t + 2*id AS src", s"$t + 2*id + 1 AS dst"))
   }
 
+  /** Planted label-propagation fixture for the labelprop_10m row:
+    * [[LpaPlantN]] disjoint [[LpaClique]]-cliques at fresh ids past the
+    * robustness plants, chained by single "weak" bridge edges between
+    * consecutive cliques' last members. Closed form under the gated
+    * synchronous distinct-neighbor vote: round 1 is an all-tie (every
+    * vote count 1 → min neighbor id, possibly foreign via a bridge);
+    * from round 2 on, each node's ≥ 4 in-clique votes for the clique
+    * base beat the ≤ 2 single bridge votes, so by round 3 every clique
+    * member carries its clique base and the labeling is a fixpoint —
+    * every cross-clique repeat is a plant, and the check is exact. */
+  val LpaPlantN = 1000L
+  val LpaClique = 6L
+  def lpaBase(nNodes: Long): Long = nNodes + 5 * PlantN
+
+  def plantedLpaEdges(spark: SparkSession, nNodes: Long): DataFrame = {
+    val base = lpaBase(nNodes)
+    val k = LpaClique
+    val intra = (for {
+      p <- 0L until k
+      q <- (p + 1) until k
+    } yield spark.range(LpaPlantN)
+      .selectExpr(s"$base + $k*id + $p AS src", s"$base + $k*id + $q AS dst"))
+      .reduce(_ union _)
+    val weak = spark.range(LpaPlantN - 1).selectExpr(
+      s"$base + $k*id + ${k - 1} AS src",
+      s"$base + $k*(id+1) + ${k - 1} AS dst")
+    intra.union(weak)
+  }
+
+  /** Planted pair-SSP fixture for the ssp_pair_10m row: one pendant
+    * directed chain 0 → s → s+1 → … → s+[[SspChainD]]−1 hung off the
+    * hub at fresh ids past the LPA plants. The chain is the ONLY path
+    * to its nodes (fresh ids; the base generator never emits them), so
+    * dist(0, s+i) = i+1 EXACTLY, and the bidirectional meet lands at
+    * superstep ceil(d/2) exactly (the forward frontier rides the chain
+    * at one level per round; the backward frontier from the leaf can
+    * only walk the chain in reverse). */
+  val SspChainD = 40L
+  def sspBase(nNodes: Long): Long = lpaBase(nNodes) + LpaClique * LpaPlantN
+
+  def plantedSspEdges(spark: SparkSession, nNodes: Long): DataFrame = {
+    val s = sspBase(nNodes)
+    spark.range(1).selectExpr("CAST(0 AS BIGINT) AS src", s"$s AS dst")
+      .union(spark.range(SspChainD - 1)
+        .selectExpr(s"$s + id AS src", s"$s + id + 1 AS dst"))
+  }
+
   def plantedSccEdges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame = {
     val b = SccBlock
     val cycle = spark.range(nNodes).selectExpr(
@@ -553,6 +600,72 @@ object GraphScale {
           throw new IllegalStateException(
             s"$fp planted never-cut nodes falsely reported")
         out.count()
+      }),
+      // label propagation at 10M edges — the last gated graph key whose
+      // distributed route had no measured run (r19 gap #1): 4 synchronous
+      // join+groupBy+window vote rounds over the power-law graph plus the
+      // planted clique chain (see plantedLpaEdges' closed form: in-clique
+      // majority beats the single bridge vote every round after the
+      // first). Check (untimed): every planted node labeled with its
+      // clique base — zero mislabels, exactly LpaPlantN distinct planted
+      // labels. Recorded value = distinct labels over the whole graph.
+      op("labelprop_10m")(Algorithms.labelPropagation(
+        nodes.union(spark.range(lpaBase(nNodes),
+          lpaBase(nNodes) + LpaClique * LpaPlantN).select(col("id"))),
+        edges.union(plantedLpaEdges(spark, nNodes)), rounds = 4))({ df =>
+        val out = df.localCheckpoint()
+        val base = lpaBase(nNodes)
+        val k = LpaClique
+        val planted = out.filter(col("node") >= base)
+        val bad = planted.filter(col("lbl") =!=
+          expr(s"$base + ((node - $base) DIV $k) * $k")).count()
+        if (bad != 0)
+          throw new IllegalStateException(
+            s"$bad of ${LpaClique * LpaPlantN} planted nodes mislabeled")
+        val nl = planted.agg(countDistinct(col("lbl"))).head.getLong(0)
+        if (nl != LpaPlantN)
+          throw new IllegalStateException(
+            s"planted distinct label count $nl != $LpaPlantN")
+        out.agg(countDistinct(col("lbl"))).head.getLong(0)
+      }),
+      // pair shortest path at 10M edges — the bidirectional early-exit
+      // loop soaked (r19 gap #4; bfs_hub_d10 measures plain batched BFS
+      // only): hub-to-chain-leaf and hub-to-chain-midpoint pairs on the
+      // power-law graph plus the planted pendant chain. Both closed
+      // forms are EXACT: dist(0, s+i) = i+1 (the chain is the only
+      // path), and the meet round == ceil(d/2) (the onRound observer
+      // counts executed supersteps) — half the target depth must halve
+      // the superstep count, which IS the early-exit claim. The forward
+      // frontier floods the full 10M-edge graph every round, so the
+      // rounds are honest at-scale supersteps, not toy-chain walks.
+      op("ssp_pair_10m")({
+        val base = sspBase(nNodes)
+        val chainG = PropertyGraph(
+          nodes.union(spark.range(base, base + SspChainD).select(col("id"))),
+          edges.union(plantedSspEdges(spark, nNodes)))
+        val rFull = new AtomicInteger
+        val dFull = GraphXBridge.shortestPathLength(spark, chainG,
+          source = 0L, target = base + SspChainD - 1, numParts = 32,
+          onRound = _ => rFull.incrementAndGet())
+        val rHalf = new AtomicInteger
+        val dHalf = GraphXBridge.shortestPathLength(spark, chainG,
+          source = 0L, target = base + SspChainD / 2 - 1, numParts = 32,
+          onRound = _ => rHalf.incrementAndGet())
+        spark.createDataFrame(Seq(
+          ("full", dFull, rFull.get().toLong),
+          ("half", dHalf, rHalf.get().toLong)))
+          .toDF("pair", "dist", "supersteps")
+      })({ df =>
+        val rows = df.collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val d = SspChainD
+        if (rows("full") != ((d, (d + 1) / 2)))
+          throw new IllegalStateException(
+            s"full pair: got ${rows("full")}, want ($d, ${(d + 1) / 2})")
+        if (rows("half") != ((d / 2, (d / 2 + 1) / 2)))
+          throw new IllegalStateException(
+            s"half pair: got ${rows("half")}, want (${d / 2}, ${(d / 2 + 1) / 2})")
+        rows("full")._2 + rows("half")._2 // total supersteps = 30
       }),
       // weighted greedy modularity at 10M edges with a NON-TRIVIAL weight
       // distribution (w = 1 + xxhash64(src,dst) mod 8, W ≈ 4.5e7 — inside

@@ -2007,9 +2007,8 @@ object Algorithms {
   /** G35: biconnected components — publish the block partition the
     * Tarjan–Vishkin labeling in [[articulationPoints]] already
     * computes: every canonical edge tagged with its 2-connected
-    * cluster, labeled by the block's minimum member vertex (the
-    * robustness query one step past "which vertices are cut": WHICH
-    * edges ride together once the cut vertices are known). Tree edge
+    * cluster (the robustness query one step past "which vertices are
+    * cut": WHICH edges ride together once the cut vertices are known). Tree edge
     * (parent(v), v) carries block label comp(v) directly; a non-tree
     * edge {x, y} shares a fundamental cycle — hence a block — with the
     * tree edge below its DEEPER endpoint (the deeper endpoint is never

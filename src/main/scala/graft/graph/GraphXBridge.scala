@@ -150,8 +150,14 @@ object GraphXBridge {
     * RDD superstep floor (no SQL planning), which is what makes a deep
     * traversal affordable on a small graph and shuffle-bounded on a
     * large one. */
+  /** `onRound` fires once per executed superstep (the greedyModularity
+    * observer pattern — default no-op, gated callers unaffected; the
+    * bounded local shortcut never fires it): GraphScale's ssp_pair_10m
+    * row counts rounds to pin the bidirectional early-exit claim
+    * (supersteps == ceil(d/2)) at 10M edges. */
   def shortestPathLength(spark: SparkSession, g: PropertyGraph, source: Long,
-                         target: Long, numParts: Int = 0): Long = {
+                         target: Long, numParts: Int = 0,
+                         onRound: Int => Unit = _ => ()): Long = {
     if (LocalExec.smallEnoughEdges(g.edges))
       return LocalExec.shortestPathLength(g.edges, source, target)
     val Unset = Long.MaxValue
@@ -164,7 +170,10 @@ object GraphXBridge {
     // does not grow it expanded no frontier — the sides are exhausted
     // without meeting, i.e. the target is unreachable
     var prevReached = -1L
+    var round = 0
     while (!done) {
+      round += 1
+      onRound(round)
       // messages only to vertices UNVISITED on that side: each frontier
       // is exactly its newly reached level
       val msgs = cur.aggregateMessages[(Long, Long)](

@@ -301,7 +301,12 @@ object GraphOps {
       // in a committed artifact (the r18 ADVICE regression-invisibility
       // hole; bridges' distributed route is measured by GRAPH_SCALE's
       // bridges_10m row instead — the planted gate instance is 25 edges)
-      "g_clustering" -> wikivoteClustering)
+      "g_clustering" -> wikivoteClustering,
+      // r19 VERDICT: label propagation was the last local-routed gated
+      // key with no measured distributed run — sweep its synchronous
+      // join+window vote forced-distributed too (GRAPH_SCALE's
+      // labelprop_10m row measures it at size)
+      "g_label_prop" -> labelProp)
       .map { case (k, fn) => s"$k@dist" -> forcedDistributed(fn) }.toMap
   }
 
