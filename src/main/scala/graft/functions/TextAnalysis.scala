@@ -1025,7 +1025,143 @@ object TextAnalysis {
        |FROM documents d JOIN thresholds t ON d.source = t.source
        |WHERE ${duckPermille("CAST(d.doc_id AS VARCHAR)")} < t.thr""".stripMargin
 
+  // --- T23: BPE subword tokenization -----------------------------------------
+
+  /** Merge-table size for [[bpeEncode]] — small by design (the merge
+    * table is driver-resident and broadcast; a production run would use
+    * 30k+ merges, the LOOP SHAPE is identical). */
+  val BpeMerges = 10
+
+  /** The greedy left-to-right single-pair merge as a codegen'd
+    * higher-order fold: walk the symbol array once, replacing each
+    * non-overlapping adjacent (a, b) with their concatenation,
+    * leftmost-first. Overlap semantics ride the fold for free: after a
+    * merge the accumulator's last element is concat(a, b), which can
+    * never equal `a` again (b is nonempty), so "aaa" under (a, a)
+    * yields [aa, a] exactly as canonical BPE does. Symbols are [a-z]+
+    * substrings, so the inlined literals need no escaping. */
+  private def bpeMergeSql(a: String, b: String): String =
+    s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+       |  (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND s = '$b',
+       |    concat(slice(acc, 1, size(acc) - 1), array('$a$b')),
+       |    concat(acc, array(s))))""".stripMargin
+
+  /** T23: deterministic byte-pair-encoding subword tokenization — the
+    * token-budget operator of a real training pipeline (T3/T19/T21
+    * count regex words; training budgets are SUBWORD tokens). Learner:
+    * [[BpeMerges]] rounds over the DISTINCT-WORD table (Heaps' law:
+    * vocabulary-scale, never corpus-scale) — each round one
+    * frequency-weighted adjacent-pair aggregation, the winner chosen by
+    * (count DESC, pair ASC) so ties are deterministic, then the merge
+    * applied to every word's symbol array by [[bpeMergeSql]]'s fold.
+    * The per-round argmax is ONE collected row (the greedy-modularity
+    * scalar-probe pattern); the merge application is a narrow map. The
+    * ENCODE pass is a join: the learner already segmented every
+    * distinct word, so encoding the corpus = words ⋈ vocab — at 100 TB
+    * the vocab side broadcasts and no corpus shuffle happens beyond
+    * the per-doc re-aggregation. Output: (doc_id, n_subwords, n_words)
+    * per document with ≥ 1 word.
+    *
+    * Determinism: the winning pair is a pure function of the corpus
+    * multiset (partition-invariant by the commutative count agg + total
+    * tie order); TextAnalysisSpec pins merge-order determinism,
+    * partition invariance, and a hand-worked instance. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, dir), BpeMerges)
+
+  /** The learner: k merge rounds over `docs`, returning the segmented
+    * distinct-word table (word, freq, syms) and the learned merge list
+    * in order. See [[bpeEncode]]'s doc for the scale shape. */
+  def bpeLearn(docs: DataFrame, k: Int): (DataFrame, Seq[(String, String)]) = {
+    val wordFreq = docs.select(explode(words).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // vocabulary-scale frame, re-derived k times — pin it once.
+    // Char split via substring-per-position (the exact mirror of the
+    // oracle's list_transform) — regex splits ('', '(?!^)') leave a
+    // trailing empty symbol under Spark's limit=-1 semantics.
+    var vocab = wordFreq
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to k) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) { // no pairs left: every word fully merged
+        learned += ((best(0).getString(0), best(0).getString(1)))
+        vocab = vocab.withColumn("syms",
+          expr(bpeMergeSql(best(0).getString(0), best(0).getString(1))))
+          .localCheckpoint()
+      }
+    }
+    (vocab, learned.toSeq)
+  }
+
+  /** The learned merge table alone (rank order) — spec surface. */
+  def bpeMergeTable(docs: DataFrame, k: Int): Seq[(String, String)] =
+    bpeLearn(docs, k)._2
+
+  def bpeEncodeOf(docs: DataFrame, k: Int): DataFrame = {
+    val vocab = bpeLearn(docs, k)._1
+    docs.select(col("doc_id"), explode(words).as("word"))
+      .join(vocab.select(col("word"), size(col("syms")).as("n")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_subwords"), count(lit(1)).as("n_words"))
+  }
+
+  /** DuckDB mirror of [[bpeEncode]] — the same [[BpeMerges]] rounds
+    * unrolled (the G27 MATERIALIZED-CTE pattern), with the greedy
+    * left-to-right merge walk expressed as a per-word recursive scan
+    * (state = (rest, out); depth = word length): bit-identical pair
+    * counts, the same (cnt DESC, x, y) winner, the same fold. An empty
+    * winner (no pairs left) makes the round a no-op on both engines. */
+  def bpeEncodeOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""pc$r AS (SELECT syms[CAST(i AS INT)] AS x, syms[CAST(i AS INT) + 1] AS y,
+         |    SUM(freq) AS cnt
+         |  FROM v${r - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT x, y FROM pc$r
+         |  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         |m$r(word, freq, rest, out) AS (
+         |  SELECT word, freq, syms, CAST([] AS VARCHAR[]) FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT word, freq,
+         |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT x FROM b$r)
+         |           AND rest[2] = (SELECT y FROM b$r)
+         |      THEN rest[3:] ELSE rest[2:] END,
+         |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT x FROM b$r)
+         |           AND rest[2] = (SELECT y FROM b$r)
+         |      THEN list_append(out, rest[1] || rest[2])
+         |      ELSE list_append(out, rest[1]) END
+         |  FROM m$r WHERE len(rest) > 0),
+         |v$r AS MATERIALIZED (SELECT word, freq, out AS syms FROM m$r
+         |  WHERE len(rest) = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |w AS MATERIALIZED (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |v0 AS MATERIALIZED (SELECT word, COUNT(*) AS freq,
+       |    list_transform(range(1, length(word) + 1),
+       |      i -> word[CAST(i AS INT)]) AS syms
+       |  FROM w GROUP BY word),
+       |$rounds
+       |SELECT w.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_subwords,
+       |  COUNT(*) AS n_words
+       |FROM w JOIN v$BpeMerges v ON v.word = w.word
+       |GROUP BY w.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_encode" -> bpeEncode,
     "t_bm25" -> bm25Top,
     "t_heavy_hitters" -> heavyHitters,
     "t_source_mix" -> sourceMix,
@@ -1051,6 +1187,7 @@ object TextAnalysis {
     "t_length_percentiles" -> lengthPercentiles)
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_encode" -> bpeEncodeOracle,
     "t_bm25" -> bm25TopOracle,
     "t_heavy_hitters" -> heavyHittersOracle,
     "t_source_mix" -> sourceMixOracle,

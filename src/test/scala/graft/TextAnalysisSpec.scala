@@ -22,6 +22,46 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("bpe: hand-worked merge trajectory, greedy overlap, and exhaustion no-op") {
+    import spark.implicits._
+    // corpus: aaab ×2, ab ×1.
+    //  round 1: pairs (a,a)=4 (two per aaab), (a,b)=3 → merge (a,a);
+    //           greedy left-to-right on aaab = [aa, a, b] (the middle
+    //           'a' is consumed by the FIRST occurrence, not re-used)
+    //  round 2: (aa,a)=2, (a,b)=2+1 → merge (a,b) → aaab=[aa,ab], ab=[ab]
+    //  round 3: (aa,ab)=2 → merge → aaab=[aaab]
+    //  round 4+: no pairs anywhere → no-op rounds
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeTable(docs, 5)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val enc = TextAnalysis.bpeEncodeOf(docs, 5).collect()
+    assert(enc.length === 1)
+    // encode: aaab→1 token ×2, ab→1 token → 3 subwords over 3 words
+    assert((enc(0).getLong(1), enc(0).getLong(2)) === ((3L, 3L)))
+  }
+
+  test("bpe: deterministic tie-break and partition invariance") {
+    import spark.implicits._
+    // (a,b) and (c,d) both count 2 → lexicographic min pair (a,b) wins
+    val tied = Seq((1L, "ab cd"), (2L, "ab cd")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMergeTable(tied, 1) === Seq(("a", "b")))
+    // partition invariance on the real corpus: the learned table and the
+    // per-doc encoding are pure functions of the corpus multiset
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val m1 = TextAnalysis.bpeMergeTable(docs.repartition(1), 4)
+    val m7 = TextAnalysis.bpeMergeTable(docs.repartition(7), 4)
+    assert(m1 === m7)
+    assert(m1.length === 4)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e1 = asMap(TextAnalysis.bpeEncodeOf(docs.repartition(1), 4))
+    val e7 = asMap(TextAnalysis.bpeEncodeOf(docs.repartition(7), 4))
+    assert(e1 === e7)
+    // subword count per doc is bounded by (chars, words]: merging only
+    // ever shrinks a word's segmentation, never below one token
+    e1.values.foreach { case (nsw, nw) => assert(nsw >= nw) }
+  }
+
   test("freqScore: planted corpus → exact fixed-point unigram frequencies") {
     import spark.implicits._
     // counts: a=3, b=1, c=1, total=5 → fpm a=600000, b=c=200000
