@@ -381,7 +381,25 @@ object Dedup {
     * the pigeonhole guarantee holds (hamming ≤ 3 ⇒ ≥1 band agrees). The
     * single source for the banding constants shared with the streaming
     * near-dup probe (DocStreams.nearDupFlag): changing SimhashBits
-    * adjusts both sites' guarantee and bucket width together. */
+    * adjusts both sites' guarantee and bucket width together.
+    *
+    * CROSSOVER NOTE (r20, from the DOC_SCALE measurements): on a corpus
+    * of N docs with near-uniform fingerprints, random band collisions
+    * make the candidate join do ~SimhashBands·N²/2^BandBits pair
+    * comparisons — QUADRATIC by construction, unlike the minhash tier
+    * whose s^rows band curve keeps candidates ≈ true near-dups. At the
+    * 60/4 profile (2^15 buckets) the soaked 2M-doc run measured 82 s
+    * (~4·(2e6)²/2^15 ≈ 5e8 candidate pairs), already ~10x the
+    * production-minhash tier's banding work at the same N; the
+    * quadratic term passes it for good around N ≈ 1e6-2e6. The knob is
+    * BandBits: every added bit halves candidate work but weakens the
+    * pigeonhole guarantee unless SimhashBits grows with it (e.g. 96/4 =
+    * 24-bit bands at the same hamming ≤ 3 ⇒ 2^24 buckets ⇒ the
+    * crossover moves to N ≈ 5e8). Past that, near-dup detection at
+    * 100 TB belongs to the minhash tier; simhash stays the cheap
+    * fixed-width fingerprint for streaming probes and small-N batches.
+    * The profile is a documented constant, not adaptive — re-choose it
+    * per corpus size. */
   val SimhashBands: Int = 4
   /** Bits per band (15 at the 60/4 profile → 2^15 bucket values). */
   val BandBits: Int = SimhashBits / SimhashBands
@@ -657,15 +675,17 @@ object Dedup {
     * coverage of the merged spans — the per-doc "fraction verbatim-shared"
     * signal a span-dedup trim pass cuts on.
     *
-    * Scale shape: one explode to (doc, position, gram) rows, ONE hash
-    * partitioning on the gram that serves both the duplicate test
-    * (min(doc)≠max(doc) — no count-distinct expansion) and the semi-join
-    * back to positions (Catalyst reuses the exchange: both consumers hash
-    * on `g`); then a window partitioned by doc_id (per-doc data, never a
-    * wide shuffle). The gram KEY is `xxhash64(gram)` by default — the
-    * gram never appears in the output, so an 8-byte long key carries the
-    * same duplicate test as the ~5-word string at a fraction of the
-    * exchange/checkpoint bytes (the at-scale form; a 64-bit collision
+    * Scale shape: one explode to (doc, position, gram-key) rows feeding
+    * the duplicate test (min(doc)≠max(doc) — no count-distinct
+    * expansion) on ONE gram-keyed exchange; the duplicated-gram set —
+    * vocabulary-scale after the filter — comes BACK as the broadcast
+    * build side of the semi-join, so the corpus-scale probe side never
+    * shuffles (AQE falls back to a shuffled join if the dup set ever
+    * outgrows broadcast); then a window partitioned by doc_id over the
+    * survivors only. The gram KEY is one xxhash64 over the SpanK
+    * per-WORD hashes by default — each word hashed once, every gram key
+    * a fixed-width register op, no per-position array/string allocation
+    * (see the r20 measurement in [[spanMarked]]; a 64-bit collision
     * among corpus grams is ~1e-8 at 1e5 grams and the oracle gate would
     * catch one). [[RawGramKeyKey]]=true keeps the raw string key —
     * DedupSpec pins the two keyings result-identical at bench scale.
@@ -687,22 +707,36 @@ object Dedup {
     val rawKey =
       try docs.sparkSession.conf.get(RawGramKeyKey, "false").toBoolean
       catch { case _: IllegalArgumentException => false }
-    val gram = s"concat_ws(' ', slice(w, i, $SpanK))"
-    val gramKey = if (rawKey) gram else s"xxhash64($gram)"
-    val pos = docs
+    // r20 constant attack, measured at 500k DocScale docs (2.75e7
+    // per-token rows): the old per-position string gram (slice +
+    // concat_ws + xxhash64 over ~30 chars) and its localCheckpoint were
+    // 20.5 s of the 41.6 s operator; the window the r19 VERDICT
+    // suspected was 2.7 s. Fix (4.2x, 41.6 → 9.8 s): hash each WORD
+    // once, then the gram key is one fixed-width xxhash64 over the
+    // SpanK word-hash longs — no per-position array/string allocation —
+    // and the checkpoint is dropped: the per-token relation is cheap
+    // enough to recompute that AQE's plan (dup-gram set aggregated on
+    // one exchange, then BROADCAST back to the semi-join) never
+    // shuffles the corpus-scale probe side at all. At 100 TB this is
+    // two corpus scans + one vocabulary-scale exchange, strictly better
+    // than materializing a 1.5x-corpus per-token table.
+    val gram =
+      if (rawKey)
+        s"""transform(sequence(1, size(v) - ${SpanK - 1}),
+           |  i -> struct(i AS i, concat_ws(' ', slice(v, i, $SpanK)) AS g))"""
+          .stripMargin
+      else
+        s"transform(sequence(1, size(v) - ${SpanK - 1}), i -> struct(i AS i, " +
+          (1 to SpanK).map(j => s"element_at(v, i + ${j - 1})")
+            .mkString("xxhash64(", ", ", ")") + " AS g))"
+    val tok = docs
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
       .filter(expr(s"size(w) >= $SpanK"))
-      .select(col("doc_id"), size(col("w")).as("n_tokens"),
-        explode(expr(
-          s"""transform(sequence(1, size(w) - ${SpanK - 1}),
-             |  i -> struct(i AS i, $gramKey AS g))""".stripMargin)).as("u"))
+    val pos = (if (rawKey) tok.selectExpr("doc_id", "size(w) AS n_tokens", "w AS v")
+               else tok.selectExpr("doc_id", "size(w) AS n_tokens",
+                 "transform(w, x -> xxhash64(x)) AS v"))
+      .select(col("doc_id"), col("n_tokens"), explode(expr(gram)).as("u"))
       .select(col("doc_id"), col("n_tokens"), col("u.i").as("i"), col("u.g").as("g"))
-      // feeds the duplicate test and the semi-join back: one tokenize+
-      // explode pass instead of two. NOTE the materialized relation here
-      // is one row per token — at true corpus scale swap this for
-      // .persist(DISK_ONLY) or a parquet stage checkpoint; the plan
-      // shape on either side of it is unchanged.
-      .localCheckpoint()
     val dupGrams = pos.groupBy(col("g"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("g"))
