@@ -165,7 +165,11 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       // one distributed wedge/support pass over the fixed Wiki-Vote
       // graph (r19 first committed measurement — the twin added when
       // r18's local routing left the triangle substrate unmeasured)
-      "g_clustering@dist" -> 1.16)
+      "g_clustering@dist" -> 1.16,
+      // 3 synchronous join+groupBy+window vote rounds on the fixed
+      // 25-nation adjacency graph (r20 first committed measurement —
+      // the last gated key whose distributed route had no sweep twin)
+      "g_label_prop@dist" -> 0.78)
     for (q <- distQs) {
       val pts = rows.filter(_.query == q).map(r => (r.sf, r.seconds)).sortBy(_._1)
       assert(pts.size >= 2, s"$q needs ≥2 SFs in the sweep CSV")
