@@ -33,10 +33,18 @@ class QueryMetricsListener extends SparkListener {
   * time of every successful timed pass in run order (including any
   * stability re-runs) — the published `secs` is their min, and keeping
   * all of them in the artifact is what makes a contaminated run
-  * self-evident instead of a judge-side cross-reference exercise. */
+  * self-evident instead of a judge-side cross-reference exercise.
+  * `gcMs` / `compileN` / `drainMs` belong to the SAME pass as `secs`
+  * (driver GC milliseconds, janino compilations, listener-drain wait
+  * inside that pass) — the r21 stall attribution: a pass whose wall far
+  * exceeds its cpu now says whether the gap was driver GC, codegen
+  * churn, or the listener bus, instead of leaving the r20-style
+  * driver-window inflation to inference. */
 final case class QueryBench(name: String, secs: Double, cpuS: Double,
                             peakMb: Double, err: Option[String],
-                            passes: Seq[Double] = Nil)
+                            passes: Seq[Double] = Nil,
+                            gcMs: Long = 0L, compileN: Long = 0L,
+                            drainMs: Double = 0.0)
 
 object Bench {
 
@@ -314,8 +322,15 @@ object Bench {
       // a transient single-pass failure must neither discard the other
       // passes' valid measurements nor let the aborted pass's (fast) wall
       // time win the min.
-      def onePass(): (Double, Double, Double, Option[String]) = {
+      // (wall s, cpu s, peak MB, err, driver-GC ms, janino compiles,
+      //  listener-drain ms) — the last three are the r21 per-pass stall
+      // attribution (see QueryBench): MXBean/metric reads bracketing the
+      // pass, microseconds of cost, zero effect on the timed action.
+      def onePass(): (Double, Double, Double, Option[String], Long, Long, Double) = {
+        import org.apache.spark.graft.DriverStall
         var err: Option[String] = None
+        val gc0 = DriverStall.gcMillis()
+        val cn0 = DriverStall.codegenCompileCount()
         val t0 = System.nanoTime()
         try run(name, fn) catch {
           case t: Throwable =>
@@ -327,10 +342,14 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         // best-effort barrier: a bus still draining past the timeout
         // degrades attribution for this query, it must not kill the run
+        val tD = System.nanoTime()
         try org.apache.spark.graft.ListenerBarrier.waitUntilEmpty(spark.sparkContext)
         catch { case _: Throwable => () }
+        val drainMs = (System.nanoTime() - tD) / 1e6
+        val gcMs = DriverStall.gcMillis() - gc0
+        val compileN = DriverStall.codegenCompileCount() - cn0
         val (cpuS, peakMb) = listener.snapshot()
-        (secs, cpuS, peakMb, err)
+        (secs, cpuS, peakMb, err, gcMs, compileN, drainMs)
       }
       // Drain suite-context debt OUTSIDE the timed window before each
       // query's passes: by mid-suite, dead RDD/broadcast refs from dozens
@@ -365,10 +384,11 @@ object Bench {
       if (okPasses.nonEmpty) {
         val best = okPasses.minBy(_._1)
         QueryBench(name, best._1, best._2, best._3, None,
-          okPasses.map(_._1).toSeq)
+          okPasses.map(_._1).toSeq, best._5, best._6, best._7)
       } else {
         val last = passes.last
-        QueryBench(name, last._1, last._2, last._3, last._4)
+        QueryBench(name, last._1, last._2, last._3, last._4,
+          gcMs = last._5, compileN = last._6, drainMs = last._7)
       }
     }
     results
@@ -398,7 +418,7 @@ object Bench {
   def benchLine(results: Seq[QueryBench], sfDir: String,
                 detail: String = DetailFile): String = {
     val ok = results.filter(_.err.isEmpty)
-    val errList = results.collect { case QueryBench(k, _, _, _, Some(e), _) => (k, e) }
+    val errList = results.collect { case qb if qb.err.isDefined => (qb.name, qb.err.get) }
     val total = ok.map(_.secs).sum
     def render(keep: Seq[QueryBench], errMaxLen: Int, prec: Int,
                withDetail: Boolean = true, withUnit: Boolean = true,
@@ -552,11 +572,17 @@ object Bench {
       .mkString("{", ",", "}")
     val unstable = ok.filter(r => passSpread(r.passes) > SpreadBar)
       .map(r => s"\"${r.name}\"").mkString("[", ",", "]")
-    val errs = results.collect { case QueryBench(k, _, _, _, Some(e), _) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
+    val errs = results.collect { case qb if qb.err.isDefined =>
+      s"\"${qb.name}\":\"${qb.err.get}\"" }.mkString("{", ",", "}")
+    // r21 stall attribution, all for the published (min) pass: driver GC
+    // ms, janino compilation count, listener-drain ms — see QueryBench
+    val gc = ok.map(r => s"\"${r.name}\":${r.gcMs}").mkString("{", ",", "}")
+    val cn = ok.map(r => s"\"${r.name}\":${r.compileN}").mkString("{", ",", "}")
+    val dr = ok.map(r => s"\"${r.name}\":${jsonNum(r.drainMs)}").mkString("{", ",", "}")
     val total = ok.map(_.secs).sum
     s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cpu,"peak_task_mem_mb":$mem,"passes":$passes,""" +
+      s""""gc_ms":$gc,"compile_n":$cn,"drain_ms":$dr,""" +
       s""""unstable":$unstable,"errors":$errs,"idle":$idle,"sf":"$sfDir"}"""
   }
 

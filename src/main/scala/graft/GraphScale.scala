@@ -102,6 +102,12 @@ object GraphScale {
     * every cross-clique repeat is a plant, and the check is exact. */
   val LpaPlantN = 1000L
   val LpaClique = 6L
+  // The closed form above silently requires LpaClique >= 6: each member
+  // needs >= 4 in-clique votes to beat <= 2 bridge votes plus the round-1
+  // foreign label. Fail fast here (r20 ADVICE) instead of surfacing as a
+  // 10M-edge soak failure after a casual constant tune.
+  require(LpaClique >= 6,
+    s"LpaClique = $LpaClique breaks the planted-LPA closed form (needs >= 6)")
   def lpaBase(nNodes: Long): Long = nNodes + 5 * PlantN
 
   def plantedLpaEdges(spark: SparkSession, nNodes: Long): DataFrame = {

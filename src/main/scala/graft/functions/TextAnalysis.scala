@@ -504,15 +504,35 @@ object TextAnalysis {
     * degenerate repetition. Single scan, pure per-row array expressions,
     * no shuffle at all. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    repetitionOf(Tables.documents(spark, dir))
+
+  /** Core of T11 over any (doc_id, text) frame. r21 (guide §2.3 narrow
+    * types / §4 expression cost): the published values are a COUNT and a
+    * DISTINCT-count over a doc's bigrams, so a bigram needs an identity,
+    * not its text — the key is one xxhash64 over the two word columns
+    * (no separator ambiguity: xxhash64 chains the fields) and the
+    * `array_distinct` dedups 8-byte longs with primitive equality instead
+    * of built-and-compared strings. A 64-bit collision within one doc
+    * (~len²/2⁶⁵, ≈1e-10 for a 10k-word doc) would overcount one dup —
+    * the oracle gate would surface it; TextAnalysisSpec pins the hashed
+    * path row-identical to the string path (`rawKey = true`). */
+  private[graft] def repetitionOf(docs: DataFrame,
+                                  rawKey: Boolean = false): DataFrame = {
+    val bg =
+      if (rawKey)
+        """transform(sequence(0, size(words) - 2),
+          |  i -> concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2)))""".stripMargin
+      else
+        """transform(sequence(0, size(words) - 2),
+          |  i -> xxhash64(element_at(words, i + 1), element_at(words, i + 2)))""".stripMargin
+    docs
       .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS words")
       .filter(expr("size(words) >= 2"))
-      .selectExpr("doc_id",
-        """transform(sequence(0, size(words) - 2),
-          |  i -> concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2))) AS bg""".stripMargin)
+      .selectExpr("doc_id", s"$bg AS bg")
       .selectExpr("doc_id", "size(bg) AS n_bigrams",
         """CAST(round(CAST(CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE)
           |  / CAST(size(bg) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE) AS dup_bigram_frac""".stripMargin)
+  }
 
   def repetitionOracle: String =
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
@@ -540,8 +560,13 @@ object TextAnalysis {
     * (scores and boundaries are decimal-snapped, so the comparison is
     * bit-identical cross-engine). */
   def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = quality(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // r21 (guide §2.4, remove shuffles outright): lang lives in the same
+    // documents row the quality score is computed from — carry it through
+    // the scoring scan instead of re-joining the corpus to itself on
+    // doc_id (the old shape was a corpus⋈corpus SortMergeJoin: two
+    // exchanges + two sorts that existed only to re-attach one column).
+    val scored = withQuality(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("score"))
     val bounds = scored.groupBy(col("lang")).agg(
       rdet(expr("percentile(score, 1.0D/3)"), 6).as("b_lo"),
@@ -1079,10 +1104,18 @@ object TextAnalysis {
     // Char split via substring-per-position (the exact mirror of the
     // oracle's list_transform) — regex splits ('', '(?!^)') leave a
     // trailing empty symbol under Spark's limit=-1 semantics.
+    // r21: LAZY checkpoints (eager = false) throughout the learner — the
+    // checkpoint still pins the vocabulary frame and truncates the
+    // k-deep merge-fold lineage, but its materialization folds into the
+    // round's own argmax job instead of scheduling a separate
+    // materialize-the-checkpoint job first: 1 scheduled job per round
+    // instead of 2 (the per-round driver constant is the whole cost of
+    // this vocabulary-scale loop at bench SFs, and at 100 TB the k
+    // driver round-trips are the only non-corpus-parallel part).
     var vocab = wordFreq
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 1 to k) {
       val best = vocab
@@ -1099,7 +1132,7 @@ object TextAnalysis {
         learned += ((best(0).getString(0), best(0).getString(1)))
         vocab = vocab.withColumn("syms",
           expr(bpeMergeSql(best(0).getString(0), best(0).getString(1))))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
     (vocab, learned.toSeq)

@@ -205,12 +205,36 @@ object Md5Head {
     ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
-  def hashAll(a: ArrayData): ArrayData = {
+  /** First `hexDigits` md5 hex digits as a nonnegative Long (digit d_k
+    * weighted 16^(hexDigits-1-k)) — the generalized form of [[head64]]
+    * (hexDigits = 8): one nibble walk over the digest bytes, bit-identical
+    * to the instr/substr digit arithmetic both engines' SQL spells out.
+    * hexDigits <= 15 keeps the value under 2^60 (nonnegative BIGINT on
+    * both engines). */
+  def headBits(s: org.apache.spark.unsafe.types.UTF8String, hexDigits: Int): Long = {
+    val d = digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var k = 0
+    while (k < hexDigits) {
+      val by = b(k >> 1) & 0xff
+      v = (v << 4) | (if ((k & 1) == 0) by >>> 4 else by & 0xf)
+      k += 1
+    }
+    v
+  }
+
+  def hashAll(a: ArrayData): ArrayData = hashAll(a, 8)
+
+  def hashAll(a: ArrayData, hexDigits: Int): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = if (a.isNullAt(i)) null else head64(a.getUTF8String(i))
+      out(i) = if (a.isNullAt(i)) null
+        else if (hexDigits == 8) head64(a.getUTF8String(i))
+        else headBits(a.getUTF8String(i), hexDigits)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -226,16 +250,17 @@ object Md5Head {
   * stack. This expression is one compiled pass: MD5 of the element's
   * UTF-8 bytes, first 4 digest bytes as the value (identical to the hex
   * arithmetic, see [[Md5Head.head64]]). */
-case class ArrayMd5Head(child: Expression)
+case class ArrayMd5Head(child: Expression, hexDigits: Int = 8)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) if hexDigits >= 1 && hexDigits <= 15 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_md5h expects array<string>, got ${other.catalogString}")
+          s"graft_md5h expects (array<string>[, hexDigits in 1..15]), got " +
+            s"${other.catalogString} with hexDigits=$hexDigits")
     }
 
   override def dataType: DataType = ArrayType(LongType,
@@ -243,11 +268,11 @@ case class ArrayMd5Head(child: Expression)
   override def prettyName: String = "graft_md5h"
 
   override def nullSafeEval(input: Any): Any =
-    Md5Head.hashAll(input.asInstanceOf[ArrayData])
+    Md5Head.hashAll(input.asInstanceOf[ArrayData], hexDigits)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Md5Head.hashAll($c);")
+      s"${ev.value} = graft.functions.Md5Head.hashAll($c, $hexDigits);")
 
   override protected def withNewChildInternal(newChild: Expression): ArrayMd5Head =
     copy(child = newChild)
@@ -610,8 +635,14 @@ object GraftFunctions {
     FunctionIdentifier("graft_md5h"),
     new ExpressionInfo(classOf[ArrayMd5Head].getName, "graft_md5h"),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 1, s"graft_md5h takes 1 argument, got ${exprs.length}")
-      ArrayMd5Head(exprs.head)
+      require(exprs.length == 1 || exprs.length == 2,
+        s"graft_md5h takes (arr[, hexDigits]), got ${exprs.length} args")
+      if (exprs.length == 1) ArrayMd5Head(exprs.head)
+      else {
+        require(exprs(1).foldable, "graft_md5h's hexDigits must be a constant")
+        ArrayMd5Head(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue)
+      }
     })
 
   val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -1000,22 +1000,33 @@ object Algorithms {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val cm = communities.select(col("node"), col("community"))
+    // r21: aggregate the labeled edges down to the (ca, cb) LABEL-PAIR
+    // relation (≤ C² rows for C communities) as the first thing after the
+    // label joins — the edge count, the intra counts, and the degree mass
+    // are all functions of it, so the count + two aggregations (and the
+    // checkpoint) run over C² rows instead of |E|, and the one exchange
+    // that still sees edge-proportional data is map-side-combined to ≤ C²
+    // rows per partition (guide §2.3). Outputs are identical: m = Σ cnt,
+    // l_intra = Σ cnt over ca=cb, d_sum = Σ cnt over both label columns.
     val lab = e
       .join(cm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
       .join(cm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
-      .select(col("ca"), col("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // one labeled-edge pass feeds count + both aggs
-    val m = lab.count()
+    val m = {
+      val r = lab.agg(sum(col("cnt"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     if (m > (1L << 30))
       throw new ArithmeticException(
         s"modularity: $m labeled edges exceeds the 2^30 BIGINT-safe bound " +
           "for q_num_4m2 = 4mL - D^2 (D^2 <= 4m^2 wraps past 2^63) — " +
           "lift the numerator to DECIMAL(38,0) for graphs this size")
     val intra = lab.filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_intra"))
-    val deg = lab.select(col("ca").as("community"))
-      .unionAll(lab.select(col("cb").as("community")))
-      .groupBy(col("community")).agg(count(lit(1)).as("d_sum"))
+      .groupBy(col("ca").as("community")).agg(sum(col("cnt")).as("l_intra"))
+    val deg = lab.select(col("ca").as("community"), col("cnt"))
+      .unionAll(lab.select(col("cb").as("community"), col("cnt")))
+      .groupBy(col("community")).agg(sum(col("cnt")).as("d_sum"))
     deg.join(intra, Seq("community"), "left")
       .select(col("community"),
         coalesce(col("l_intra"), lit(0L)).as("l_intra"),
@@ -1044,17 +1055,25 @@ object Algorithms {
     * aggregation, two hash joins against membership, two partial-agg'd
     * group-bys. No iteration. */
   def modularityWeighted(edges: DataFrame, communities: DataFrame): DataFrame = {
+    // r21 (guide §2.3): the (a, b) parallel-row pre-sum the doc used to
+    // describe is algebraically absorbed into the label-pair aggregation —
+    // every published value is a SUM over edges, and summing parallel rows
+    // first then grouping by label pair equals grouping raw canonicalized
+    // rows by label pair directly. That drops one corpus-scale exchange
+    // (the (a, b) groupBy) outright; the remaining exchange is the
+    // (ca, cb) aggregation, map-side-combined to ≤ C² rows per partition.
+    // The checkpoint + total + both aggregations then run over ≤ C² rows
+    // instead of |E| (same rewrite as [[modularity]]).
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"),
         col("w").cast("long").as("w"))
       .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
     val cm = communities.select(col("node"), col("community"))
     val lab = e
       .join(cm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
       .join(cm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
-      .select(col("ca"), col("cb"), col("w"))
+      .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("w"))
       .localCheckpoint() // one labeled-edge pass feeds the total + both aggs
     val wTot = {
       val r = lab.agg(sum(col("w"))).head()

@@ -351,11 +351,24 @@ object Dedup {
   def withSimhash(df: DataFrame): DataFrame = {
     val keep = df.columns
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // r21: the per-word 60-bit value is the native graft_md5h(words, 15)
+    // pass (Md5Head.headBits — one digest + nibble walk per word) instead
+    // of an interpreted `transform(words, w -> <15 × instr+substr over
+    // md5(w)>)` lambda (30 string ops per word per row). Values are
+    // bit-identical to the hex-digit arithmetic (DedupSpec pins parity
+    // against the SQL formulation, kept below as [[wordValSqlFor]]).
     df.withColumn("vals", expr(
-        s"transform(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), w -> ${wordVal("instr")})"))
+        s"graft_md5h(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), $HexDigits)"))
       .select(keep.toIndexedSeq.map(col) :+
         expr(s"graft_simhash(vals, $SimhashBits)").as("simhash"): _*)
   }
+
+  /** The SQL formulation [[withSimhash]]'s native hash replaced — the
+    * reference semantics graft_md5h(words, 15) must match bit-for-bit
+    * (also the shape the DuckDB oracle mirrors). Test-only. */
+  private[graft] def wordValSqlFor(df: DataFrame): DataFrame =
+    df.withColumn("vals", expr(
+      s"transform(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), w -> ${wordVal("instr")})"))
 
   /** SimHash fingerprints of the documents table (batch D4). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -867,7 +880,8 @@ object Dedup {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(Tables.documents(spark, dir))
 
-  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+  private[graft] def sourceOverlapOf(docs: DataFrame,
+                                     rawKey: Boolean = false): DataFrame = {
     // One corpus shingling pass feeds both self-join sides and the sizes.
     // The checkpoint BEFORE the explode is load-bearing twice over: it
     // stops the explode's inferred filter (size>0 AND isnotnull) from
@@ -877,8 +891,33 @@ object Dedup {
     // keeps the 4 consumers from re-tokenizing the corpus. The second
     // checkpoint materializes the per-source DISTINCT shingle relation —
     // vocabulary-scale (Heaps' law), not corpus-scale.
-    val sh = shingleSetsOf(docs, Seq("source")).localCheckpoint()
-      .select(col("source"), explode(col("shingles")).as("s"))
+    //
+    // r21 (guide §2.3, shuffle fewer bytes): every published value is a
+    // DISTINCT-shingle count, so a shingle needs an IDENTITY, not its
+    // text — hash each word once, derive each gram key as one fixed-width
+    // xxhash64 over the ShingleLen word-hash longs (the span-dedup r20
+    // recipe), and the checkpoint, the per-source DISTINCT exchange, and
+    // the pair self-join all move 8-byte longs instead of ~25-byte gram
+    // strings (the strings are never built at all). A 64-bit collision
+    // merges two distinct shingles — ~V²/2⁶⁵ per source at vocabulary
+    // size V, ≈1e-9 at the gate SFs, and the oracle gate would surface
+    // one; DedupSpec pins the hashed path result-identical to the
+    // raw-string path (`rawKey = true`, the pre-r21 shape) at bench scale.
+    val gram =
+      if (rawKey)
+        s"transform(sequence(1, size(v) - ${ShingleLen - 1}), i -> concat_ws(' ', slice(v, i, $ShingleLen)))"
+      else
+        s"transform(sequence(1, size(v) - ${ShingleLen - 1}), i -> " +
+          (1 to ShingleLen).map(j => s"element_at(v, i + ${j - 1})")
+            .mkString("xxhash64(", ", ", "))")
+    val tok = docs
+      .selectExpr("source", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
+      .filter(expr(s"size(w) >= $ShingleLen"))
+    val sh = (if (rawKey) tok.selectExpr("source", "w AS v")
+              else tok.selectExpr("source", "transform(w, x -> xxhash64(x)) AS v"))
+      .selectExpr("source", s"array_distinct($gram) AS gs")
+      .localCheckpoint()
+      .select(col("source"), explode(col("gs")).as("s"))
       .distinct()
       .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -983,8 +1022,12 @@ object Dedup {
     val sh = shingleSetsOf(docs)
       .selectExpr("doc_id", "array_sort(array_distinct(graft_md5h(shingles))) AS hv")
       .localCheckpoint()
+    // r21: `inv` is no longer checkpointed — it is one explode over the
+    // already-materialized `sh`, so each consumer (the df agg, the idx
+    // join, the rarestK probe) recomputes a cheap narrow map instead of
+    // the engine materializing a second corpus-scale (doc, h) relation
+    // (measured: the inv checkpoint write was pure overhead at sf0.1).
     val inv = sh.select(col("doc_id"), explode(col("hv")).as("h"))
-      .localCheckpoint()
     val dfs = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val rare = dfs
       .filter(col("df") >= 2 && col("df") <= ContainDfCap)

@@ -1252,7 +1252,14 @@ object GraphOps {
     * transitive closure of that relation (a bridge links to nothing and
     * stays alone); the label is the block's lexicographically minimal
     * edge (min vertex would collide across blocks — see the operator
-    * doc). */
+    * doc).
+    *
+    * SIZE BOUND (r20 ADVICE): the `rm` CTE enumerates reachability for
+    * every (candidate vertex, source) pair — O(V²·E) recursive closure.
+    * Fine on the fixed 25-edge planted instance this oracle gates;
+    * silently intractable if a future gate instance grows — a larger
+    * instance needs a different oracle shape (per-articulation BFS, or
+    * the unrolled block labeling), not this definitional one. */
   private lazy val biconnectedOracle: String = {
     val vals = BridgeEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
     s"""WITH RECURSIVE e AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

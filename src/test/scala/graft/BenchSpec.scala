@@ -59,6 +59,25 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.json4s.jackson.JsonMethods.parse(detail)
   }
 
+  test("detail JSON carries the r21 driver-stall attribution for the published pass") {
+    // gc_ms / compile_n / drain_ms belong to the min pass (QueryBench) —
+    // the r20 driver-window inflation (+12 s wall, executor CPU flat)
+    // had to be inferred; these fields make it attributable from the
+    // artifact itself
+    val results = Seq(
+      QueryBench("q", 1.0, 0.5, 8.0, None, Seq(1.0, 1.1),
+        gcMs = 42L, compileN = 3L, drainMs = 7.25))
+    val detail = Bench.detailJson(results, "{}", "/unused")
+    assert(detail.contains(""""gc_ms":{"q":42}"""), detail)
+    assert(detail.contains(""""compile_n":{"q":3}"""), detail)
+    assert(detail.contains(""""drain_ms":{"q":7.2500}"""), detail)
+    // the stall maps must not collide with SweepSpec's passes regex
+    // ("the only numeric-ARRAY entries in the detail JSON are the
+    // passes"): they are JSON objects, not arrays
+    assert(!detail.contains(""""gc_ms":["""))
+    org.json4s.jackson.JsonMethods.parse(detail)
+  }
+
   test("passSpread judges the fastest three passes so re-runs age out a dirty pass") {
     assert(Bench.passSpread(Seq(1.0, 1.1, 1.05)) < Bench.SpreadBar)
     assert(Bench.passSpread(Seq(8.0, 1.0, 1.1)) > Bench.SpreadBar)

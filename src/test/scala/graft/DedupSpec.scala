@@ -76,6 +76,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(th.nonEmpty && th == tr, "spanTrim: hashed vs raw gram key diverged")
   }
 
+  test("sourceOverlap shingle keying (r21): xxhash64 word-gram keys ≡ raw-string shingles") {
+    // the shingle key is distinct/join-internal; the hashed (at-scale)
+    // and raw-string keyings must produce byte-identical overlap matrices
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val hashed = Dedup.sourceOverlapOf(docs).collect().map(_.toString).sorted
+    val raw = Dedup.sourceOverlapOf(docs, rawKey = true).collect()
+      .map(_.toString).sorted
+    assert(hashed.nonEmpty && hashed.sameElements(raw),
+      "sourceOverlap: hashed vs raw shingle key diverged")
+  }
+
+  test("withSimhash word values (r21): native graft_md5h(words, 15) ≡ SQL hex-digit arithmetic") {
+    import org.apache.spark.sql.functions._
+    // the r21 native hash must reproduce the interpreted 15-digit
+    // instr/substr formulation (the DuckDB oracle's shape) bit-for-bit,
+    // on the real corpus — both the per-word values and the fingerprint
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    graft.functions.GraftFunctions.register(spark)
+    val native = Dedup.withSimhash(docs).select(col("doc_id"), col("simhash"))
+      .collect().map(_.toString).sorted
+    val sql = Dedup.wordValSqlFor(docs)
+      .selectExpr("doc_id", s"graft_simhash(vals, ${Dedup.SimhashBits}) AS simhash")
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty && native.sameElements(sql),
+      "withSimhash: native md5h word values diverged from the SQL formulation")
+  }
+
   test("spanTrim: removed-token count equals spanDedup's coverage; untouched docs hash their full stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -129,6 +129,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "quality bucketing must not window-sort the corpus\n" + p)
     assert(p.contains("BroadcastHashJoin"),
       "tercile boundaries must join back via broadcast\n" + p)
+    // r21: lang rides the scoring scan — the corpus⋈corpus doc_id
+    // re-join (a SortMergeJoin whose only job was re-attaching one
+    // column from the same table) must stay gone
+    assert(!p.contains("SortMergeJoin"),
+      "quality bucketing must not self-join the corpus for lang\n" + p)
   }
 
   test("stratifiedSample, hashSplit and piiScrub are single-scan, shuffle-free plans") {

@@ -195,6 +195,17 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.forall(r => r.getInt(0) == r.getInt(1) - 1))
   }
 
+  test("repetition bigram keying (r21): xxhash64 keys ≡ built-string bigrams") {
+    // the bigram key is distinct-internal; the hashed (at-scale) and
+    // string keyings must produce byte-identical rows on the real corpus
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val hashed = TextAnalysis.repetitionOf(docs).collect().map(_.toString).sorted
+    val raw = TextAnalysis.repetitionOf(docs, rawKey = true).collect()
+      .map(_.toString).sorted
+    assert(hashed.nonEmpty && hashed.sameElements(raw),
+      "repetition: hashed vs string bigram key diverged")
+  }
+
   test("seqPack: per-language streams pack contiguously with in-budget offsets") {
     val rows = TextAnalysis.seqPack(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
