@@ -83,8 +83,30 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // r21 (guide §3.2 / §6, pre-filter the big side at the scan): the
+    // region predicate restricts BOTH customer and supplier to ASIA
+    // nations (c_nationkey = s_nationkey and s's nation is in ASIA), but
+    // written only at the tail of the join chain it pruned nothing until
+    // the final two broadcast joins — every intermediate join ran at
+    // all-regions width. Resolve the ASIA nation-key list up front
+    // (nation ⋈ region is a fixed ≤25-row dimension lookup — the same
+    // bounded client-fetch class as the warm-store probes) and push it
+    // into the customer and supplier SCANS as an `isin` predicate:
+    // PushedFilters gains In(c_nationkey, …) / In(s_nationkey, …), so at
+    // cluster scale ~4/5 of both tables never leaves parquet. The join
+    // chain itself is untouched (same all-broadcast local plan; n_name
+    // still attached by the tail nation/region broadcasts), and inner-
+    // join algebra makes the added predicates redundant-but-earlier:
+    // results identical, oracle-proven at sf0.001 and sf0.01.
+    val asiaKeys = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).sorted.toSeq
     val c = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(asiaKeys: _*))
     val s = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey").isin(asiaKeys: _*))
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
