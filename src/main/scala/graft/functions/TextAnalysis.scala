@@ -1104,18 +1104,17 @@ object TextAnalysis {
     // Char split via substring-per-position (the exact mirror of the
     // oracle's list_transform) — regex splits ('', '(?!^)') leave a
     // trailing empty symbol under Spark's limit=-1 semantics.
-    // r21: LAZY checkpoints (eager = false) throughout the learner — the
-    // checkpoint still pins the vocabulary frame and truncates the
-    // k-deep merge-fold lineage, but its materialization folds into the
-    // round's own argmax job instead of scheduling a separate
-    // materialize-the-checkpoint job first: 1 scheduled job per round
-    // instead of 2 (the per-round driver constant is the whole cost of
-    // this vocabulary-scale loop at bench SFs, and at 100 TB the k
-    // driver round-trips are the only non-corpus-parallel part).
+    // r21 NOTE (measured, rejected): lazy checkpoints (eager = false)
+    // throughout this loop — folding each round's materialization into
+    // its argmax job, 1 scheduled job/round instead of 2 — were tried to
+    // cut the per-round driver constant and measured SLOWER at sf0.1
+    // (t_bpe_encode 1.14 → 1.45 s, executor cpu also up): persisting
+    // inside the argmax job's tasks costs more than the extra (narrow,
+    // already-persisted-input) checkpoint job it saves. Eager stays.
     var vocab = wordFreq
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 1 to k) {
       val best = vocab
@@ -1132,7 +1131,7 @@ object TextAnalysis {
         learned += ((best(0).getString(0), best(0).getString(1)))
         vocab = vocab.withColumn("syms",
           expr(bpeMergeSql(best(0).getString(0), best(0).getString(1))))
-          .localCheckpoint(false)
+          .localCheckpoint()
       }
     }
     (vocab, learned.toSeq)
